@@ -1,0 +1,174 @@
+"""Canonicalization: skolemization, IRI/literal normalization, dedup, store.
+
+Reference origin (SURVEY §1.2, §2.5 J5): blank-node identity is
+per-document (``AnonId.create(b.getID)``, ``HtmlToRdf.scala:176-177``), and
+merged models unify identical IRIs across documents
+(``MergedModels.scala:182-191``).  At 10^12 files both need deterministic,
+distributed-friendly rules:
+
+* **Skolemization** — ``urn:skolem:<sha256(doc_sha256 ':' label)[:32]>``:
+  pure column expression, stable across runs/partitions, collision-safe
+  across documents even when labels collide (fixtures deliberately collide
+  them).
+* **Literal normalization** — documented, applied exactly once (SURVEY §7.3
+  flags lexical-form drift as the main P/R risk): lang tags lowercased
+  (done at parse), canonical ``xsd:decimal``/``xsd:integer`` forms (strip
+  leading '+', strip trailing fraction zeros, drop trailing '.', "-0"→"0").
+* **Dedup** — exact duplicate elimination of canonical triples. The hot-key
+  risk (popular objects like ``ex:hub``, ``rdf:type``) is absorbed by a
+  two-phase salted aggregation: partial distinct on (key, salt) then final
+  distinct — map-side combine keeps the skewed key from landing on one
+  reducer. AQE skew handling stays on as the backstop.
+* **Canonical store** — parquet partitioned by predicate (north rule) with
+  a ``bucket = pmod(xxhash64(subj), k)`` sub-key so hot predicates
+  (``rdf:type``) split into k files instead of one giant partition
+  (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rdfshape_api_spark.model import (
+    KIND_BNODE,
+    SKOLEM_PREFIX,
+    TRIPLE_COLUMNS,
+    XSD_DECIMAL,
+    XSD_INTEGER,
+)
+
+TRIPLE_KEY = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+
+
+def _skolem(doc_sha, label):
+    return F.concat(
+        F.lit(SKOLEM_PREFIX), F.substring(F.sha2(F.concat_ws(":", doc_sha, label), 256), 1, 32)
+    )
+
+
+def skolemize(df: DataFrame) -> DataFrame:
+    """Replace per-document blank-node labels with deterministic skolem IRIs.
+
+    ``obj_kind`` stays 'bnode' so node-kind constraints (ShEx BNODE /
+    SHACL sh:nodeKind) still see the original kind.
+    """
+    is_bnode_subj = F.col("subj").startswith("_:")
+    return df.withColumn(
+        "subj",
+        F.when(is_bnode_subj, _skolem(F.col("doc_sha256"), F.col("subj"))).otherwise(
+            F.col("subj")
+        ),
+    ).withColumn(
+        "obj_value",
+        F.when(
+            F.col("obj_kind") == KIND_BNODE,
+            _skolem(F.col("doc_sha256"), F.col("obj_value")),
+        ).otherwise(F.col("obj_value")),
+    )
+
+
+def normalize_literals(df: DataFrame) -> DataFrame:
+    """Canonical lexical forms for numeric literals (documented rules above).
+
+    Non-numeric literals and IRIs pass through untouched — normalization
+    happens exactly once, here, per SURVEY §7.3.
+    """
+    v = F.col("obj_value")
+    is_num = F.col("obj_datatype").isin(XSD_DECIMAL, XSD_INTEGER) & v.rlike(
+        r"^[+-]?\d+(\.\d*)?$"
+    )
+    canon = F.regexp_replace(v, r"^\+", "")  # +5 → 5
+    canon = F.regexp_replace(canon, r"^(-?)0+(\d)", r"$1$2")  # 007 → 7
+    canon = F.when(
+        canon.contains("."),
+        F.regexp_replace(F.regexp_replace(canon, r"0+$", ""), r"\.$", ""),
+    ).otherwise(canon)  # 18.50 → 18.5, 18.0 → 18
+    canon = F.when(canon.isin("-0", ""), F.lit("0")).otherwise(canon)
+    return df.withColumn("obj_value", F.when(is_num, canon).otherwise(v))
+
+
+def expand_prefixed(df: DataFrame) -> DataFrame:
+    """No-op by contract: parsers already emit absolute IRIs (prefix
+    expansion happens at parse, using each document's own prefix map), so
+    cross-document prefix aliasing (``ex:`` vs ``sensor:`` for one
+    namespace) is already resolved. Kept as an explicit stage marker."""
+    return df
+
+
+def canonicalize(df: DataFrame) -> DataFrame:
+    """skolemize → normalize literals (the once-only canonical form)."""
+    return normalize_literals(skolemize(df))
+
+
+def dedup_triples(
+    df: DataFrame, scope_doc: bool = False, salt_buckets: int = 0
+) -> DataFrame:
+    """Distinct canonical triples (graph-merge semantics,
+    MergedModels.scala:182-191: union of models unifies identical triples).
+
+    ``scope_doc=True`` keeps per-document multiplicity (one graph per doc).
+    ``salt_buckets>0`` forces the two-phase salted distinct; with 0 we rely
+    on Spark's partial-aggregation + AQE, which is already two-phase for
+    plain ``distinct`` — the explicit salt is for the *join/agg-by-entity*
+    cases where the grouping key alone is skewed.
+    """
+    key = (["doc_sha256"] if scope_doc else []) + TRIPLE_KEY
+    if salt_buckets > 0:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in TRIPLE_KEY]), F.lit(salt_buckets))
+        )
+        partial = salted.dropDuplicates(key + ["_salt"]).drop("_salt")
+        return partial.dropDuplicates(key)
+    return df.dropDuplicates(key)
+
+
+def entity_degree(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
+    """Per-entity mention count — the skewed aggregation of SURVEY §2.5 J5
+    (popular entities like ``ex:hub``).  Two-phase salted sum: partial
+    count on (entity, salt), final sum on entity. Returns
+    ``(entity, degree)``.
+    """
+    subj = df.select(F.col("subj").alias("entity"))
+    obj = df.filter(F.col("obj_kind") != "literal").select(
+        F.col("obj_value").alias("entity")
+    )
+    mentions = subj.unionAll(obj)
+    salted = mentions.withColumn(
+        "_salt", F.pmod(F.xxhash64("entity"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("entity", "_salt").agg(F.count("*").alias("_c"))
+    return partial.groupBy("entity").agg(F.sum("_c").alias("degree"))
+
+
+def pred_partition_key(pred=None):
+    """Filesystem-safe predicate partition key: local name + 8-hex md5
+    disambiguator (IRIs contain '/' and '#', unusable as directory names)."""
+    pred = F.col("pred") if pred is None else pred
+    local = F.regexp_replace(F.element_at(F.split(pred, "[/#]"), -1), r"[^A-Za-z0-9_-]", "_")
+    return F.concat(local, F.lit("_"), F.substring(F.md5(pred), 1, 8))
+
+
+def write_canonical_store(
+    df: DataFrame, path: str, subj_buckets: int = 16, mode: str = "overwrite"
+) -> None:
+    """Write the canonical triple store: parquet partitioned by predicate
+    (north rule), sub-bucketed by subject hash so hot predicates split.
+
+    The pre-write ``repartition(pred_part, bucket)`` lines file boundaries
+    up with partition directories (one shuffle, no small-files explosion);
+    readers filtering on predicate get directory-level partition pruning,
+    and the 2-col projection prunes parquet columns.
+    """
+    out = df.withColumn("pred_part", pred_partition_key()).withColumn(
+        "bucket", F.pmod(F.xxhash64("subj"), F.lit(subj_buckets))
+    )
+    (
+        out.repartition("pred_part", "bucket")
+        .write.mode(mode)
+        .partitionBy("pred_part", "bucket")
+        .parquet(path)
+    )
+
+
+def read_canonical_store(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).select(*TRIPLE_COLUMNS)

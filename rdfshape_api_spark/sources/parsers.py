@@ -1,0 +1,534 @@
+"""Pure-Python RDF parsers: N-Triples, Turtle (subset), JSON-LD (subset).
+
+These run **batch-wise inside Arrow UDFs** (``mapInPandas``), never as
+per-row Spark UDFs — per the input_hint "no per-row Python".  The N-Triples
+format additionally has a fully columnar Spark-SQL fast path in
+``extract.py``; the Python N-Triples parser here is the reference
+implementation used for tests and for the Turtle parser's literal handling.
+
+Semantics matched to the reference's parse surface (SURVEY §2.1 S1):
+``RDFAsJenaModel.fromChars(input, format, base)`` — reference call site
+``modules/server/.../data/logic/types/DataSingle.scala:78-93``; format list
+``RdfFormat.scala:18-29``.  Unlike the reference (whole request fails on bad
+syntax), parse failures are *returned* as an error string so the Spark stage
+can emit a per-row error channel.
+
+Triple tuple shape: ``(subj, pred, obj_kind, obj_value, obj_lang, obj_dt)``
+with ``subj`` either a full IRI or a raw ``_:label`` blank node (skolemized
+later, deterministically, in ``operators/canonicalize.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF + "type"
+RDF_FIRST = RDF + "first"
+RDF_REST = RDF + "rest"
+RDF_NIL = RDF + "nil"
+
+Triple = tuple  # (subj, pred, obj_kind, obj_value, obj_lang, obj_dt)
+
+_ESCAPES = {
+    "t": "\t",
+    "b": "\b",
+    "n": "\n",
+    "r": "\r",
+    "f": "\f",
+    '"': '"',
+    "'": "'",
+    "\\": "\\",
+}
+
+
+def unescape(s: str) -> str:
+    """Decode N-Triples/Turtle string escapes (\\t \\n \\" \\\\ \\uXXXX \\UXXXXXXXX)."""
+    if "\\" not in s:
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError("dangling backslash")
+        e = s[i + 1]
+        if e == "u":
+            out.append(chr(int(s[i + 2 : i + 6], 16)))
+            i += 6
+        elif e == "U":
+            out.append(chr(int(s[i + 2 : i + 10], 16)))
+            i += 10
+        elif e in _ESCAPES:
+            out.append(_ESCAPES[e])
+            i += 2
+        else:
+            raise ValueError(f"bad escape \\{e}")
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# N-Triples
+# --------------------------------------------------------------------------
+
+_NT_LINE = re.compile(
+    r"^(<[^>]*>|_:[^\s]+)\s+(<[^>]*>)\s+(.+?)\s*\.\s*$"
+)
+_NT_LITERAL = re.compile(
+    r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?$'
+)
+
+
+def _nt_term(tok: str):
+    if tok.startswith("<") and tok.endswith(">"):
+        return ("iri", tok[1:-1], None, None)
+    if tok.startswith("_:"):
+        return ("bnode", tok, None, None)
+    m = _NT_LITERAL.match(tok)
+    if m:
+        lex, lang, dt = m.group(1), m.group(2), m.group(3)
+        return ("literal", unescape(lex), lang.lower() if lang else None, dt)
+    raise ValueError(f"bad N-Triples term: {tok!r}")
+
+
+def parse_ntriples(content: str) -> list[Triple]:
+    """Parse an N-Triples document; raises ValueError with line number on error."""
+    triples: list[Triple] = []
+    for lineno, line in enumerate(content.split("\n"), 1):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        m = _NT_LINE.match(line)
+        if not m:
+            raise ValueError(f"line {lineno}: malformed N-Triples statement")
+        s_kind, s_val, _, _ = _nt_term(m.group(1))
+        subj = s_val if s_kind == "iri" else s_val
+        pred = m.group(2)[1:-1]
+        try:
+            o_kind, o_val, o_lang, o_dt = _nt_term(m.group(3))
+        except ValueError as e:
+            raise ValueError(f"line {lineno}: {e}") from None
+        triples.append((subj, pred, o_kind, o_val, o_lang, o_dt))
+    return triples
+
+
+# --------------------------------------------------------------------------
+# Turtle (subset: prefixes, pnames, literals, a, ;/,, bnode labels,
+# anonymous bnode property lists, collections, numeric/boolean shorthand)
+# --------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>\#[^\n]*)
+    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<str_long3>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\")
+    | (?P<str_long1>'''(?:[^'\\]|\\.|'(?!''))*''')
+    | (?P<str_d>"(?:[^"\\\n]|\\.)*")
+    | (?P<str_s>'(?:[^'\\\n]|\\.)*')
+    | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<dtsep>\^\^)
+    | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<punct>[;,.\[\]()])
+    | (?P<pname>[A-Za-z0-9_][\w.-]*?:[\w.%-]*|:[\w.%-]*|[A-Za-z0-9_][\w.-]*:)
+    | (?P<kw>@?[A-Za-z][A-Za-z0-9_-]*)
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize_turtle(content: str):
+    tokens = []
+    pos, n = 0, len(content)
+    while pos < n:
+        m = _TOKEN.match(content, pos)
+        if not m:
+            raise ValueError(f"unexpected character at offset {pos}: {content[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        val = m.group()
+        if kind == "langtag" and val in ("@prefix", "@base"):
+            kind = "kw"  # directive keywords, not language tags
+        tokens.append((kind, val))
+    return tokens
+
+
+class _TurtleParser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.triples: list[Triple] = []
+        self.genid = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        if t[0] is None:
+            raise ValueError("unexpected end of input")
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise ValueError(f"expected {val!r}, got {v!r}")
+
+    def fresh_bnode(self) -> str:
+        self.genid += 1
+        return f"_:genid{self.genid}"
+
+    def expand_pname(self, pname: str) -> str:
+        pref, _, local = pname.partition(":")
+        if pref not in self.prefixes:
+            raise ValueError(f"undefined prefix {pref!r}:")
+        # minimal PN_LOCAL %-decode is not needed for our corpus
+        return self.prefixes[pref] + local
+
+    def parse(self):
+        while self.peek()[0] is not None:
+            k, v = self.peek()
+            if k == "kw" and v.lower() in ("@prefix", "prefix"):
+                self.next()
+                _, pname = self.next()
+                if not pname.endswith(":"):
+                    raise ValueError(f"bad prefix declaration: {pname!r}")
+                _, iri = self.next()
+                if not (iri.startswith("<") and iri.endswith(">")):
+                    raise ValueError("prefix IRI must be <...>")
+                self.prefixes[pname[:-1]] = self.resolve_iri(iri[1:-1])
+                if v == "@prefix":
+                    self.expect(".")
+                continue
+            if k == "kw" and v.lower() in ("@base", "base"):
+                self.next()
+                _, iri = self.next()
+                self.base = iri[1:-1]
+                if v == "@base":
+                    self.expect(".")
+                continue
+            self.parse_statement()
+        return self.triples
+
+    def parse_statement(self):
+        subj = self.parse_subject()
+        self.parse_predicate_object_list(subj)
+        self.expect(".")
+
+    def parse_subject(self) -> str:
+        k, v = self.next()
+        if k == "iri":
+            return self.resolve_iri(v[1:-1])
+        if k == "pname":
+            return self.expand_pname(v)
+        if k == "bnode":
+            return v
+        if k == "punct" and v == "[":
+            b = self.fresh_bnode()
+            if self.peek()[1] != "]":
+                self.parse_predicate_object_list(b)
+            self.expect("]")
+            return b
+        if k == "punct" and v == "(":
+            self.i -= 1
+            return self.parse_collection()
+        raise ValueError(f"bad subject token: {v!r}")
+
+    def resolve_iri(self, iri: str) -> str:
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            return self.base + iri
+        return iri
+
+    def parse_predicate_object_list(self, subj: str):
+        while True:
+            pred = self.parse_predicate()
+            self.parse_object_list(subj, pred)
+            k, v = self.peek()
+            if v == ";":
+                self.next()
+                # trailing ';' before '.' or ']' is legal
+                if self.peek()[1] in (".", "]"):
+                    return
+                continue
+            return
+
+    def parse_predicate(self) -> str:
+        k, v = self.next()
+        if k == "kw" and v == "a":
+            return RDF_TYPE
+        if k == "iri":
+            return self.resolve_iri(v[1:-1])
+        if k == "pname":
+            return self.expand_pname(v)
+        raise ValueError(f"bad predicate token: {v!r}")
+
+    def parse_object_list(self, subj: str, pred: str):
+        while True:
+            kind, val, lang, dt = self.parse_object()
+            self.triples.append((subj, pred, kind, val, lang, dt))
+            if self.peek()[1] == ",":
+                self.next()
+                continue
+            return
+
+    def parse_collection(self) -> str:
+        self.expect("(")
+        items = []
+        while self.peek()[1] != ")":
+            items.append(self.parse_object())
+        self.expect(")")
+        if not items:
+            return RDF_NIL
+        head = self.fresh_bnode()
+        cur = head
+        for idx, (kind, val, lang, dt) in enumerate(items):
+            self.triples.append((cur, RDF_FIRST, kind, val, lang, dt))
+            if idx + 1 < len(items):
+                nxt = self.fresh_bnode()
+                self.triples.append((cur, RDF_REST, "bnode", nxt, None, None))
+                cur = nxt
+            else:
+                self.triples.append((cur, RDF_REST, "iri", RDF_NIL, None, None))
+        return head
+
+    def parse_object(self):
+        k, v = self.next()
+        if k == "iri":
+            return ("iri", self.resolve_iri(v[1:-1]), None, None)
+        if k == "pname":
+            return ("iri", self.expand_pname(v), None, None)
+        if k == "bnode":
+            return ("bnode", v, None, None)
+        if k == "punct" and v == "[":
+            b = self.fresh_bnode()
+            if self.peek()[1] != "]":
+                self.parse_predicate_object_list(b)
+            self.expect("]")
+            return ("bnode", b, None, None)
+        if k == "punct" and v == "(":
+            self.i -= 1
+            head = self.parse_collection()
+            kind = "iri" if head == RDF_NIL else "bnode"
+            return (kind, head, None, None)
+        if k == "num":
+            if "e" in v.lower():
+                return ("literal", v, None, XSD + "double")
+            if "." in v:
+                return ("literal", v, None, XSD + "decimal")
+            return ("literal", v, None, XSD + "integer")
+        if k == "kw" and v in ("true", "false"):
+            return ("literal", v, None, XSD + "boolean")
+        if k in ("str_d", "str_s", "str_long3", "str_long1"):
+            if k == "str_long3" or k == "str_long1":
+                lex = unescape(v[3:-3])
+            else:
+                lex = unescape(v[1:-1])
+            nk, nv = self.peek()
+            if nk == "langtag":
+                self.next()
+                return ("literal", lex, nv[1:].lower(), None)
+            if nk == "dtsep":
+                self.next()
+                dk, dv = self.next()
+                if dk == "iri":
+                    return ("literal", lex, None, self.resolve_iri(dv[1:-1]))
+                if dk == "pname":
+                    return ("literal", lex, None, self.expand_pname(dv))
+                raise ValueError(f"bad datatype token: {dv!r}")
+            return ("literal", lex, None, None)
+        raise ValueError(f"bad object token: {v!r}")
+
+
+def parse_turtle(content: str) -> list[Triple]:
+    """Parse a Turtle document (subset per module docstring)."""
+    p = _TurtleParser(_tokenize_turtle(content))
+    return p.parse()
+
+
+def turtle_prefixes(content: str) -> dict[str, str]:
+    """Extract the prefix map only (SURVEY §2.3 P8 — getPrefixMap,
+    MergedModels.scala:31-39)."""
+    p = _TurtleParser(_tokenize_turtle(content))
+    try:
+        p.parse()
+    except ValueError:
+        pass  # prefixes seen before the error are still useful
+    return p.prefixes
+
+
+# --------------------------------------------------------------------------
+# JSON-LD (subset: @context prefix/term maps + @vocab, @id, @type, @value /
+# @language / @type value objects, nested node objects, arrays, @graph)
+# --------------------------------------------------------------------------
+
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+class _JsonLdParser:
+    def __init__(self):
+        self.triples: list[Triple] = []
+        self.genid = 0
+
+    def fresh_bnode(self) -> str:
+        self.genid += 1
+        return f"_:genid{self.genid}"
+
+    def expand(self, key: str, ctx: dict) -> str | None:
+        if key.startswith("@"):
+            return None
+        if key in ctx and isinstance(ctx[key], str):
+            v = ctx[key]
+            return v if _ABS_IRI.match(v) else self.expand(v, ctx)
+        if key in ctx and isinstance(ctx[key], dict) and "@id" in ctx[key]:
+            return self.expand(ctx[key]["@id"], ctx)
+        if ":" in key:
+            pref, _, local = key.partition(":")
+            if pref in ctx and isinstance(ctx[pref], str):
+                return ctx[pref] + local
+            if _ABS_IRI.match(key):
+                return key
+        if "@vocab" in ctx:
+            return ctx["@vocab"] + key
+        return None
+
+    def node_id(self, node: dict, ctx: dict) -> str:
+        nid = node.get("@id")
+        if nid is None:
+            return self.fresh_bnode()
+        if nid.startswith("_:"):
+            return nid
+        return self.expand(nid, ctx) or nid
+
+    def parse_node(self, node: dict, ctx: dict) -> str:
+        local_ctx = dict(ctx)
+        if "@context" in node and isinstance(node["@context"], dict):
+            local_ctx.update(node["@context"])
+        subj = self.node_id(node, local_ctx)
+        s_kind_val = subj
+        for key, val in node.items():
+            if key in ("@context", "@id"):
+                continue
+            if key == "@type":
+                types = val if isinstance(val, list) else [val]
+                for t in types:
+                    tiri = self.expand(t, local_ctx) or t
+                    self.triples.append((s_kind_val, RDF_TYPE, "iri", tiri, None, None))
+                continue
+            if key == "@graph":
+                nodes = val if isinstance(val, list) else [val]
+                for n in nodes:
+                    self.parse_node(n, local_ctx)
+                continue
+            pred = self.expand(key, local_ctx)
+            if pred is None:
+                raise ValueError(f"cannot expand JSON-LD key {key!r}")
+            values = val if isinstance(val, list) else [val]
+            for v in values:
+                self.emit_value(s_kind_val, pred, v, local_ctx)
+        return s_kind_val
+
+    def emit_value(self, subj: str, pred: str, v, ctx: dict):
+        if isinstance(v, dict):
+            if "@value" in v:
+                lex = v["@value"]
+                if isinstance(lex, bool):
+                    lex_s, dt = ("true" if lex else "false"), XSD + "boolean"
+                elif isinstance(lex, int):
+                    lex_s, dt = str(lex), XSD + "integer"
+                elif isinstance(lex, float):
+                    lex_s, dt = repr(lex), XSD + "double"
+                else:
+                    lex_s, dt = str(lex), None
+                lang = v.get("@language")
+                if "@type" in v:
+                    dt = self.expand(v["@type"], ctx) or v["@type"]
+                self.triples.append(
+                    (subj, pred, "literal", lex_s, lang.lower() if lang else None, dt)
+                )
+                return
+            if set(v.keys()) <= {"@id"} and "@id" in v:
+                ref = v["@id"]
+                if ref.startswith("_:"):
+                    self.triples.append((subj, pred, "bnode", ref, None, None))
+                else:
+                    self.triples.append(
+                        (subj, pred, "iri", self.expand(ref, ctx) or ref, None, None)
+                    )
+                return
+            # nested node object
+            child = self.parse_node(v, ctx)
+            kind = "bnode" if child.startswith("_:") else "iri"
+            self.triples.append((subj, pred, kind, child, None, None))
+            return
+        if isinstance(v, bool):
+            self.triples.append(
+                (subj, pred, "literal", "true" if v else "false", None, XSD + "boolean")
+            )
+        elif isinstance(v, int):
+            self.triples.append((subj, pred, "literal", str(v), None, XSD + "integer"))
+        elif isinstance(v, float):
+            self.triples.append((subj, pred, "literal", repr(v), None, XSD + "double"))
+        else:
+            self.triples.append((subj, pred, "literal", str(v), None, None))
+
+
+def parse_jsonld(content: str) -> list[Triple]:
+    """Parse a JSON-LD document (subset per module docstring)."""
+    doc = json.loads(content)
+    p = _JsonLdParser()
+    ctx: dict = {}
+    if isinstance(doc, dict):
+        if "@context" in doc and isinstance(doc["@context"], dict):
+            ctx = doc["@context"]
+        if "@graph" in doc:
+            nodes = doc["@graph"]
+            nodes = nodes if isinstance(nodes, list) else [nodes]
+            for n in nodes:
+                p.parse_node(n, ctx)
+        else:
+            p.parse_node(doc, ctx)
+    elif isinstance(doc, list):
+        for n in doc:
+            p.parse_node(n, ctx)
+    else:
+        raise ValueError("JSON-LD document must be an object or array")
+    return p.triples
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+PARSERS = {
+    "ntriples": parse_ntriples,
+    "nt": parse_ntriples,
+    "n-triples": parse_ntriples,
+    "turtle": parse_turtle,
+    "ttl": parse_turtle,
+    "jsonld": parse_jsonld,
+    "json-ld": parse_jsonld,
+}
+
+
+def parse_document(content: str, lang: str) -> tuple[list[Triple], str | None]:
+    """Parse one document; returns (triples, error). Never raises on bad
+    content — the error is returned so Spark can keep a per-row channel."""
+    parser = PARSERS.get((lang or "").lower())
+    if parser is None:
+        return [], f"unsupported format: {lang!r}"
+    try:
+        return parser(content), None
+    except Exception as e:  # noqa: BLE001 — error channel by design
+        return [], f"{type(e).__name__}: {e}"
