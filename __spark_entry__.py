@@ -1,38 +1,578 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction query; ``queries()``
+exposes one entry per implemented operator (SURVEY.md §2 + the
+training-data ops); ``oracle_sql()`` gives the DuckDB twin for every
+SQL-expressible operator.
+
+RDF operators run over the deterministic fixture docs table
+(FIXTURES.md; generated idempotently under ``fixtures/rdf_sf*``) — golden
+triples/verdicts are computed by construction at generation time, so the
+oracle side reads the golden parquet while the Spark side runs the real
+extract→canonicalize→validate pipeline. Text/dedup/similarity/events
+operators run over the driver's own tables with genuinely independent
+SQL oracles.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rdfshape_api_spark.fixtures.generator import (
+    FIXTURES_ROOT,
+    SHACL_SENSOR,
+    SHAPEMAP_QUERY,
+    SHEX_SENSOR,
+    ensure_fixtures,
+    sf_tag_from_dir,
+)
+
+# fixtures must exist before the driver's DuckDB oracle runs (idempotent, fast)
+ensure_fixtures("sf0.001")
+_SF001 = ensure_fixtures("sf0.01")
+
+EX = "http://example.org/"
+_ORACLE_TRIPLES = _SF001["triples"]
+_ORACLE_VERDICTS = _SF001["verdicts"]
+_ORACLE_DOCS = _SF001["docs"]
+
+_triples_cache: dict[str, DataFrame] = {}
+
+
+def _rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical deduped triples for the fixture tier matching sf_dir
+    (cached per tier — several queries share the extraction)."""
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    tag = sf_tag_from_dir(sf_dir)
+    if tag not in _triples_cache:
+        paths = ensure_fixtures(tag)
+        docs = spark.read.parquet(paths["docs"])
+        tri = dedup_triples(canonicalize(extract_triples(docs)), scope_doc=True)
+        _triples_cache[tag] = tri.persist()
+    return _triples_cache[tag]
+
+
+def _rdf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = ensure_fixtures(sf_tag_from_dir(sf_dir))
+    return spark.read.parquet(paths["docs"])
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction slice on sf0.001 — extract →
+    canonicalize → ShEx-validate; returns the verdict DataFrame."""
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = _rdf_triples(spark, "sf0.001")
+    schema = parse_shexc(SHEX_SENSOR)
+    return validate(tri, schema, shapemap=SHAPEMAP_QUERY, shape_label="shex_sensor").select(
+        "doc_sha256", "node", "shape_id", "status"
+    )
+
+
+# ---------------------------------------------------------------------------
+# query registry
+# ---------------------------------------------------------------------------
+
+def _q_rdf_extract(spark, sf_dir):
+    return _rdf_triples(spark, sf_dir).select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+    ).distinct()
+
+
+def _q_validate_shex(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = _rdf_triples(spark, sf_dir)
+    return validate(tri, parse_shexc(SHEX_SENSOR), shapemap=SHAPEMAP_QUERY).select(
+        "doc_sha256", "node", "status"
+    )
+
+
+def _q_validate_shacl(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _rdf_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_SENSOR)).select("doc_sha256", "node", "status")
+
+
+def _q_subjects(spark, sf_dir):
+    from rdfshape_api_spark.operators.algebra import subjects
+
+    return subjects(_rdf_triples(spark, sf_dir))
+
+
+def _q_predicates(spark, sf_dir):
+    from rdfshape_api_spark.operators.algebra import predicates
+
+    return predicates(_rdf_triples(spark, sf_dir))
+
+
+def _q_iris(spark, sf_dir):
+    from rdfshape_api_spark.operators.algebra import iris
+
+    return iris(_rdf_triples(spark, sf_dir))
+
+
+def _q_triples_with_predicate(spark, sf_dir):
+    from rdfshape_api_spark.operators.algebra import triples_with_predicate
+
+    return triples_with_predicate(_rdf_triples(spark, sf_dir), EX + "status").select(
+        "doc_sha256", "subj", "obj_value"
+    )
+
+
+def _q_data_info(spark, sf_dir):
+    from rdfshape_api_spark.operators.algebra import data_info_per_doc
+
+    return data_info_per_doc(_rdf_triples(spark, sf_dir)).select(
+        "doc_sha256",
+        F.col("n_statements").cast("bigint").alias("n_statements"),
+        F.col("n_distinct_predicates").cast("bigint").alias("n_distinct_predicates"),
+    )
+
+
+def _q_cardinalities(spark, sf_dir):
+    from rdfshape_api_spark.operators.algebra import cardinalities
+
+    return cardinalities(_rdf_triples(spark, sf_dir))
+
+
+def _q_outgoing(spark, sf_dir):
+    return (
+        _rdf_triples(spark, sf_dir)
+        .filter(F.col("subj") == EX + "shared0")
+        .select("pred", "obj_value")
+        .distinct()
+    )
+
+
+def _q_type_instances(spark, sf_dir):
+    from rdfshape_api_spark.model import RDF_TYPE
+
+    return (
+        _rdf_triples(spark, sf_dir)
+        .filter((F.col("pred") == RDF_TYPE) & (F.col("obj_value") == EX + "Reading"))
+        .select("doc_sha256", "subj")
+        .distinct()
+    )
+
+
+def _q_error_count(spark, sf_dir):
+    from rdfshape_api_spark.sources.extract import extract_triples_raw
+
+    docs = _rdf_docs(spark, sf_dir)
+    raw = extract_triples_raw(docs)
+    return raw.filter(F.col("error").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_error_docs")
+    )
+
+
+def _q_prefix_map(spark, sf_dir):
+    from rdfshape_api_spark.sources.extract import extract_prefixes, merged_prefix_map
+
+    return merged_prefix_map(extract_prefixes(_rdf_docs(spark, sf_dir)))
+
+
+def _q_ntriples(spark, sf_dir):
+    from rdfshape_api_spark.operators.serialize import to_ntriples
+
+    return to_ntriples(_rdf_triples(spark, sf_dir)).distinct()
+
+
+def _q_skolem_count(spark, sf_dir):
+    return _rdf_triples(spark, sf_dir).agg(
+        F.count_distinct(
+            F.when(F.col("subj").startswith("urn:skolem:"), F.col("subj"))
+        ).cast("bigint").alias("n_skolem_subjects")
+    )
+
+
+def _q_hub_degree(spark, sf_dir):
+    from rdfshape_api_spark.operators.canonicalize import entity_degree
+
+    return entity_degree(_rdf_triples(spark, sf_dir)).filter(
+        F.col("entity") == EX + "hub"
+    ).select("entity", F.col("degree").cast("bigint").alias("degree"))
+
+
+def _q_text_features(spark, sf_dir):
+    from rdfshape_api_spark.functions.textops import text_features
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return text_features(docs)
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from rdfshape_api_spark.functions.dedup import exact_duplicates
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return exact_duplicates(docs)
+
+
+def _q_dedup_lsh(spark, sf_dir):
+    from rdfshape_api_spark.functions.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return lsh_candidate_pairs(docs)
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    from rdfshape_api_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from rdfshape_api_spark.functions.dedup import simhash_bucket_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_bucket_pairs(docs)
+
+
+def _q_sim_topk(spark, sf_dir):
+    from rdfshape_api_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk(emb, k=5, n_queries=10)
+
+
+def _q_sim_near_dups(spark, sf_dir):
+    from rdfshape_api_spark.functions.similarity import embedding_near_dups
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups(emb, threshold=0.9).select("vec_a", "vec_b")
+
+
+def _q_sim_lsh_ann(spark, sf_dir):
+    from rdfshape_api_spark.functions.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_ann_topk(emb, k=5, n_queries=10)
+
+
+def _q_mm_meta(spark, sf_dir):
+    from rdfshape_api_spark.functions.multimodal import payload_metadata
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return payload_metadata(docs)
+
+
+def _q_mm_features(spark, sf_dir):
+    from rdfshape_api_spark.functions.multimodal import attach_binary, extract_features
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return extract_features(attach_binary(docs))
+
+
+def _q_mm_frames(spark, sf_dir):
+    from rdfshape_api_spark.functions.multimodal import attach_binary, frame_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return frame_sample(attach_binary(docs.filter(F.col("doc_id") < 100)))
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).cast("bigint").alias("seq")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # SURVEY §2 operators (RDF engine)
+        "rdf_extract_canonical": _q_rdf_extract,         # S1+S4, canonicalize
+        "rdf_validate_shex": _q_validate_shex,           # §2.7 flagship + J1
+        "rdf_validate_shacl": _q_validate_shacl,         # §2.7 + J2 targets
+        "rdf_subjects": _q_subjects,                     # P2
+        "rdf_predicates": _q_predicates,                 # P2
+        "rdf_iris": _q_iris,                             # P2
+        "rdf_triples_with_predicate": _q_triples_with_predicate,  # P3
+        "rdf_data_info": _q_data_info,                   # A1/A2
+        "rdf_cardinalities": _q_cardinalities,           # A5
+        "rdf_outgoing": _q_outgoing,                     # A3
+        "rdf_type_instances": _q_type_instances,         # P6
+        "rdf_error_count": _q_error_count,               # S1 error channel
+        "rdf_prefix_map": _q_prefix_map,                 # P8
+        "rdf_ntriples": _q_ntriples,                     # K1
+        "rdf_skolem_count": _q_skolem_count,             # canonicalization
+        "rdf_hub_degree": _q_hub_degree,                 # J5 skewed entity agg
+        # training-data pipeline operators
+        "text_features": _q_text_features,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_lsh_pairs": _q_dedup_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_simhash_pairs": _q_dedup_simhash,         # rows-only (xxhash64)
+        "sim_cosine_topk": _q_sim_topk,
+        "sim_embedding_near_dups": _q_sim_near_dups,
+        "sim_lsh_ann": _q_sim_lsh_ann,                   # rows-only (scale path)
+        "mm_payload_meta": _q_mm_meta,
+        "mm_features": _q_mm_features,                   # rows-only (arrays)
+        "mm_frame_samples": _q_mm_frames,                # rows-only
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_T = f"'{_ORACLE_TRIPLES}'"
+_V = f"'{_ORACLE_VERDICTS}'"
+_D = f"'{_ORACLE_DOCS}'"
+
+_NT_OBJ = """
+CASE WHEN obj_kind IN ('iri') THEN '<' || obj_value || '>'
+     WHEN obj_kind = 'bnode' AND obj_value NOT LIKE '\\_:%' ESCAPE '\\' THEN '<' || obj_value || '>'
+     WHEN obj_kind = 'bnode' THEN obj_value
+     WHEN obj_lang IS NOT NULL THEN '"' || obj_value || '"@' || obj_lang
+     WHEN obj_datatype IS NOT NULL THEN '"' || obj_value || '"^^<' || obj_datatype || '>'
+     ELSE '"' || obj_value || '"' END
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ex = EX
+    return {
+        "rdf_extract_canonical": f"SELECT DISTINCT * FROM {_T}",
+        "rdf_validate_shex": (
+            f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
+        ),
+        "rdf_validate_shacl": (
+            f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shacl_sensor'"
+        ),
+        "rdf_subjects": f"SELECT DISTINCT subj FROM {_T}",
+        "rdf_predicates": f"SELECT DISTINCT pred FROM {_T}",
+        "rdf_iris": f"""
+            SELECT DISTINCT iri FROM (
+                SELECT subj AS iri FROM {_T} WHERE subj NOT LIKE '\\_:%' ESCAPE '\\'
+                UNION ALL SELECT pred FROM {_T}
+                UNION ALL SELECT obj_value FROM {_T} WHERE obj_kind = 'iri'
+            )
+        """,
+        "rdf_triples_with_predicate": (
+            f"SELECT DISTINCT doc_sha256, subj, obj_value FROM {_T} "
+            f"WHERE pred = '{ex}status'"
+        ),
+        "rdf_data_info": f"""
+            SELECT doc_sha256,
+                   count(*)::BIGINT AS n_statements,
+                   count(DISTINCT pred)::BIGINT AS n_distinct_predicates
+            FROM (SELECT DISTINCT * FROM {_T}) GROUP BY doc_sha256
+        """,
+        "rdf_cardinalities": f"""
+            SELECT doc_sha256, subj, pred, count(*)::BIGINT AS n_values
+            FROM (SELECT DISTINCT * FROM {_T}) GROUP BY doc_sha256, subj, pred
+        """,
+        "rdf_outgoing": (
+            f"SELECT DISTINCT pred, obj_value FROM {_T} WHERE subj = '{ex}shared0'"
+        ),
+        "rdf_type_instances": f"""
+            SELECT DISTINCT doc_sha256, subj FROM {_T}
+            WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              AND obj_value = '{ex}Reading'
+        """,
+        "rdf_error_count": f"""
+            SELECT count(*)::BIGINT AS n_error_docs FROM {_D}
+            WHERE content_sha256 NOT IN (SELECT DISTINCT doc_sha256 FROM {_T})
+        """,
+        "rdf_prefix_map": f"""
+            SELECT * FROM (VALUES
+                ('ex', '{ex}'),
+                ('sensor', '{ex}'),
+                ('xsd', 'http://www.w3.org/2001/XMLSchema#')
+            ) AS t(prefix, iri)
+        """,
+        "rdf_ntriples": f"""
+            SELECT DISTINCT
+              (CASE WHEN subj LIKE '\\_:%' ESCAPE '\\' THEN subj ELSE '<' || subj || '>' END)
+              || ' <' || pred || '> ' || {_NT_OBJ} || ' .' AS line
+            FROM {_T}
+        """,
+        "rdf_skolem_count": f"""
+            SELECT count(DISTINCT subj)::BIGINT AS n_skolem_subjects
+            FROM {_T} WHERE subj LIKE 'urn:skolem:%'
+        """,
+        "rdf_hub_degree": f"""
+            SELECT '{ex}hub' AS entity, count(*)::BIGINT AS degree FROM (
+                SELECT subj AS e FROM (SELECT DISTINCT * FROM {_T})
+                 WHERE subj = '{ex}hub'
+                UNION ALL
+                SELECT obj_value FROM (SELECT DISTINCT * FROM {_T})
+                 WHERE obj_kind <> 'literal' AND obj_value = '{ex}hub'
+            )
+        """,
+        "text_features": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpe_tokens,
+                   CASE
+                     WHEN (len(regexp_split_to_array(text, '\\bthe\\b'))-1
+                          +len(regexp_split_to_array(text, '\\ba\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bof\\b'))-1) >=
+                          greatest(
+                            len(regexp_split_to_array(text, '\\bthe\\b'))-1+len(regexp_split_to_array(text, '\\ba\\b'))-1+len(regexp_split_to_array(text, '\\bof\\b'))-1,
+                            len(regexp_split_to_array(text, '\\bel\\b'))-1+len(regexp_split_to_array(text, '\\bla\\b'))-1+len(regexp_split_to_array(text, '\\bde\\b'))-1,
+                            len(regexp_split_to_array(text, '\\bder\\b'))-1+len(regexp_split_to_array(text, '\\bdie\\b'))-1+len(regexp_split_to_array(text, '\\bdas\\b'))-1,
+                            len(regexp_split_to_array(text, '\\ble\\b'))-1+len(regexp_split_to_array(text, '\\bles\\b'))-1+len(regexp_split_to_array(text, '\\bune\\b'))-1)
+                      AND greatest(
+                            len(regexp_split_to_array(text, '\\bthe\\b'))-1+len(regexp_split_to_array(text, '\\ba\\b'))-1+len(regexp_split_to_array(text, '\\bof\\b'))-1,
+                            len(regexp_split_to_array(text, '\\bel\\b'))-1+len(regexp_split_to_array(text, '\\bla\\b'))-1+len(regexp_split_to_array(text, '\\bde\\b'))-1,
+                            len(regexp_split_to_array(text, '\\bder\\b'))-1+len(regexp_split_to_array(text, '\\bdie\\b'))-1+len(regexp_split_to_array(text, '\\bdas\\b'))-1,
+                            len(regexp_split_to_array(text, '\\ble\\b'))-1+len(regexp_split_to_array(text, '\\bles\\b'))-1+len(regexp_split_to_array(text, '\\bune\\b'))-1) > 0
+                     THEN 'en'
+                     WHEN (len(regexp_split_to_array(text, '\\bel\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bla\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bde\\b'))-1) >=
+                          greatest(
+                            len(regexp_split_to_array(text, '\\bel\\b'))-1+len(regexp_split_to_array(text, '\\bla\\b'))-1+len(regexp_split_to_array(text, '\\bde\\b'))-1,
+                            len(regexp_split_to_array(text, '\\bder\\b'))-1+len(regexp_split_to_array(text, '\\bdie\\b'))-1+len(regexp_split_to_array(text, '\\bdas\\b'))-1,
+                            len(regexp_split_to_array(text, '\\ble\\b'))-1+len(regexp_split_to_array(text, '\\bles\\b'))-1+len(regexp_split_to_array(text, '\\bune\\b'))-1)
+                      AND (len(regexp_split_to_array(text, '\\bel\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bla\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bde\\b'))-1) > 0
+                     THEN 'es'
+                     WHEN (len(regexp_split_to_array(text, '\\bder\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bdie\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bdas\\b'))-1) >=
+                          greatest(
+                            len(regexp_split_to_array(text, '\\bder\\b'))-1+len(regexp_split_to_array(text, '\\bdie\\b'))-1+len(regexp_split_to_array(text, '\\bdas\\b'))-1,
+                            len(regexp_split_to_array(text, '\\ble\\b'))-1+len(regexp_split_to_array(text, '\\bles\\b'))-1+len(regexp_split_to_array(text, '\\bune\\b'))-1)
+                      AND (len(regexp_split_to_array(text, '\\bder\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bdie\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bdas\\b'))-1) > 0
+                     THEN 'de'
+                     WHEN (len(regexp_split_to_array(text, '\\ble\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bles\\b'))-1
+                          +len(regexp_split_to_array(text, '\\bune\\b'))-1) > 0
+                     THEN 'fr'
+                     ELSE 'unknown'
+                   END AS lang_pred,
+                   round(
+                     0.4 * least((n_chars::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+'))) / 8.0, 1.0)
+                   + 0.3 * least(((len(regexp_split_to_array(text, '\\bthe\\b'))-1
+                                  +len(regexp_split_to_array(text, '\\ba\\b'))-1
+                                  +len(regexp_split_to_array(text, '\\bof\\b'))-1
+                                  +len(regexp_split_to_array(text, '\\band\\b'))-1
+                                  +len(regexp_split_to_array(text, '\\bto\\b'))-1
+                                  +len(regexp_split_to_array(text, '\\bin\\b'))-1)::DOUBLE
+                                  / len(regexp_split_to_array(trim(text), '\\s+'))) * 5.0, 1.0)
+                   + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0), 4) AS quality,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_lsh_pairs": """
+            WITH sigs AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), i ->
+                       list_min(list_transform(
+                         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                         w -> md5(i::VARCHAR || ':' || w)))) AS sig
+              FROM documents
+            ), bands AS (
+              SELECT doc_id, b AS band,
+                     md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '|')) AS band_key
+              FROM sigs, unnest(range(0, 4)) AS t(b)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(ws) >= 2
+                     THEN list_distinct(list_transform(range(0, len(ws)-1),
+                              i -> array_to_string(list_slice(ws, i+1, i+2), ' ')))
+                     ELSE list_distinct(ws) END) AS shingle
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "sim_cosine_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS score
+              FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+              WHERE q.vec_id < 10
+            )
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "sim_embedding_near_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(
+              list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.9
+        """,
+        "mm_payload_meta": """
+            -- DuckDB md5 takes VARCHAR; hashing the text hashes the same
+            -- utf-8 bytes Spark's md5(encode(text,'utf-8')) hashes
+            SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   event_type, count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS seq
+            FROM events
+        """,
+    }

@@ -1,0 +1,207 @@
+"""Deduplication family over the ``documents`` table.
+
+Five strategies, each a scale-conscious Spark plan:
+
+* **exact** — hash-groupBy on the normalized-text fingerprint; map-side
+  partial agg absorbs duplicates before the shuffle.
+* **MinHash + LSH** — shingle → minhash signature (all columnar array
+  functions, no UDF) → band buckets → bucket self-join. The join is on
+  band keys, so candidate generation is O(bucket²) not O(n²); signatures
+  use md5 strings (portable to the DuckDB oracle — lexicographic min of
+  hex = deterministic on both engines).
+* **SimHash** — 64-bit bit-majority over token xxhash64; Hamming-ball
+  grouping by band of bits (Spark-only; xxhash64 has no SQL-oracle twin,
+  so the driver records a rows-only check).
+* **n-gram Jaccard** — word-bigram shingles, explode → pair-count →
+  exact Jaccard; candidate pruning by shared-shingle join.
+* **embedding cosine near-dup** — see functions/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rdfshape_api_spark.functions.textops import fingerprint
+
+NUM_HASHES = 16
+BAND_ROWS = 4  # 4 bands × 4 rows
+
+
+def words(text=None):
+    text = F.col("text") if text is None else text
+    return F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact-dup groups: ``(fp, n_docs, min_doc_id)`` for groups >1."""
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").cast("bigint").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(text=None, num_hashes: int = NUM_HASHES):
+    """Columnar minhash: sig[i] = min over distinct words of
+    md5(i ':' word). Entirely array expressions — no shuffle, no UDF."""
+    ws = words(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(ws, lambda w: F.md5(F.concat(i.cast("string"), F.lit(":"), w)))
+        ),
+    )
+
+
+def minhash_bands(docs: DataFrame, num_hashes: int = NUM_HASHES, band_rows: int = BAND_ROWS) -> DataFrame:
+    """(doc_id, band, band_key) — one row per band per doc."""
+    sig = minhash_signature().alias("sig")
+    n_bands = num_hashes // band_rows
+    with_sig = docs.select("doc_id", sig)
+    bands = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.md5(
+                    F.array_join(F.slice(F.col("sig"), b * band_rows + 1, band_rows), "|")
+                ).alias("band_key"),
+            ),
+        )
+    )
+    return with_sig.select("doc_id", bands.alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
+
+    Scale: the self-join keys on (band, band_key) — only same-bucket rows
+    meet; a degenerate hot bucket (e.g. many empty docs) is exactly the
+    AQE-skew-join case, and the bucket key is already salted by band index.
+    """
+    b = minhash_bands(docs)
+    left = b.select(F.col("band").alias("lband"), F.col("band_key").alias("lkey"), F.col("doc_id").alias("doc_a"))
+    right = b.select(F.col("band").alias("rband"), F.col("band_key").alias("rkey"), F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(
+            right,
+            on=[left["lband"] == right["rband"], left["lkey"] == right["rkey"],
+                left["doc_a"] < right["doc_b"]],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_shingles(text=None, n: int = 2):
+    """Word n-gram shingles as an array column (default bigrams)."""
+    ws = F.split(F.lower(F.trim(F.col("text") if text is None else text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)) )
+    return F.when(
+        F.size(ws) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.array_join(F.slice(ws, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array_distinct(ws))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs by word-bigram Jaccard ≥ threshold.
+
+    explode(shingles) → self-join on shingle → count shared → Jaccard via
+    |A∩B| / (|A|+|B|−|A∩B|). Partial aggregation makes the pair-count
+    shuffle proportional to shared shingles, not documents².
+    """
+    sh = docs.select("doc_id", F.explode(ngram_shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    bb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        a.join(bb, on=[a["shingle"] == bb["shingle_b"], a["doc_a"] < bb["doc_b"]])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+
+    Columnar construction: aggregate over the words array summing ±1 per
+    bit, then reassemble the sign bits — one map-only pass, no UDF.
+    (xxhash64 is JVM-side only → no SQL oracle; rows-only check.)
+    """
+    ws = words()
+    # per-word ±1 votes for each of the 64 bits (bit positions are Python
+    # literals — shiftright requires a literal shift amount)
+    per_word_bits = F.transform(
+        ws,
+        lambda w: F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(64)
+            ]
+        ),
+    )
+    bit_votes = F.aggregate(
+        per_word_bits,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, bits: F.zip_with(acc, bits, lambda a, v: a + v),
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.element_at(bit_votes, b + 1) > 0, F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return docs.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_bucket_pairs(docs: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Candidate near-dups: docs sharing any 16-bit band of the simhash
+    (Hamming-distance blocking, the standard 4-band scheme)."""
+    sh = simhash64(docs)
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(64 // band_bits)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_val")
+    l = bands.select(F.col("band").alias("lb"), F.col("band_val").alias("lv"), F.col("doc_id").alias("doc_a"))
+    r = bands.select(F.col("band").alias("rb"), F.col("band_val").alias("rv"), F.col("doc_id").alias("doc_b"))
+    return (
+        l.join(r, on=[l["lb"] == r["rb"], l["lv"] == r["rv"], l["doc_a"] < r["doc_b"]])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

@@ -1,0 +1,98 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language ID, fingerprinting.
+
+Every function is pure Column logic (JVM-side, codegen) — deliberately
+expressible in ANSI SQL too, so each has an exact DuckDB oracle in
+``__spark_entry__.oracle_sql``.  At 100 TB these run as map-only stages:
+no shuffle, full predicate/column pushdown to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# language marker words (tiny n-gram-free heuristic; deterministic and
+# SQL-portable — quality matters less than plumbing here)
+LANG_MARKERS = {
+    "en": ["the", "a", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "das"],
+    "fr": ["le", "les", "une"],
+}
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# non-space symbols — a cheap proxy for subword tokenizer counts.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (empty string counts 1 — matches
+    regexp_split semantics in both engines; filter upstream if needed)."""
+    return F.size(F.split(F.trim(text), r"\s+")).cast("bigint")
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).cast("bigint")
+
+
+def _word_hits(text: Column, word: str) -> Column:
+    # occurrences of a whole word == splits minus one (portable to DuckDB)
+    return F.size(F.split(text, rf"\b{word}\b")) - 1
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language guess; deterministic tie-break by language
+    code order (en < es < de < fr resolution order, first max wins)."""
+    scores = {lang: sum_cols([_word_hits(text, w) for w in ws]) for lang, ws in LANG_MARKERS.items()}
+    max_score = None
+    for lang in LANG_MARKERS:
+        max_score = scores[lang] if max_score is None else F.greatest(max_score, scores[lang])
+    # CASE chain: first language (in fixed order) achieving the max
+    expr = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == max_score) & (max_score > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Deterministic document quality heuristic in [0,1]-ish:
+    normalized blend of mean token length, stopword ratio and length —
+    round(4) so the DuckDB oracle hashes identically."""
+    toks = ws_token_count(text)
+    mean_tok_len = (n_chars.cast("double") / toks)
+    stop_hits = sum_cols([_word_hits(text, w) for w in STOPWORDS]).cast("double")
+    stop_ratio = stop_hits / toks
+    length_factor = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * F.least(mean_tok_len / F.lit(8.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.3) * length_factor
+    )
+    return F.round(score, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text (rolling-hash stand-in that is portable to the SQL oracle)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def text_features(docs: DataFrame) -> DataFrame:
+    """All text-analysis columns in one map-only pass."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ws_token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t, F.col("n_chars")).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )

@@ -1,0 +1,77 @@
+"""Per-partition lineage + metrics, and the sha256 row invariant.
+
+North rule: "resumable from checkpoint with per-partition lineage +
+metrics".  The reference is stateless per request (SURVEY §4: no
+checkpoint/resume), so this design is Spark-native:
+
+* every stage writes its output to a stage directory (parquet `_SUCCESS`
+  marks stage completion — the coarse checkpoint);
+* a **lineage table** per stage records one row per work partition (we key
+  by ``repo`` — the ingest range-partitioning key): input docs, emitted
+  triples, parse errors, sha-invariant violations, wall time;
+* resume = skip stages whose `_SUCCESS` exists; within the extraction
+  stage, an **anti-join on completed repos** (from the lineage table)
+  restricts re-work to unfinished partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def sha_invariant_violations(docs: DataFrame) -> DataFrame:
+    """Rows whose recomputed sha256(content) differs from the recorded
+    ``content_sha256`` (north_star per-row invariant). Empty ⇒ healthy."""
+    if "content_sha256" not in docs.columns:
+        return docs.limit(0).select("repo", "path", "commit")
+    return docs.filter(F.sha2(F.col("content"), 256) != F.col("content_sha256")).select(
+        "repo", "path", "commit"
+    )
+
+
+def extraction_lineage(docs: DataFrame, raw_triples: DataFrame) -> DataFrame:
+    """Per-repo lineage for the extraction stage: input docs, output
+    triples, error docs, sha violations."""
+    d = docs.groupBy("repo").agg(
+        F.count("*").alias("input_docs"),
+        F.sum(
+            F.when(F.sha2(F.col("content"), 256) != F.col("content_sha256"), 1).otherwise(0)
+        ).alias("sha_violations")
+        if "content_sha256" in docs.columns
+        else F.lit(0).alias("sha_violations"),
+    )
+    t = raw_triples.groupBy("repo").agg(
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).alias("output_triples"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("error_docs"),
+    )
+    return d.join(t, on="repo", how="left").na.fill(0, ["output_triples", "error_docs"])
+
+
+def stage_complete(stage_dir: str) -> bool:
+    return os.path.exists(os.path.join(stage_dir, "_SUCCESS"))
+
+
+def completed_repos(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
+    """Repos already finished in a previous (partial) run — the anti-join
+    side of resume. None if no lineage exists yet."""
+    if not stage_complete(lineage_dir):
+        return None
+    return spark.read.parquet(lineage_dir).select("repo").distinct()
+
+
+class StageTimer:
+    """Wall-clock per stage, recorded into the run's metrics dict."""
+
+    def __init__(self, metrics: dict, name: str):
+        self.metrics, self.name = metrics, name
+
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *exc):
+        self.metrics[f"{self.name}_wall_s"] = round(time.time() - self.t0, 3)
+        return False

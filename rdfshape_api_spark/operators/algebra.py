@@ -1,0 +1,201 @@
+"""The RDFReader operator algebra over the triples DataFrame.
+
+The reference's de-facto operator catalog is ``MergedModels``
+(``modules/server/.../data/logic/types/merged/MergedModels.scala``), which
+re-implements the RDFReader/RDFReasoner interface (SURVEY §2.3/§2.4). Each
+function here is the Spark expression of one catalog row; all are lazy
+DataFrame transforms (Catalyst handles pushdown/pruning/join strategy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rdfshape_api_spark.model import KIND_IRI, KIND_LITERAL, RDF_TYPE, RDFS_SUBCLASSOF
+
+
+# --- P1/P2: scans & distinct node projections (MergedModels.scala:62-73,99-100)
+
+def rdf_triples(df: DataFrame) -> DataFrame:
+    return df
+
+
+def subjects(df: DataFrame) -> DataFrame:
+    return df.select("subj").distinct()
+
+
+def predicates(df: DataFrame) -> DataFrame:
+    return df.select("pred").distinct()
+
+
+def iri_objects(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("obj_kind") == KIND_IRI).select(
+        F.col("obj_value").alias("iri")
+    ).distinct()
+
+
+def iris(df: DataFrame) -> DataFrame:
+    """All IRIs mentioned anywhere (MergedModels.scala:66-67): union of the
+    subject/predicate/object projections, distinct once at the end."""
+    s = df.filter(~F.col("subj").startswith("_:")).select(F.col("subj").alias("iri"))
+    p = df.select(F.col("pred").alias("iri"))
+    o = df.filter(F.col("obj_kind") == KIND_IRI).select(F.col("obj_value").alias("iri"))
+    return s.unionAll(p).unionAll(o).distinct()
+
+
+# --- P3/P4: selections & existence (MergedModels.scala:102-112,150-151) -----
+
+def triples_with_subject(df: DataFrame, node: str) -> DataFrame:
+    return df.filter(F.col("subj") == node)
+
+
+def triples_with_predicate(df: DataFrame, pred: str) -> DataFrame:
+    # on the canonical store this is a partition-pruned scan (pred_part key)
+    return df.filter(F.col("pred") == pred)
+
+
+def triples_with_object(df: DataFrame, obj_value: str) -> DataFrame:
+    return df.filter(F.col("obj_value") == obj_value)
+
+
+def triples_with_predicate_object(df: DataFrame, pred: str, obj_value: str) -> DataFrame:
+    return df.filter((F.col("pred") == pred) & (F.col("obj_value") == obj_value))
+
+
+def has_predicate_with_subject(df: DataFrame, node: str, pred: str) -> bool:
+    """Existence test — limit(1) so the scan short-circuits."""
+    return bool(
+        df.filter((F.col("subj") == node) & (F.col("pred") == pred)).limit(1).count()
+    )
+
+
+# --- P6: SHACL instances incl. subclass closure (MergedModels.scala:75-79) --
+
+def subclass_closure(df: DataFrame, cls: str, max_iters: int = 20) -> list[str]:
+    """Transitive rdfs:subClassOf closure *below* cls (classes whose
+    instances count as instances of cls).  The class hierarchy is tiny
+    relative to instance data → iterate driver-side over a filtered scan
+    and broadcast the result into the instance filter (SURVEY §2.5 J4)."""
+    sub = (
+        df.filter(F.col("pred") == RDFS_SUBCLASSOF)
+        .select(F.col("subj").alias("c"), F.col("obj_value").alias("parent"))
+        .distinct()
+    )
+    closure = {cls}
+    frontier = {cls}
+    for _ in range(max_iters):
+        if not frontier:
+            break
+        new = {
+            r["c"]
+            for r in sub.filter(F.col("parent").isin(*frontier)).collect()
+            if r["c"] not in closure
+        }
+        closure |= new
+        frontier = new
+    return sorted(closure)
+
+
+def shacl_instances(df: DataFrame, cls: str) -> DataFrame:
+    classes = subclass_closure(df, cls)
+    return (
+        df.filter((F.col("pred") == RDF_TYPE) & F.col("obj_value").isin(*classes))
+        .select(F.col("subj").alias("node"))
+        .distinct()
+    )
+
+
+# --- P7: property paths (MergedModels.scala:81-94) ---------------------------
+# Path algebra: direct pred = filter; inverse = swap; sequence = chained
+# joins; alternative = union; zeroOrMore = bounded fixpoint.
+
+def path_direct(df: DataFrame, pred: str) -> DataFrame:
+    return df.filter(F.col("pred") == pred).select(
+        "doc_sha256", F.col("subj").alias("src"), F.col("obj_value").alias("dst")
+    )
+
+
+def path_inverse(pairs: DataFrame) -> DataFrame:
+    return pairs.select("doc_sha256", F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+
+def path_sequence(p1: DataFrame, p2: DataFrame) -> DataFrame:
+    a = p1.select("doc_sha256", "src", F.col("dst").alias("_mid"))
+    b = p2.select(F.col("doc_sha256").alias("_d2"), F.col("src").alias("_mid2"), "dst")
+    return (
+        a.join(b, on=[a["doc_sha256"] == b["_d2"], a["_mid"] == b["_mid2"]])
+        .select("doc_sha256", "src", "dst")
+        .distinct()
+    )
+
+
+def path_alternative(p1: DataFrame, p2: DataFrame) -> DataFrame:
+    return p1.unionByName(p2).distinct()
+
+
+def path_zero_or_more(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Bounded transitive closure via iterative self-join (driver-side
+    fixpoint per SURVEY §4 — Catalyst has no recursion). localCheckpoint
+    per round cuts the lineage so plans stay flat."""
+    acc = pairs.select("doc_sha256", "src", "dst").distinct().localCheckpoint()
+    frontier = acc
+    for _ in range(max_iters):
+        nxt = path_sequence(frontier, pairs)
+        new = nxt.exceptAll(acc).localCheckpoint()
+        if new.isEmpty():
+            break
+        acc = acc.unionByName(new).localCheckpoint()
+        frontier = new
+    return acc
+
+
+# --- A1/A2: counts & info (MergedModels.scala:137-138; DataInfo.scala:37-57)
+
+def number_of_statements(df: DataFrame) -> int:
+    return df.count()
+
+
+def data_info(df: DataFrame) -> DataFrame:
+    """Global `/data/info` aggregate: statement count + distinct predicates
+    (prefix map is a separate small table — extract.merged_prefix_map)."""
+    return df.agg(
+        F.count("*").alias("n_statements"),
+        F.size(F.collect_set("pred")).alias("n_distinct_predicates"),
+    )
+
+
+def data_info_per_doc(df: DataFrame) -> DataFrame:
+    return df.groupBy("doc_sha256").agg(
+        F.count("*").alias("n_statements"),
+        F.size(F.collect_set("pred")).alias("n_distinct_predicates"),
+    )
+
+
+# --- A3: outgoing arcs of a node (Outgoing.fromTriples, Outgoing.scala:50-65)
+
+def outgoing_arcs(df: DataFrame, node: str, limit: int | None = None) -> DataFrame:
+    out = (
+        df.filter(F.col("subj") == node)
+        .groupBy("pred")
+        .agg(F.sort_array(F.collect_list("obj_value")).alias("values"))
+    )
+    return out.limit(limit) if limit else out
+
+
+# --- A5: cardinality profile (the central validation agg) --------------------
+
+def cardinalities(df: DataFrame) -> DataFrame:
+    """Per (doc, subj, pred) value counts — the SURVEY §2.4 A5 aggregation
+    that validation bounds-checks. Partial agg is automatic."""
+    return df.groupBy("doc_sha256", "subj", "pred").agg(F.count("*").alias("n_values"))
+
+
+# --- P9: isomorphism via canonical set comparison (MergedModels.scala:140-141)
+
+def isomorphic(df1: DataFrame, df2: DataFrame) -> bool:
+    """Graph equality on canonicalized (skolemized) triple sets: exact bnode
+    isomorphism is graph-isomorphism-hard and unnecessary once skolem IDs
+    are deterministic (SURVEY §2.3 P9)."""
+    cols = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+    a, b = df1.select(*cols), df2.select(*cols)
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

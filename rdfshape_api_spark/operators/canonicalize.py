@@ -171,4 +171,6 @@ def write_canonical_store(
 
 
 def read_canonical_store(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path).select(*TRIPLE_COLUMNS)
+    df = spark.read.parquet(path)
+    keep = [c for c in TRIPLE_COLUMNS if c in df.columns]
+    return df.select(*keep)

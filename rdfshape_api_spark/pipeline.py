@@ -1,0 +1,145 @@
+"""End-to-end KG-construction pipeline (the north-star job).
+
+extract → canonicalize (skolemize, normalize, dedup) → validate (ShEx
+shapemap + SHACL targets) → canonical triple store partitioned by predicate,
+with per-partition lineage and stage-level resume.
+
+This is the Spark re-expression of the reference's flagship request
+(`POST /api/schema/validate`, lifecycle in SURVEY §3.1) turned into a batch
+job over the docs table; run it via ``spark-submit --py-files`` with
+``python -m rdfshape_api_spark.pipeline <docs_parquet> <out_dir>``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rdfshape_api_spark.lineage import (
+    StageTimer,
+    extraction_lineage,
+    stage_complete,
+)
+from rdfshape_api_spark.model import TRIPLE_COLUMNS
+from rdfshape_api_spark.operators.canonicalize import (
+    canonicalize,
+    dedup_triples,
+    write_canonical_store,
+)
+from rdfshape_api_spark.plans import parse_shacl, parse_shexc, validate
+from rdfshape_api_spark.sources.extract import extract_triples_raw
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    shex_schema: str | None = None,
+    shex_shapemap: str | None = None,
+    shacl_schema: str | None = None,
+    repartition_by_repo: int | None = None,
+    resume: bool = True,
+    store_subj_buckets: int = 16,
+) -> dict:
+    """Run all stages; returns a metrics dict (also written to
+    ``out_dir/metrics.json``). Stages with existing `_SUCCESS` are skipped
+    when ``resume=True``."""
+    metrics: dict = {}
+    raw_dir = os.path.join(out_dir, "raw_triples")
+    lineage_dir = os.path.join(out_dir, "lineage_extract")
+    store_dir = os.path.join(out_dir, "triple_store")
+    verdict_dir = os.path.join(out_dir, "verdicts")
+    errors_dir = os.path.join(out_dir, "errors")
+
+    # -- stage 1: extraction (+ error channel + lineage) ---------------------
+    if not (resume and stage_complete(raw_dir)):
+        with StageTimer(metrics, "extract"):
+            raw = extract_triples_raw(docs, repartition_by_repo=repartition_by_repo)
+            raw.write.mode("overwrite").parquet(raw_dir)
+            extraction_lineage(docs, spark.read.parquet(raw_dir)).write.mode(
+                "overwrite"
+            ).parquet(lineage_dir)
+    raw = spark.read.parquet(raw_dir)
+    raw.filter(F.col("error").isNotNull()).select(
+        "repo", "path", "commit", "doc_sha256", "error"
+    ).write.mode("overwrite").parquet(errors_dir)
+
+    # -- stage 2: canonicalize + dedup → predicate-partitioned store ---------
+    if not (resume and stage_complete(store_dir)):
+        with StageTimer(metrics, "canonicalize"):
+            canon = dedup_triples(
+                canonicalize(raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS)),
+                scope_doc=True,
+            )
+            write_canonical_store(canon, store_dir, subj_buckets=store_subj_buckets)
+    triples = spark.read.parquet(store_dir).select(*TRIPLE_COLUMNS)
+
+    # -- stage 3: validation --------------------------------------------------
+    if not (resume and stage_complete(verdict_dir)):
+        with StageTimer(metrics, "validate"):
+            verdicts = []
+            if shex_schema:
+                schema = parse_shexc(shex_schema)
+                verdicts.append(
+                    validate(triples, schema, shapemap=shex_shapemap, shape_label="shex_sensor")
+                )
+            if shacl_schema:
+                schema = parse_shacl(shacl_schema)
+                verdicts.append(validate(triples, schema, shape_label="shacl_sensor"))
+            if verdicts:
+                out = verdicts[0]
+                for v in verdicts[1:]:
+                    out = out.unionByName(v)
+                out.write.mode("overwrite").parquet(verdict_dir)
+
+    # -- metrics --------------------------------------------------------------
+    lineage = spark.read.parquet(lineage_dir)
+    agg = lineage.agg(
+        F.sum("input_docs").alias("docs"),
+        F.sum("output_triples").alias("triples"),
+        F.sum("error_docs").alias("errors"),
+        F.sum("sha_violations").alias("sha_violations"),
+    ).collect()[0]
+    metrics.update(
+        docs=int(agg["docs"] or 0),
+        triples=int(agg["triples"] or 0),
+        error_docs=int(agg["errors"] or 0),
+        sha_violations=int(agg["sha_violations"] or 0),
+    )
+    if os.path.exists(verdict_dir):
+        metrics["verdicts"] = spark.read.parquet(verdict_dir).count()
+    wall = sum(v for k, v in metrics.items() if isinstance(v, float) and k.endswith("_wall_s"))
+    if wall and metrics.get("triples"):
+        metrics["triples_per_sec"] = round(metrics["triples"] / wall, 1)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return metrics
+
+
+def main() -> None:
+    import sys
+
+    from rdfshape_api_spark.fixtures.generator import SHACL_SENSOR, SHAPEMAP_QUERY, SHEX_SENSOR
+    from rdfshape_api_spark.session import get_spark
+
+    docs_path, out_dir = sys.argv[1], sys.argv[2]
+    spark = get_spark("rdfshape_pipeline")
+    docs = spark.read.parquet(docs_path)
+    m = run_pipeline(
+        spark,
+        docs,
+        out_dir,
+        shex_schema=SHEX_SENSOR,
+        shex_shapemap=SHAPEMAP_QUERY,
+        shacl_schema=SHACL_SENSOR,
+        repartition_by_repo=spark.sparkContext.defaultParallelism,
+    )
+    print(json.dumps(m))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Constraint IR shared by the ShEx and SHACL frontends.
+
+One record ≈ one ShEx TripleConstraint / one SHACL PropertyShape.  The
+evaluator semantics (see plans/validate.py) make the two engines coincide
+for non-overlapping predicates:
+
+    conforms(node, shape)  ⇔  ∀ constraints c:
+        matched_c(node) == total_c(node)            # every value satisfies
+        ∧ min_c ≤ matched_c(node) ≤ max_c           # cardinality bounds
+
+which is ShEx's closed-per-predicate matching without EXTRA (shexs
+semantics at the SchemaValidate.scala:97-108 call site) and exactly SHACL's
+conjunction of value-level components + minCount/maxCount.  ``extra=True``
+relaxes the first conjunct (ShEx ``EXTRA p``); ``closed=True`` additionally
+forbids unmentioned predicates (ShEx CLOSED / sh:closed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TripleConstraint:
+    pred: str
+    min_count: int = 1
+    max_count: int | None = 1  # None = unbounded
+    datatype: str | None = None
+    node_kind: str | None = None  # iri|bnode|literal|nonliteral
+    value_set: list[tuple[str, str]] | None = None  # (kind, value) — kind iri|literal
+    min_inclusive: float | None = None
+    max_inclusive: float | None = None
+    min_exclusive: float | None = None
+    max_exclusive: float | None = None
+    pattern: str | None = None
+    min_length: int | None = None
+    max_length: int | None = None
+    ref_shape: str | None = None
+    extra: bool = False  # ShEx EXTRA on this predicate
+
+
+@dataclass
+class Shape:
+    shape_id: str
+    constraints: list[TripleConstraint] = field(default_factory=list)
+    closed: bool = False
+    # SHACL target declarations (TriggerTargetDeclarations.scala:24-25)
+    target_class: list[str] = field(default_factory=list)
+    target_node: list[str] = field(default_factory=list)
+    target_subjects_of: list[str] = field(default_factory=list)
+    target_objects_of: list[str] = field(default_factory=list)
+
+
+@dataclass
+class CompiledSchema:
+    engine: str  # "shex" | "shacl"
+    shapes: dict[str, Shape]
+    prefixes: dict[str, str]
+
+    def shape(self, shape_id: str) -> Shape:
+        return self.shapes[shape_id]

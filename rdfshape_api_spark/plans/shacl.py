@@ -1,0 +1,150 @@
+"""SHACL frontend: shapes graph (Turtle) → constraint IR (SURVEY §2.7).
+
+The reference runs SHACL through shaclex/JenaShacl/ShaclTQ
+(``SchemaService.scala:80-84``); default SHACL format is Turtle
+(``ShaclFormat.scala:31``).  Here the shapes graph is parsed with the
+engine's own Turtle parser (driver-side — schemas are KBs, not data) and the
+SHACL core vocabulary is lifted into the same constraint records as ShEx:
+
+* ``sh:NodeShape`` + targets: ``sh:targetClass`` / ``sh:targetNode`` /
+  ``sh:targetSubjectsOf`` / ``sh:targetObjectsOf``
+  (TriggerTargetDeclarations.scala:24-25 — the TargetDecls trigger);
+* ``sh:property`` property shapes with ``sh:path`` (direct IRI paths),
+  ``sh:minCount/maxCount``, ``sh:datatype``, ``sh:in``, numeric ranges,
+  ``sh:pattern``, ``sh:minLength/maxLength``, ``sh:nodeKind``, ``sh:node``
+  (shape reference), ``sh:closed``.
+
+Unsupported core features (property paths beyond a direct predicate,
+sh:or/and/not, sparql constraints) raise with a clear message.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from rdfshape_api_spark.model import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, SH
+from rdfshape_api_spark.plans.ir import CompiledSchema, Shape, TripleConstraint
+from rdfshape_api_spark.sources.parsers import parse_turtle, turtle_prefixes
+
+_NODEKIND = {
+    SH + "IRI": "iri",
+    SH + "BlankNode": "bnode",
+    SH + "Literal": "literal",
+    SH + "BlankNodeOrIRI": "nonliteral",
+}
+
+_UNSUPPORTED = {
+    SH + p
+    for p in (
+        "or",
+        "and",
+        "not",
+        "xone",
+        "sparql",
+        "qualifiedValueShape",
+        "alternativePath",
+        "inversePath",
+        "zeroOrMorePath",
+        "oneOrMorePath",
+    )
+}
+
+
+class _Graph:
+    """Tiny indexed triple set for driver-side shapes-graph walking."""
+
+    def __init__(self, triples):
+        self.spo = defaultdict(lambda: defaultdict(list))
+        for s, p, k, v, lang, dt in triples:
+            self.spo[s][p].append((k, v, lang, dt))
+
+    def objs(self, s, p):
+        return self.spo.get(s, {}).get(p, [])
+
+    def obj1(self, s, p):
+        vals = self.objs(s, p)
+        return vals[0] if vals else None
+
+    def rdf_list(self, head):
+        out = []
+        while head != RDF_NIL:
+            first = self.obj1(head, RDF_FIRST)
+            if first is None:
+                break
+            out.append(first)
+            rest = self.obj1(head, RDF_REST)
+            head = rest[1] if rest else RDF_NIL
+        return out
+
+
+def _num(v: str) -> float:
+    return float(v)
+
+
+def parse_shacl(text: str) -> CompiledSchema:
+    """Parse a SHACL shapes graph (Turtle) into the shared constraint IR."""
+    triples = parse_turtle(text)
+    g = _Graph(triples)
+    prefixes = turtle_prefixes(text)
+    shapes: dict[str, Shape] = {}
+
+    node_shapes = [
+        s
+        for s, preds in g.spo.items()
+        if any(v == SH + "NodeShape" for _, v, _, _ in preds.get(RDF_TYPE, []))
+        or SH + "property" in preds
+        or SH + "targetClass" in preds
+    ]
+    for s in node_shapes:
+        shape = Shape(shape_id=s)
+        shape.target_class = [v for _, v, _, _ in g.objs(s, SH + "targetClass")]
+        shape.target_node = [v for _, v, _, _ in g.objs(s, SH + "targetNode")]
+        shape.target_subjects_of = [v for _, v, _, _ in g.objs(s, SH + "targetSubjectsOf")]
+        shape.target_objects_of = [v for _, v, _, _ in g.objs(s, SH + "targetObjectsOf")]
+        closed = g.obj1(s, SH + "closed")
+        shape.closed = bool(closed and closed[1] == "true")
+
+        for _, pshape, _, _ in g.objs(s, SH + "property"):
+            for bad in g.spo.get(pshape, {}):
+                if bad in _UNSUPPORTED:
+                    raise ValueError(f"SHACL: unsupported constraint {bad}")
+            path = g.obj1(pshape, SH + "path")
+            if path is None:
+                raise ValueError(f"SHACL: property shape {pshape} has no sh:path")
+            pk, pv = path[0], path[1]
+            if pk != "iri":
+                raise ValueError("SHACL: only direct-IRI sh:path supported in this subset")
+            tc = TripleConstraint(pred=pv, min_count=0, max_count=None)
+            if (v := g.obj1(pshape, SH + "minCount")) is not None:
+                tc.min_count = int(v[1])
+            if (v := g.obj1(pshape, SH + "maxCount")) is not None:
+                tc.max_count = int(v[1])
+            if (v := g.obj1(pshape, SH + "datatype")) is not None:
+                tc.datatype = v[1]
+            if (v := g.obj1(pshape, SH + "nodeKind")) is not None:
+                tc.node_kind = _NODEKIND.get(v[1])
+            if (v := g.obj1(pshape, SH + "in")) is not None:
+                tc.value_set = [
+                    ("iri" if k in ("iri", "bnode") else "literal", val)
+                    for k, val, _, _ in g.rdf_list(v[1])
+                ]
+            for sh_name, field in (
+                ("minInclusive", "min_inclusive"),
+                ("maxInclusive", "max_inclusive"),
+                ("minExclusive", "min_exclusive"),
+                ("maxExclusive", "max_exclusive"),
+            ):
+                if (v := g.obj1(pshape, SH + sh_name)) is not None:
+                    setattr(tc, field, _num(v[1]))
+            if (v := g.obj1(pshape, SH + "pattern")) is not None:
+                tc.pattern = v[1]
+            if (v := g.obj1(pshape, SH + "minLength")) is not None:
+                tc.min_length = int(v[1])
+            if (v := g.obj1(pshape, SH + "maxLength")) is not None:
+                tc.max_length = int(v[1])
+            if (v := g.obj1(pshape, SH + "node")) is not None:
+                tc.ref_shape = v[1]
+            shape.constraints.append(tc)
+        shapes[s] = shape
+
+    return CompiledSchema(engine="shacl", shapes=shapes, prefixes=prefixes)

@@ -1,0 +1,244 @@
+"""ShExC frontend: schema text → constraint IR (SURVEY §2.7).
+
+Covers the ShExC subset the reference exercises (its example schema at
+``docs/api-usage/streaming.md:92`` plus the shexs entry point contract at
+``SchemaValidate.scala:97-108``): PREFIX/BASE, shape declarations, triple
+constraints with datatype / value set / node kind / numeric & string facets
+/ shape references, cardinalities ``? * + {m} {m,n} {m,}``, CLOSED and
+EXTRA modifiers, ``a`` keyword, comments.
+
+Out of subset (rejected with a clear error, SURVEY §7.3): AND/OR/NOT shape
+expressions, semantic actions, negated/stratified recursion, IMPORT.
+"""
+
+from __future__ import annotations
+
+import re
+
+from rdfshape_api_spark.model import RDF_TYPE
+from rdfshape_api_spark.plans.ir import CompiledSchema, Shape, TripleConstraint
+
+_TOK = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>\#[^\n]*)
+    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<string>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+    | (?P<atref>@(?:[A-Za-z0-9_][\w.-]*)?:[\w.%-]*|@<[^<>\s]*>)
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<punct>[{}\[\]();,.?*+|~^])
+    | (?P<pname>[A-Za-z0-9_][\w.-]*?:[\w.%-]*|:[\w.%-]*|[A-Za-z0-9_][\w.-]*:)
+    | (?P<kw>[A-Za-z][A-Za-z0-9_-]*)
+    """,
+    re.VERBOSE,
+)
+
+_FACET_KWS = {
+    "MININCLUSIVE": "min_inclusive",
+    "MAXINCLUSIVE": "max_inclusive",
+    "MINEXCLUSIVE": "min_exclusive",
+    "MAXEXCLUSIVE": "max_exclusive",
+    "MINLENGTH": "min_length",
+    "MAXLENGTH": "max_length",
+}
+_NODEKIND_KWS = {"IRI": "iri", "BNODE": "bnode", "LITERAL": "literal", "NONLITERAL": "nonliteral"}
+
+
+def _tokenize(text: str):
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOK.match(text, pos)
+        if not m:
+            raise ValueError(f"ShExC: unexpected character at offset {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        toks.append((m.lastgroup, m.group()))
+    return toks
+
+
+class _ShexParser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.shapes: dict[str, Shape] = {}
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        if t[0] is None:
+            raise ValueError("ShExC: unexpected end of input")
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise ValueError(f"ShExC: expected {val!r}, got {v!r}")
+
+    def expand(self, pname: str) -> str:
+        pref, _, local = pname.partition(":")
+        if pref not in self.prefixes:
+            raise ValueError(f"ShExC: undefined prefix {pref!r}")
+        return self.prefixes[pref] + local
+
+    def iri_or_pname(self) -> str:
+        k, v = self.next()
+        if k == "iri":
+            return self.base + v[1:-1] if self.base and "://" not in v else v[1:-1]
+        if k == "pname":
+            return self.expand(v)
+        raise ValueError(f"ShExC: expected IRI or prefixed name, got {v!r}")
+
+    def parse(self) -> CompiledSchema:
+        while self.peek()[0] is not None:
+            k, v = self.peek()
+            if k == "kw" and v.upper() == "PREFIX":
+                self.next()
+                _, pname = self.next()
+                if not pname.endswith(":"):
+                    raise ValueError(f"ShExC: bad PREFIX declaration near {pname!r}")
+                _, iri = self.next()
+                self.prefixes[pname[:-1]] = iri[1:-1]
+                continue
+            if k == "kw" and v.upper() == "BASE":
+                self.next()
+                _, iri = self.next()
+                self.base = iri[1:-1]
+                continue
+            if k == "kw" and v.upper() in ("START", "IMPORT"):
+                raise ValueError(f"ShExC: {v} not supported in this subset")
+            self.parse_shape()
+        return CompiledSchema(engine="shex", shapes=self.shapes, prefixes=dict(self.prefixes))
+
+    def parse_shape(self):
+        label = self.iri_or_pname()
+        shape = Shape(shape_id=label)
+        k, v = self.peek()
+        if k == "kw" and v.upper() == "CLOSED":
+            self.next()
+            shape.closed = True
+            k, v = self.peek()
+        extra_preds: set[str] = set()
+        if k == "kw" and v.upper() == "EXTRA":
+            self.next()
+            while self.peek()[0] in ("iri", "pname") or self.peek()[1] == "a":
+                if self.peek()[1] == "a":
+                    self.next()
+                    extra_preds.add(RDF_TYPE)
+                else:
+                    extra_preds.add(self.iri_or_pname())
+        self.expect("{")
+        while self.peek()[1] != "}":
+            tc = self.parse_constraint()
+            tc.extra = tc.pred in extra_preds
+            shape.constraints.append(tc)
+            if self.peek()[1] == ";":
+                self.next()
+            elif self.peek()[1] == "|":
+                raise ValueError("ShExC: OneOf ('|') not supported in this subset")
+        self.expect("}")
+        self.shapes[label] = shape
+
+    def parse_constraint(self) -> TripleConstraint:
+        k, v = self.peek()
+        if k == "kw" and v == "a":
+            self.next()
+            pred = RDF_TYPE
+        else:
+            pred = self.iri_or_pname()
+        tc = TripleConstraint(pred=pred)
+        self.parse_value_expr(tc)
+        self.parse_cardinality(tc)
+        return tc
+
+    def parse_value_expr(self, tc: TripleConstraint):
+        while True:
+            k, v = self.peek()
+            if k == "punct" and v == ".":
+                self.next()  # wildcard — no value constraint
+                continue
+            if k == "atref":
+                self.next()
+                ref = v[1:]
+                tc.ref_shape = ref[1:-1] if ref.startswith("<") else self.expand(ref)
+                continue
+            if k == "punct" and v == "[":
+                self.next()
+                vs: list[tuple[str, str]] = []
+                while self.peek()[1] != "]":
+                    ik, iv = self.next()
+                    if ik == "string":
+                        vs.append(("literal", _unquote(iv)))
+                    elif ik == "iri":
+                        vs.append(("iri", iv[1:-1]))
+                    elif ik == "pname":
+                        vs.append(("iri", self.expand(iv)))
+                    elif ik == "num":
+                        vs.append(("literal", iv))
+                    else:
+                        raise ValueError(f"ShExC: bad value-set member {iv!r}")
+                self.expect("]")
+                tc.value_set = vs
+                continue
+            if k == "kw" and v.upper() in _NODEKIND_KWS:
+                self.next()
+                tc.node_kind = _NODEKIND_KWS[v.upper()]
+                continue
+            if k == "kw" and v.upper() in _FACET_KWS:
+                self.next()
+                nk, nv = self.next()
+                if nk != "num":
+                    raise ValueError(f"ShExC: facet {v} needs a number, got {nv!r}")
+                field = _FACET_KWS[v.upper()]
+                setattr(tc, field, int(nv) if field.endswith("length") else float(nv))
+                continue
+            if k == "kw" and v.upper() == "PATTERN":
+                self.next()
+                _, s = self.next()
+                tc.pattern = _unquote(s)
+                continue
+            if k in ("iri", "pname"):
+                tc.datatype = self.iri_or_pname()
+                continue
+            return
+
+    def parse_cardinality(self, tc: TripleConstraint):
+        k, v = self.peek()
+        if k == "punct" and v == "?":
+            self.next()
+            tc.min_count, tc.max_count = 0, 1
+        elif k == "punct" and v == "+":
+            self.next()
+            tc.min_count, tc.max_count = 1, None
+        elif k == "punct" and v == "*":
+            self.next()
+            tc.min_count, tc.max_count = 0, None
+        elif k == "punct" and v == "{":
+            self.next()
+            _, m = self.next()
+            tc.min_count = int(m)
+            if self.peek()[1] == ",":
+                self.next()
+                nk, nv = self.next()
+                tc.max_count = None if nv == "*" else int(nv)
+            else:
+                tc.max_count = tc.min_count
+            self.expect("}")
+        # default: exactly one (min=max=1), already the dataclass default
+
+
+def _unquote(s: str) -> str:
+    from rdfshape_api_spark.sources.parsers import unescape
+
+    return unescape(s[1:-1])
+
+
+def parse_shexc(text: str) -> CompiledSchema:
+    """Parse a ShExC schema into the shared constraint IR."""
+    return _ShexParser(text).parse()

@@ -1,0 +1,306 @@
+"""The validation evaluator: constraint IR + triples DF → verdict DF.
+
+Reference flagship (`SchemaValidate.schemaValidate`,
+``modules/server/.../schema/logic/operations/SchemaValidate.scala:83-124``):
+dispatches on trigger (ShapeMap for ShEx, TargetDecls for SHACL) and returns
+per-(node, shape) verdicts.  Spark re-expression — **compile, don't
+interpret** (SURVEY §2.7):
+
+1. focus work-list F(doc, node, shape) — shapemap join J1 or target
+   resolution J2;
+2. per shape, ONE hash aggregation over the focus neighbourhood:
+   ``groupBy(doc, node).agg(matched_i, total_i …)`` where each
+   ``matched_i`` is a pure Column predicate (datatype validity, value set,
+   numeric/string facets, node kind) — partial aggregation (map-side
+   combine) is automatic, no per-row Python anywhere;
+3. verdict: ∀i matched_i == total_i ∧ min_i ≤ matched_i ≤ max_i
+   (ShEx closed-per-predicate matching without EXTRA ≡ SHACL value
+   components + minCount/maxCount — see plans/ir.py); CLOSED adds
+   "no unmentioned predicates"; EXTRA relaxes matched==total;
+4. shape references (ShEx ``@ref`` / SHACL ``sh:node``, SURVEY §2.5 J3):
+   referenced shapes evaluate first (DAG order) over *all* subjects, and
+   the conformant set left-joins onto the referring constraint's value
+   rows. Cycles are rejected (recursion needs the round-2 fixpoint loop).
+
+Scale: the only shuffles are (a) the groupBy(doc, node) aggregation and
+(b) the focus join — both on the same key, so AQE can reuse the exchange;
+value predicates are codegen'd; per-constraint reasons are built with
+array functions, not UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rdfshape_api_spark.model import (
+    KIND_LITERAL,
+    STATUS_CONFORMANT,
+    STATUS_NONCONFORMANT,
+    XSD,
+    XSD_STRING,
+)
+from rdfshape_api_spark.plans.ir import CompiledSchema, Shape, TripleConstraint
+from rdfshape_api_spark.plans.shapemap import (
+    Association,
+    parse_shapemap,
+    resolve_focus,
+    resolve_targets,
+)
+
+# Lexical-form validity by datatype (checkDatatype operator, SURVEY §2.3 P5,
+# MergedModels.scala:96-97). Unknown datatypes get no lexical check.
+_LEXICAL = {
+    XSD + "integer": r"^[+-]?\d+$",
+    XSD + "decimal": r"^[+-]?(\d+\.?\d*|\.\d+)$",
+    XSD + "dateTime": (
+        r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?"
+        r"(Z|[+-]\d{2}:\d{2})?$"
+    ),
+    XSD + "date": r"^-?\d{4,}-\d{2}-\d{2}(Z|[+-]\d{2}:\d{2})?$",
+    XSD + "boolean": r"^(true|false|0|1)$",
+}
+
+
+def datatype_ok(datatype: str) -> Column:
+    """Column predicate: value is a literal of `datatype` with a valid
+    lexical form (plain literals count as xsd:string per RDF 1.1)."""
+    is_lit = F.col("obj_kind") == KIND_LITERAL
+    if datatype == XSD_STRING:
+        dt_match = F.col("obj_datatype").isNull() | (F.col("obj_datatype") == XSD_STRING)
+    else:
+        dt_match = F.col("obj_datatype") == datatype
+    ok = is_lit & dt_match & F.col("obj_lang").isNull()
+    if datatype in (XSD + "double", XSD + "float"):
+        ok = ok & F.col("obj_value").try_cast("double").isNotNull()
+    elif datatype in _LEXICAL:
+        ok = ok & F.col("obj_value").rlike(_LEXICAL[datatype])
+    return ok
+
+
+def _value_ok(tc: TripleConstraint, ref_ok_col: str | None) -> Column:
+    """The compiled value expression: conjunction of the constraint's
+    primitives, all pure Column logic."""
+    ok = F.lit(True)
+    if tc.datatype:
+        ok = ok & datatype_ok(tc.datatype)
+    if tc.node_kind:
+        k = F.col("obj_kind")
+        ok = ok & {
+            "iri": k == "iri",
+            "bnode": k == "bnode",
+            "literal": k == "literal",
+            "nonliteral": k != "literal",
+        }[tc.node_kind]
+    if tc.value_set is not None:
+        member = F.lit(False)
+        for kind, val in tc.value_set:
+            if kind == "literal":
+                member = member | (
+                    (F.col("obj_kind") == KIND_LITERAL)
+                    & (F.col("obj_value") == val)
+                    & F.col("obj_lang").isNull()
+                    & (F.col("obj_datatype").isNull() | (F.col("obj_datatype") == XSD_STRING)
+                       | (F.col("obj_datatype") == XSD + "integer")
+                       | (F.col("obj_datatype") == XSD + "decimal"))
+                )
+            else:
+                member = member | ((F.col("obj_kind") != KIND_LITERAL) & (F.col("obj_value") == val))
+        ok = ok & member
+    num = F.col("obj_value").try_cast("double")
+    if tc.min_inclusive is not None:
+        ok = ok & num.isNotNull() & (num >= tc.min_inclusive)
+    if tc.max_inclusive is not None:
+        ok = ok & num.isNotNull() & (num <= tc.max_inclusive)
+    if tc.min_exclusive is not None:
+        ok = ok & num.isNotNull() & (num > tc.min_exclusive)
+    if tc.max_exclusive is not None:
+        ok = ok & num.isNotNull() & (num < tc.max_exclusive)
+    if tc.pattern is not None:
+        ok = ok & F.col("obj_value").rlike(tc.pattern)
+    if tc.min_length is not None:
+        ok = ok & (F.length("obj_value") >= tc.min_length)
+    if tc.max_length is not None:
+        ok = ok & (F.length("obj_value") <= tc.max_length)
+    if tc.ref_shape is not None:
+        ok = ok & F.col(ref_ok_col)
+    return ok
+
+
+def _ref_order(schema: CompiledSchema, roots: list[str]) -> list[str]:
+    """Topological order of shape references; cycles rejected (round-2
+    fixpoint loop per SURVEY §4 handles recursion)."""
+    order: list[str] = []
+    state: dict[str, int] = {}
+
+    def visit(sid: str, stack: tuple[str, ...]):
+        if sid in stack:
+            raise ValueError(f"recursive shape reference cycle at {sid} (not yet supported)")
+        if state.get(sid) == 2:
+            return
+        state[sid] = 1
+        for tc in schema.shapes[sid].constraints:
+            if tc.ref_shape is not None:
+                if tc.ref_shape not in schema.shapes:
+                    raise ValueError(f"unknown shape reference {tc.ref_shape}")
+                visit(tc.ref_shape, stack + (sid,))
+        state[sid] = 2
+        order.append(sid)
+
+    for r in roots:
+        visit(r, ())
+    return order
+
+
+def evaluate_shape(
+    triples: DataFrame,
+    schema: CompiledSchema,
+    shape_id: str,
+    focus: DataFrame,
+    conformant_refs: dict[str, DataFrame],
+) -> DataFrame:
+    """Evaluate one shape over a focus work-list ``(doc_sha256, node)``.
+
+    Returns ``(doc_sha256, node, status, reasons)``.
+    """
+    shape: Shape = schema.shapes[shape_id]
+    mentioned = sorted({tc.pred for tc in shape.constraints})
+
+    tri = triples.select("doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype")
+    if not shape.closed and mentioned:
+        tri = tri.filter(F.col("pred").isin(*mentioned))
+
+    # focus neighbourhood: inner join on (doc, subj) — same key as the
+    # downstream aggregation, so the exchange is reused.  Focus usually
+    # derives from the same triples lineage (self-join): rename its join
+    # keys so Catalyst can't collapse the condition to trivially-true.
+    f = focus.select(
+        F.col("doc_sha256").alias("_f_doc"), F.col("node").alias("_f_node")
+    ).distinct()
+    nbr = tri.join(
+        f,
+        on=[tri["doc_sha256"] == f["_f_doc"], tri["subj"] == f["_f_node"]],
+        how="inner",
+    ).select(tri["*"])
+
+    # shape-reference columns: left-join the referenced shapes' conformant
+    # sets onto the value rows (SURVEY §2.5 J3)
+    ref_cols: dict[int, str] = {}
+    for i, tc in enumerate(shape.constraints):
+        if tc.ref_shape is not None:
+            col = f"_ref_ok_{i}"
+            conf = conformant_refs[tc.ref_shape].select(
+                F.col("doc_sha256").alias("_r_doc"), F.col("node").alias("_r_node")
+            )
+            nbr = nbr.join(
+                conf,
+                on=[nbr.doc_sha256 == conf._r_doc, nbr.obj_value == conf._r_node],
+                how="left",
+            ).withColumn(col, F.col("_r_node").isNotNull()).drop("_r_doc", "_r_node")
+            ref_cols[i] = col
+
+    aggs = []
+    for i, tc in enumerate(shape.constraints):
+        on_pred = F.col("pred") == tc.pred
+        aggs.append(
+            F.sum(F.when(on_pred & _value_ok(tc, ref_cols.get(i)), 1).otherwise(0)).alias(f"m{i}")
+        )
+        aggs.append(F.sum(F.when(on_pred, 1).otherwise(0)).alias(f"t{i}"))
+    if shape.closed:
+        aggs.append(
+            F.sum(F.when(~F.col("pred").isin(*mentioned), 1).otherwise(0)).alias("unmentioned")
+        )
+
+    grouped = nbr.groupBy("doc_sha256", F.col("subj").alias("node")).agg(*aggs)
+
+    # left join so focus nodes with zero neighbourhood still get verdicts
+    res = focus.select("doc_sha256", "node").distinct().join(
+        grouped, on=["doc_sha256", "node"], how="left"
+    )
+
+    ok = F.lit(True)
+    reasons = []
+    for i, tc in enumerate(shape.constraints):
+        m = F.coalesce(F.col(f"m{i}"), F.lit(0))
+        t = F.coalesce(F.col(f"t{i}"), F.lit(0))
+        c_ok = m >= tc.min_count
+        if tc.max_count is not None:
+            c_ok = c_ok & (m <= tc.max_count)
+        if not tc.extra:
+            c_ok = c_ok & (m == t)
+        ok = ok & c_ok
+        card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
+        reasons.append(F.when(~c_ok, F.lit(f"constraint on <{tc.pred}> {card} violated")))
+    if shape.closed:
+        un = F.coalesce(F.col("unmentioned"), F.lit(0))
+        ok = ok & (un == 0)
+        reasons.append(F.when(un > 0, F.lit("closed shape: unmentioned predicates present")))
+
+    return res.select(
+        "doc_sha256",
+        "node",
+        F.when(ok, F.lit(STATUS_CONFORMANT)).otherwise(F.lit(STATUS_NONCONFORMANT)).alias("status"),
+        F.array_compact(F.array(*reasons)).alias("reasons") if reasons else F.array().cast("array<string>").alias("reasons"),
+    )
+
+
+def validate(
+    triples: DataFrame,
+    schema: CompiledSchema,
+    shapemap: str | list[Association] | None = None,
+    shape_label: str | None = None,
+) -> DataFrame:
+    """Validate — the `/api/schema/validate` equivalent (SURVEY §3.1).
+
+    * ShEx engine: ``shapemap`` required (TriggerShapeMap);
+    * SHACL engine: targets come from the shapes themselves
+      (TriggerTargetDeclarations) when ``shapemap`` is None.
+
+    Returns the verdict DataFrame ``(doc_sha256, node, shape_id, status,
+    reasons)``. ``shape_label`` overrides the reported shape_id (e.g. a
+    fixture id) when a single shape is validated.
+    """
+    if shapemap is not None:
+        assocs = (
+            parse_shapemap(shapemap, schema.prefixes) if isinstance(shapemap, str) else shapemap
+        )
+        work = [(s, None) for s in dict.fromkeys(a.shape for a in assocs)]
+        focus_all = resolve_focus(triples, assocs)
+    else:
+        work = [
+            (sid, resolve_targets(triples, sh))
+            for sid, sh in schema.shapes.items()
+            if sh.target_class or sh.target_node or sh.target_subjects_of or sh.target_objects_of
+        ]
+        focus_all = None
+        if not work:
+            raise ValueError("SHACL schema declares no targets and no shapemap was given")
+
+    roots = [sid for sid, _ in work]
+    order = _ref_order(schema, roots)
+
+    # evaluate referenced shapes first, over all subjects (their conformant
+    # sets feed the referring constraints)
+    conformant_refs: dict[str, DataFrame] = {}
+    for sid in order:
+        if sid in roots:
+            continue
+        all_subjects = triples.select("doc_sha256", F.col("subj").alias("node")).distinct()
+        v = evaluate_shape(triples, schema, sid, all_subjects, conformant_refs)
+        conformant_refs[sid] = v.filter(F.col("status") == STATUS_CONFORMANT).select(
+            "doc_sha256", "node"
+        )
+
+    outs = []
+    for sid, targets in work:
+        focus = (
+            targets
+            if targets is not None
+            else focus_all.filter(F.col("shape_id") == sid).select("doc_sha256", "node")
+        )
+        v = evaluate_shape(triples, schema, sid, focus, conformant_refs)
+        label = shape_label if (shape_label and len(work) == 1) else sid
+        outs.append(v.withColumn("shape_id", F.lit(label)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("doc_sha256", "node", "shape_id", "status", "reasons")

@@ -1,0 +1,128 @@
+"""Operator algebra tests (SURVEY §2.3 P1-P9, §2.4 A1-A4, §2.8 I1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfshape_api_spark.model import RDF_TYPE, RDFS_DOMAIN, RDFS_SUBCLASSOF, RDFS_SUBPROPERTYOF
+from rdfshape_api_spark.operators import algebra
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    rows = [
+        ("d1", "http://e/a", "http://e/p", "iri", "http://e/b", None, None),
+        ("d1", "http://e/b", "http://e/p", "iri", "http://e/c", None, None),
+        ("d1", "http://e/c", "http://e/q", "literal", "5", None, None),
+        ("d1", "http://e/a", RDF_TYPE, "iri", "http://e/Sub", None, None),
+        ("d1", "http://e/Sub", RDFS_SUBCLASSOF, "iri", "http://e/Mid", None, None),
+        ("d1", "http://e/Mid", RDFS_SUBCLASSOF, "iri", "http://e/Top", None, None),
+        ("d1", "http://e/p", RDFS_SUBPROPERTYOF, "iri", "http://e/rel", None, None),
+        ("d1", "http://e/q", RDFS_DOMAIN, "iri", "http://e/HasQ", None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+
+
+def test_projections(g):
+    # subjects: a, b, c, Sub, Mid, p, q
+    assert algebra.subjects(g).count() == 7
+    assert algebra.predicates(g).count() == 6
+    iris = {r["iri"] for r in algebra.iris(g).collect()}
+    assert "http://e/a" in iris and "http://e/Top" in iris and RDF_TYPE in iris
+
+
+def test_selections(g):
+    assert algebra.triples_with_subject(g, "http://e/a").count() == 2
+    assert algebra.triples_with_predicate(g, "http://e/p").count() == 2
+    assert algebra.triples_with_object(g, "http://e/c").count() == 1
+    assert algebra.triples_with_predicate_object(g, "http://e/q", "5").count() == 1
+    assert algebra.has_predicate_with_subject(g, "http://e/a", "http://e/p")
+    assert not algebra.has_predicate_with_subject(g, "http://e/c", "http://e/p")
+
+
+def test_subclass_closure_and_instances(g):
+    assert algebra.subclass_closure(g, "http://e/Top") == [
+        "http://e/Mid",
+        "http://e/Sub",
+        "http://e/Top",
+    ]
+    inst = {r["node"] for r in algebra.shacl_instances(g, "http://e/Top").collect()}
+    assert inst == {"http://e/a"}
+
+
+def test_property_paths(g):
+    direct = algebra.path_direct(g, "http://e/p")
+    assert direct.count() == 2
+    inv = algebra.path_inverse(direct)
+    assert {(r["src"], r["dst"]) for r in inv.collect()} == {
+        ("http://e/b", "http://e/a"),
+        ("http://e/c", "http://e/b"),
+    }
+    seq = algebra.path_sequence(direct, direct)
+    assert {(r["src"], r["dst"]) for r in seq.collect()} == {("http://e/a", "http://e/c")}
+    star = algebra.path_zero_or_more(direct)
+    assert {(r["src"], r["dst"]) for r in star.collect()} == {
+        ("http://e/a", "http://e/b"),
+        ("http://e/b", "http://e/c"),
+        ("http://e/a", "http://e/c"),
+    }
+
+
+def test_aggregations(g):
+    assert algebra.number_of_statements(g) == 8
+    info = algebra.data_info(g).collect()[0]
+    assert info["n_statements"] == 8 and info["n_distinct_predicates"] == 6
+    out = {r["pred"]: r["values"] for r in algebra.outgoing_arcs(g, "http://e/a").collect()}
+    assert out["http://e/p"] == ["http://e/b"]
+    cards = algebra.cardinalities(g)
+    assert cards.filter(
+        (F.col("subj") == "http://e/a") & (F.col("pred") == "http://e/p")
+    ).collect()[0]["n_values"] == 1
+
+
+def test_isomorphism(g, spark):
+    assert algebra.isomorphic(g, g)
+    other = g.filter(F.col("pred") != "http://e/q")
+    assert not algebra.isomorphic(g, other)
+
+
+def test_rdfs_inference(g):
+    from rdfshape_api_spark.operators.inference import apply_inference, rdfs_closure
+
+    inf = rdfs_closure(g)
+    inferred = {
+        (r["subj"], r["pred"], r["obj_value"])
+        for r in inf.filter(F.col("origin") == "inferred").collect()
+    }
+    # rdfs9: a type Sub ⊑ Mid ⊑ Top
+    assert ("http://e/a", RDF_TYPE, "http://e/Mid") in inferred
+    assert ("http://e/a", RDF_TYPE, "http://e/Top") in inferred
+    # rdfs7: p ⊑ rel
+    assert ("http://e/a", "http://e/rel", "http://e/b") in inferred
+    # rdfs2: q domain HasQ
+    assert ("http://e/c", RDF_TYPE, "http://e/HasQ") in inferred
+    # NONE is identity
+    assert apply_inference(g, "NONE") is g
+    with pytest.raises(ValueError):
+        apply_inference(g, "OWL-Full")
+
+
+def test_serialization_roundtrip(g):
+    """K1: to_ntriples output re-parses to the same triple set."""
+    from rdfshape_api_spark.operators.serialize import to_json_graph, to_ntriples
+    from rdfshape_api_spark.sources.parsers import parse_ntriples
+
+    lines = "\n".join(r["line"] for r in to_ntriples(g).collect())
+    reparsed = {t for t in parse_ntriples(lines)}
+    orig = {
+        (r["subj"], r["pred"], r["obj_kind"], r["obj_value"], r["obj_lang"], r["obj_datatype"])
+        for r in g.collect()
+    }
+    assert reparsed == orig
+    jg = to_json_graph(g)
+    assert jg.count() == 7  # one row per subject

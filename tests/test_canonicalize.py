@@ -1,0 +1,88 @@
+"""Canonicalization invariants: skolem determinism, literal normalization,
+salted dedup equivalence, store partitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdfshape_api_spark.operators import canonicalize as C
+
+
+def _raw(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+
+
+def test_skolem_deterministic_and_doc_scoped(spark):
+    rows = [
+        ("docA", "_:b1", "http://e/p", "bnode", "_:b2", None, None),
+        ("docB", "_:b1", "http://e/p", "iri", "http://e/o", None, None),
+    ]
+    out1 = {(r["doc_sha256"], r["subj"], r["obj_value"]) for r in C.skolemize(_raw(spark, rows)).collect()}
+    out2 = {(r["doc_sha256"], r["subj"], r["obj_value"]) for r in C.skolemize(_raw(spark, rows)).collect()}
+    assert out1 == out2  # run-to-run determinism
+    subs = {r[0]: r[1] for r in out1}
+    assert subs["docA"] != subs["docB"]  # same label, different doc → different id
+    assert all(s.startswith("urn:skolem:") for s in subs.values())
+
+
+def test_skolem_matches_python_reference(spark):
+    from rdfshape_api_spark.fixtures.generator import skolem
+
+    rows = [("doc1", "_:x", "http://e/p", "literal", "v", None, None)]
+    got = C.skolemize(_raw(spark, rows)).collect()[0]["subj"]
+    assert got == skolem("doc1", "_:x")
+
+
+def test_normalize_literals(spark):
+    xsd_dec = "http://www.w3.org/2001/XMLSchema#decimal"
+    rows = [
+        ("d", "s", "p", "literal", "18.50", None, xsd_dec),
+        ("d", "s", "p", "literal", "18.0", None, xsd_dec),
+        ("d", "s", "p", "literal", "+007", None, "http://www.w3.org/2001/XMLSchema#integer"),
+        ("d", "s", "p", "literal", "-0", None, xsd_dec),
+        ("d", "s", "p", "literal", "18.50", None, None),  # not numeric-typed → untouched
+    ]
+    vals = [r["obj_value"] for r in C.normalize_literals(_raw(spark, rows)).collect()]
+    assert vals == ["18.5", "18", "7", "0", "18.50"]
+
+
+def test_salted_dedup_equivalence(spark):
+    rows = [("d", "s", "p", "iri", "o", None, None)] * 50 + [
+        ("d", "s2", "p", "iri", "o", None, None)
+    ]
+    df = _raw(spark, rows)
+    plain = C.dedup_triples(df)
+    salted = C.dedup_triples(df, salt_buckets=8)
+    assert plain.count() == salted.count() == 2
+
+
+def test_store_partitioned_by_predicate(spark, tmp_path):
+    rows = [
+        ("d", "s", "http://e/ns#type", "iri", "o", None, None),
+        ("d", "s", "http://e/ns#name", "literal", "x", None, None),
+    ]
+    path = str(tmp_path / "store")
+    C.write_canonical_store(_raw(spark, rows), path, subj_buckets=2)
+    import os
+
+    parts = [p for p in os.listdir(path) if p.startswith("pred_part=")]
+    assert len(parts) == 2  # one directory per predicate
+    back = C.read_canonical_store(spark, path)
+    assert back.count() == 2
+    # predicate filter must prune partitions (PartitionFilters in the scan)
+    plan = (
+        back.filter(F.col("pred") == "http://e/ns#type")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "pred_part" in plan
+
+
+def test_entity_degree_skew_agg(spark):
+    rows = [("d", f"s{i}", "http://e/p", "iri", "hub", None, None) for i in range(100)]
+    rows += [("d", "hub", "http://e/p", "literal", "x", None, None)]
+    deg = {r["entity"]: r["degree"] for r in C.entity_degree(_raw(spark, rows)).collect()}
+    assert deg["hub"] == 101

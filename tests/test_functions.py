@@ -1,0 +1,127 @@
+"""Training-data ops: dedup family, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog", "en", "s", 41),  # near dup
+        (3, "completely different content about spark engines", "en", "s", 48),
+        (4, "el perro la casa de madrid", "es", "s", 26),
+        (5, "", "en", "s", 0),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.99, 0.1, 0.0], 0),  # near 0
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0], 1),
+        (4, [0.0, 0.01, 0.99], 1),  # near 3
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_text_features(docs):
+    from rdfshape_api_spark.functions.textops import text_features
+
+    rows = {r["doc_id"]: r for r in text_features(docs).collect()}
+    assert rows[0]["n_tokens"] == 9
+    assert rows[0]["lang_pred"] == "en"
+    assert rows[4]["lang_pred"] == "es"
+    assert rows[0]["fp"] == rows[1]["fp"]
+    assert rows[0]["fp"] != rows[2]["fp"]
+    assert 0.0 <= rows[3]["quality"] <= 1.0
+
+
+def test_exact_duplicates(docs):
+    from rdfshape_api_spark.functions.dedup import exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["min_doc_id"] == 0
+
+
+def test_lsh_candidates(docs):
+    from rdfshape_api_spark.functions.dedup import lsh_candidate_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 3) not in pairs  # unrelated docs don't
+
+
+def test_ngram_jaccard(docs):
+    from rdfshape_api_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash(docs):
+    from rdfshape_api_spark.functions.dedup import simhash64, simhash_bucket_pairs
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical simhash
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_bucket_pairs(docs).collect()}
+    assert (0, 1) in pairs
+
+
+def test_cosine_topk(emb):
+    from rdfshape_api_spark.functions.similarity import cosine_topk
+
+    top = cosine_topk(emb, k=1, n_queries=1).collect()
+    assert len(top) == 1
+    assert top[0]["neighbor_id"] == 1  # nearest to vec 0
+
+
+def test_embedding_near_dups(emb):
+    from rdfshape_api_spark.functions.similarity import embedding_near_dups
+
+    pairs = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dups(emb, 0.9).collect()}
+    assert pairs == {(0, 1), (3, 4)}
+
+
+def test_lsh_ann_subset_of_bruteforce(emb):
+    from rdfshape_api_spark.functions.similarity import lsh_ann_topk
+
+    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh_ann_topk(emb, k=2, n_queries=1).collect()}
+    # LSH may lose recall but must only return same-bucket candidates with ranks
+    assert all(q == 0 for q, _ in approx)
+
+
+def test_multimodal_plumbing(docs):
+    from rdfshape_api_spark.functions.multimodal import (
+        attach_binary,
+        extract_features,
+        frame_sample,
+        payload_metadata,
+    )
+
+    b = attach_binary(docs)
+    meta = {r["doc_id"]: r for r in payload_metadata(docs).collect()}
+    assert meta[0]["n_bytes"] == 43
+    feats = {r["doc_id"]: r["features"] for r in extract_features(b).collect()}
+    assert len(feats[0]) == 8
+    assert feats[0] == feats[1]  # deterministic fake features
+    assert feats[5] == [0.0] * 8  # empty payload guard
+    frames = frame_sample(b, every_n_bytes=16)
+    assert frames.filter(F.col("doc_id") == 0).count() == 3  # ceil(43/16)
+
+
+def test_real_decoder_stub_raises(docs):
+    from rdfshape_api_spark.functions.multimodal import attach_binary, extract_features
+
+    with pytest.raises(Exception, match="(?i)decode|NotImplemented"):
+        extract_features(attach_binary(docs), use_real_decoder=True).collect()

@@ -1,0 +1,138 @@
+"""Parser unit tests: N-Triples / Turtle / JSON-LD subsets (SURVEY §2.1 S1).
+
+Pattern follows the reference's accept-table/reject-table style
+(CompoundDataTest.pending:12-49)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from rdfshape_api_spark.fixtures import generator as g
+from rdfshape_api_spark.sources import parsers
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_ntriples_basic():
+    t = parsers.parse_ntriples(
+        '<http://e/s> <http://e/p> "v" .\n'
+        '<http://e/s> <http://e/p> "v"@en-US .\n'
+        f'<http://e/s> <http://e/p> "5"^^<{XSD}integer> .\n'
+        "_:b1 <http://e/p> <http://e/o> .\n"
+        "# comment\n\n"
+    )
+    assert t[0] == ("http://e/s", "http://e/p", "literal", "v", None, None)
+    assert t[1][4] == "en-us"  # lang tags lowercased
+    assert t[2][5] == XSD + "integer"
+    assert t[3] == ("_:b1", "http://e/p", "iri", "http://e/o", None, None)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "<http://e/s> <http://e/p> .",  # missing object
+        "<http://e/s> missing-brackets <http://e/o> .",
+        '<http://e/s> <http://e/p> "unterminated .',
+        "<truncated",
+    ],
+)
+def test_ntriples_reject(bad):
+    with pytest.raises(ValueError):
+        parsers.parse_ntriples(bad)
+
+
+def test_turtle_features():
+    t = parsers.parse_turtle(
+        """
+        @prefix ex: <http://e/> .
+        @base <http://base/> .
+        ex:s a ex:C ; ex:p "x", 5, 2.5, true ; ex:q <rel> .
+        _:b ex:p [ ex:inner 1 ] .
+        ex:list ex:items ( 1 2 ) .
+        """
+    )
+    d = {}
+    for s, p, k, v, lang, dt in t:
+        d.setdefault((s, p), []).append((k, v, dt))
+    assert ("iri", "http://e/C", None) in d[("http://e/s", RDF + "type")]
+    objs = d[("http://e/s", "http://e/p")]
+    assert ("literal", "5", XSD + "integer") in objs
+    assert ("literal", "2.5", XSD + "decimal") in objs
+    assert ("literal", "true", XSD + "boolean") in objs
+    assert ("iri", "http://base/rel", None) in d[("http://e/s", "http://e/q")]
+    # anonymous bnode property list got a fresh id + inner triple
+    anon = [v for k, v, _ in d[("_:b", "http://e/p")] if k == "bnode"][0]
+    assert (anon, "http://e/inner") in d
+    # collection expanded to rdf:first/rest
+    head = d[("http://e/list", "http://e/items")][0][1]
+    assert (head, RDF + "first") in d
+
+
+def test_turtle_reject():
+    for bad in ["ex:s ex:p ex:o .", "@prefix ex <http://e/> .", "<http://e/s> <http://e/p>"]:
+        with pytest.raises(ValueError):
+            parsers.parse_turtle(bad)
+
+
+def test_jsonld_variants():
+    t = parsers.parse_jsonld(
+        """
+        {"@context": {"ex": "http://e/", "name": "http://e/name"},
+         "@graph": [
+           {"@id": "ex:a", "@type": ["ex:C", "ex:D"],
+            "name": "Alice",
+            "ex:age": 30,
+            "ex:score": 1.5,
+            "ex:ok": true,
+            "ex:friend": {"@id": "ex:b"},
+            "ex:nested": {"ex:p": "inner"},
+            "ex:tagged": {"@value": "hola", "@language": "ES"}}
+         ]}
+        """
+    )
+    d = {(s, p): (k, v, lang, dt) for s, p, k, v, lang, dt in t}
+    assert d[("http://e/a", "http://e/name")][1] == "Alice"
+    assert d[("http://e/a", "http://e/age")][3] == XSD + "integer"
+    assert d[("http://e/a", "http://e/score")][3] == XSD + "double"
+    assert d[("http://e/a", "http://e/ok")][1] == "true"
+    assert d[("http://e/a", "http://e/friend")][:2] == ("iri", "http://e/b")
+    assert d[("http://e/a", "http://e/tagged")][2] == "es"
+    types = [v for s, p, k, v, *_ in t if p == RDF + "type"]
+    assert set(types) == {"http://e/C", "http://e/D"}
+
+
+def test_parse_document_error_channel():
+    triples, err = parsers.parse_document("<bad", "turtle")
+    assert triples == [] and err is not None
+    triples, err = parsers.parse_document("x", "nosuchformat")
+    assert "unsupported format" in err
+
+
+def test_generator_roundtrip_all_formats():
+    """Golden triples == parse(render(·)) for every format (the fixture
+    invariant everything else rests on)."""
+    for j in range(60):
+        readings = g._gen_doc_entities(j)
+        for lang, render in [
+            ("turtle", lambda r: g._render_turtle(r, "ex")),
+            ("ntriples", g._render_ntriples),
+            ("jsonld", lambda r: g._render_jsonld(r, "sensor")),
+        ]:
+            content = render(readings)
+            triples, err = parsers.parse_document(content, lang)
+            assert err is None
+            sha = hashlib.sha256(content.encode()).hexdigest()
+            canon = set()
+            for s, p, k, v, lg, dt in triples:
+                if s.startswith("_:"):
+                    s = g.skolem(sha, s)
+                if k == "bnode" and v.startswith("_:"):
+                    v = g.skolem(sha, v)
+                if dt and dt.endswith("decimal"):
+                    v = g.canonical_decimal(v)
+                canon.add((s, p, k, v, lg, dt))
+            golden = {tuple(r[1:]) for r in g._golden_triples(readings, sha)}
+            assert canon == golden

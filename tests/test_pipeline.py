@@ -1,0 +1,57 @@
+"""End-to-end pipeline: metrics, lineage, resume (SURVEY §4 checkpoint row)."""
+
+from __future__ import annotations
+
+import os
+
+from rdfshape_api_spark.fixtures.generator import SHACL_SENSOR, SHAPEMAP_QUERY, SHEX_SENSOR
+from rdfshape_api_spark.pipeline import run_pipeline
+
+
+def test_pipeline_end_to_end_and_resume(spark, fixtures_001, tmp_path):
+    docs = spark.read.parquet(fixtures_001["docs"])
+    out = str(tmp_path / "run1")
+    m = run_pipeline(
+        spark,
+        docs,
+        out,
+        shex_schema=SHEX_SENSOR,
+        shex_shapemap=SHAPEMAP_QUERY,
+        shacl_schema=SHACL_SENSOR,
+    )
+    assert m["docs"] == 1000
+    assert m["error_docs"] == 11
+    assert m["sha_violations"] == 0
+    assert m["triples"] > 10_000
+    assert m["verdicts"] > 0
+    assert m["triples_per_sec"] > 0
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+    # store is predicate-partitioned
+    parts = [p for p in os.listdir(os.path.join(out, "triple_store")) if p.startswith("pred_part=")]
+    assert len(parts) == 6  # rdf:type + 5 sensor predicates
+
+    # resume: stages with _SUCCESS are skipped → no stage timers re-recorded
+    m2 = run_pipeline(
+        spark, docs, out, shex_schema=SHEX_SENSOR, shex_shapemap=SHAPEMAP_QUERY
+    )
+    assert "extract_wall_s" not in m2
+    assert m2["docs"] == 1000  # metrics still recomputed from lineage
+
+    # lineage is per-repo
+    lineage = spark.read.parquet(os.path.join(out, "lineage_extract"))
+    assert lineage.count() > 50  # many repos
+    row = lineage.agg({"input_docs": "sum"}).collect()[0]
+    assert row["sum(input_docs)"] == 1000
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"doc_sha256", "node", "shape_id", "status"}
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles).issubset(set(qs))
+    # every SURVEY §2 headline family is represented
+    for prefix in ("rdf_extract", "rdf_validate_shex", "rdf_validate_shacl", "dedup_", "sim_", "text_"):
+        assert any(k.startswith(prefix) for k in qs), prefix
