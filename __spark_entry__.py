@@ -277,6 +277,116 @@ def _q_mm_frames(spark, sf_dir):
     return frame_sample(attach_binary(docs.filter(F.col("doc_id") < 100)))
 
 
+def _merged_triples(spark, sf_dir):
+    """Merged-model view: the graph is a SET of triples, so identical rows
+    from different docs collapse (MergedModels.scala:182-191)."""
+    return (
+        _rdf_triples(spark, sf_dir)
+        .select("subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype")
+        .distinct()
+    )
+
+
+def _q_sparql_select(spark, sf_dir):
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT DISTINCT ?s ?t WHERE {{
+      ?s a ex:Reading .
+      ?s ex:readingTemperature ?t .
+      ?s ex:status "OK" .
+      FILTER (?t >= 19.5)
+    }}
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
+def _q_infer_profile(spark, sf_dir):
+    from rdfshape_api_spark.operators.infer_schema import (
+        infer_shape_profile,
+        node_selector_focus,
+    )
+
+    merged = _merged_triples(spark, sf_dir)
+    focus = node_selector_focus(merged, "{FOCUS a <" + EX + "Reading>}")
+    return infer_shape_profile(merged, focus).select(
+        "pred", "card_min", "card_max", "n_subjects"
+    )
+
+
+def _q_rdfs_closure(spark, sf_dir):
+    from rdfshape_api_spark.model import RDF_TYPE, RDFS_SUBCLASSOF, RDFS_RANGE
+    from rdfshape_api_spark.operators.inference import rdfs_closure
+
+    base = _rdf_triples(spark, sf_dir).select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+    )
+    schema_triples = spark.createDataFrame(
+        [
+            ("__schema__", EX + "Reading", RDFS_SUBCLASSOF, "iri", EX + "Observation", None, None),
+            ("__schema__", EX + "Observation", RDFS_SUBCLASSOF, "iri", EX + "Entity", None, None),
+            ("__schema__", EX + "station", RDFS_RANGE, "iri", EX + "Station", None, None),
+        ],
+        base.schema,
+    )
+    closure = rdfs_closure(base.unionByName(schema_triples))
+    return (
+        closure.filter(
+            (F.col("pred") == RDF_TYPE)
+            & F.col("obj_value").isin(
+                EX + "Reading", EX + "Observation", EX + "Entity", EX + "Station"
+            )
+        )
+        .groupBy(F.col("obj_value").alias("cls"))
+        .agg(F.count_distinct("subj").cast("bigint").alias("n_subjects"))
+    )
+
+
+def _q_path_reachable(spark, sf_dir):
+    from rdfshape_api_spark.operators.algebra import path_direct, path_zero_or_more
+
+    pairs = path_direct(_rdf_triples(spark, sf_dir), EX + "station")
+    return path_zero_or_more(pairs).select("doc_sha256", "src", "dst").distinct()
+
+
+def _q_json_graph(spark, sf_dir):
+    from rdfshape_api_spark.operators.serialize import to_json_graph
+
+    return to_json_graph(_merged_triples(spark, sf_dir)).select(
+        "subj", F.size("arcs").cast("bigint").alias("n_arcs")
+    )
+
+
+def _q_turtle(spark, sf_dir):
+    from rdfshape_api_spark.operators.serialize import to_turtle_per_doc
+
+    return to_turtle_per_doc(_rdf_triples(spark, sf_dir))
+
+
+def _q_stream_validate(spark, sf_dir):
+    import tempfile
+
+    from rdfshape_api_spark.fixtures.generator import (
+        SHAPEMAP_QUERY as smap,
+        SHEX_SENSOR as shex,
+    )
+    from rdfshape_api_spark.streaming import StreamConfig, stream_validate
+
+    paths = ensure_fixtures(sf_tag_from_dir(sf_dir))
+    in_dir = os.path.dirname(paths["docs"])
+    out = tempfile.mkdtemp(prefix="stream_validate_")
+    cfg = StreamConfig(
+        shex_schema=shex,
+        shex_shapemap=smap,
+        extra={"pathGlobFilter": os.path.basename(paths["docs"])},
+    )
+    stream_validate(spark, in_dir, out, cfg)
+    return spark.read.parquet(os.path.join(out, "verdicts")).select(
+        "doc_sha256", "node", "status"
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
@@ -320,6 +430,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_ntriples": _q_ntriples,                     # K1
         "rdf_skolem_count": _q_skolem_count,             # canonicalization
         "rdf_hub_degree": _q_hub_degree,                 # J5 skewed entity agg
+        "rdf_sparql_select": _q_sparql_select,           # Q1 SPARQL subset
+        "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
+        "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
+        "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint
+        "rdf_json_graph": _q_json_graph,                 # K2 adjacency export
+        "rdf_turtle": _q_turtle,                         # K1 Turtle emitter
+        "rdf_stream_validate": _q_stream_validate,       # T1 streaming validation
         # training-data pipeline operators
         "text_features": _q_text_features,
         "dedup_exact": _q_dedup_exact,
@@ -426,6 +543,78 @@ def oracle_sql() -> dict[str, str]:
                  WHERE obj_kind <> 'literal' AND obj_value = '{ex}hub'
             )
         """,
+        "rdf_sparql_select": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T})
+            SELECT DISTINCT a.subj AS s, b.obj_value AS t
+            FROM m a
+            JOIN m b ON b.subj = a.subj
+            JOIN m c ON c.subj = a.subj
+            WHERE a.pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              AND a.obj_value = '{ex}Reading'
+              AND b.pred = '{ex}readingTemperature'
+              AND c.pred = '{ex}status' AND c.obj_kind = 'literal' AND c.obj_value = 'OK'
+              AND CAST(b.obj_value AS DOUBLE) >= 19.5
+        """,
+        "rdf_infer_profile": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T}),
+            f AS (SELECT DISTINCT subj FROM m
+                  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                    AND obj_value = '{ex}Reading'),
+            arcs AS (SELECT m.* FROM m JOIN f ON m.subj = f.subj),
+            per AS (SELECT subj, pred, count(*) AS n FROM arcs GROUP BY 1, 2)
+            SELECT pred,
+                   (CASE WHEN count(*) < (SELECT count(*) FROM f)
+                         THEN 0 ELSE min(n) END)::BIGINT AS card_min,
+                   max(n)::BIGINT AS card_max,
+                   count(*)::BIGINT AS n_subjects
+            FROM per GROUP BY pred
+        """,
+        "rdf_rdfs_closure": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value FROM {_T}),
+            r AS (SELECT count(DISTINCT subj) AS c FROM m
+                  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                    AND obj_value = '{ex}Reading')
+            SELECT '{ex}Reading' AS cls, c::BIGINT AS n_subjects FROM r
+            UNION ALL SELECT '{ex}Observation', c::BIGINT FROM r
+            UNION ALL SELECT '{ex}Entity', c::BIGINT FROM r
+            UNION ALL SELECT '{ex}Station',
+              (SELECT count(DISTINCT obj_value) FROM m
+               WHERE pred = '{ex}station' AND obj_kind <> 'literal')::BIGINT
+        """,
+        "rdf_path_reachable": f"""
+            SELECT DISTINCT doc_sha256, subj AS src, obj_value AS dst
+            FROM {_T} WHERE pred = '{ex}station'
+        """,
+        "rdf_json_graph": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T})
+            SELECT subj, count(*)::BIGINT AS n_arcs FROM m GROUP BY subj
+        """,
+        "rdf_turtle": f"""
+            WITH m AS (SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value,
+                              obj_lang, obj_datatype FROM {_T}),
+            po AS (
+              SELECT doc_sha256, subj, pred,
+                     string_agg({_NT_OBJ}, ', ' ORDER BY ({_NT_OBJ})) AS objs
+              FROM m GROUP BY 1, 2, 3
+            ),
+            st AS (
+              SELECT doc_sha256, subj,
+                     string_agg('<' || pred || '> ' || objs,
+                                ' ;' || chr(10) || '    '
+                                ORDER BY ('<' || pred || '> ' || objs)) AS body
+              FROM po GROUP BY 1, 2
+            )
+            SELECT doc_sha256,
+                   (CASE WHEN subj LIKE '\\_:%' ESCAPE '\\' THEN subj
+                         ELSE '<' || subj || '>' END) || ' ' || body || ' .' AS turtle
+            FROM st
+        """,
+        "rdf_stream_validate": (
+            f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
+        ),
         "text_features": """
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,

@@ -1,0 +1,428 @@
+"""SPARQL-SELECT subset compiler (SURVEY §2.9 Q1).
+
+Reference: ``DataQuery.dataQuery`` delegates SELECT execution to Jena ARQ
+(``modules/server/.../data/logic/operations/DataQuery.scala:51-63``;
+``MergedModels.querySelect`` :131-132).  The reference query surface at the
+API is "any SPARQL the request model can answer"; our engine compiles the
+subset the fixtures/test queries use — BGP + FILTER + OPTIONAL + DISTINCT +
+ORDER BY + LIMIT — into DataFrame self-joins over the triples view
+(SURVEY §2.5 J6), leaning on Catalyst/AQE for join order and strategy.
+
+Compilation scheme:
+* each triple pattern → a filtered projection of the triples DF with one
+  column per variable position (predicate constants become partition-prunable
+  ``pred =`` filters on the canonical store);
+* shared variables between patterns → equi-joins (Catalyst picks
+  broadcast/sort-merge; AQE handles skew);
+* FILTER → a Column predicate (numeric comparisons via ``try_cast`` double,
+  matching SPARQL's numeric value comparison over typed literals);
+* OPTIONAL { … } → left outer join on the shared variables;
+* SELECT/DISTINCT/ORDER BY/LIMIT → select/distinct/orderBy/limit.
+
+The model is the *merged* graph (all docs unioned), matching the reference's
+request-scoped merged model semantics (``MergedModels.scala:182-191``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<iri><[^>\s]*>)
+  | (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+  | (?P<dtsep>\^\^)
+  | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
+  | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op><=|>=|!=|&&|\|\||[{}().;,=<>*!])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    toks = []
+    for m in _TOKEN_RE.finditer(text):
+        if m.lastgroup == "comment":
+            continue
+        toks.append(m.group(0))
+    return toks
+
+
+@dataclass
+class _Pattern:
+    subj: str  # '?var' or absolute IRI
+    pred: str  # '?var' or absolute IRI
+    obj: str  # '?var' or term spec
+    obj_is_literal: bool = False
+    obj_lang: str | None = None
+    obj_datatype: str | None = None
+
+
+@dataclass
+class SparqlQuery:
+    select_vars: list[str]
+    distinct: bool
+    patterns: list[_Pattern]
+    optionals: list[list[_Pattern]] = field(default_factory=list)
+    filters: list[list[str]] = field(default_factory=list)  # token lists
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    limit: int | None = None
+
+
+class SparqlParseError(ValueError):
+    pass
+
+
+def _expand(tok: str, prefixes: dict[str, str]) -> str:
+    """Prefixed name / IRI-ref / 'a' keyword → absolute IRI string."""
+    if tok == "a":
+        return RDF_TYPE
+    if tok.startswith("<") and tok.endswith(">"):
+        return tok[1:-1]
+    if ":" in tok:
+        pfx, local = tok.split(":", 1)
+        if pfx in prefixes:
+            return prefixes[pfx] + local
+    raise SparqlParseError(f"cannot resolve term {tok!r}")
+
+
+def _unquote(tok: str) -> str:
+    body = tok[1:-1]
+    return (
+        body.replace("\\\\", "\x00")
+        .replace('\\"', '"')
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace("\\r", "\r")
+        .replace("\x00", "\\")
+    )
+
+
+class _Parser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise SparqlParseError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, want: str) -> None:
+        t = self.next()
+        if t.upper() != want.upper():
+            raise SparqlParseError(f"expected {want!r}, got {t!r}")
+
+
+def parse_sparql(text: str) -> SparqlQuery:
+    p = _Parser(_tokenize(text))
+    prefixes: dict[str, str] = {}
+    while p.peek() and p.peek().upper() == "PREFIX":
+        p.next()
+        pname = p.next()
+        if not pname.endswith(":"):
+            raise SparqlParseError(f"bad prefix decl {pname!r}")
+        iri = p.next()
+        prefixes[pname[:-1]] = iri[1:-1]
+
+    p.expect("SELECT")
+    distinct = False
+    if p.peek() and p.peek().upper() == "DISTINCT":
+        distinct = True
+        p.next()
+    select_vars: list[str] = []
+    while p.peek() and (p.peek().startswith("?") or p.peek() == "*"):
+        t = p.next()
+        if t == "*":
+            select_vars = []  # resolved after parsing patterns
+        else:
+            select_vars.append(t[1:])
+    p.expect("WHERE")
+
+    q = SparqlQuery(select_vars=select_vars, distinct=distinct, patterns=[])
+    _parse_group(p, prefixes, q.patterns, q)
+
+    while p.peek():
+        kw = p.next().upper()
+        if kw == "ORDER":
+            p.expect("BY")
+            while p.peek() and (
+                p.peek().startswith("?") or p.peek().upper() in ("ASC", "DESC")
+            ):
+                t = p.next()
+                desc = False
+                if t.upper() in ("ASC", "DESC"):
+                    desc = t.upper() == "DESC"
+                    p.expect("(")
+                    t = p.next()
+                    p.expect(")")
+                q.order_by.append((t[1:], desc))
+        elif kw == "LIMIT":
+            q.limit = int(p.next())
+        else:
+            raise SparqlParseError(f"unsupported clause {kw!r}")
+
+    if not q.select_vars:  # SELECT *
+        seen: list[str] = []
+        for pat in q.patterns + [x for grp in q.optionals for x in grp]:
+            for t in (pat.subj, pat.pred, pat.obj):
+                if t.startswith("?") and t[1:] not in seen:
+                    seen.append(t[1:])
+        q.select_vars = seen
+    return q
+
+
+def _parse_group(p: _Parser, prefixes: dict[str, str], into: list[_Pattern], q: SparqlQuery) -> None:
+    p.expect("{")
+    while True:
+        t = p.peek()
+        if t is None:
+            raise SparqlParseError("unterminated group")
+        if t == "}":
+            p.next()
+            return
+        if t.upper() == "FILTER":
+            p.next()
+            q.filters.append(_parse_filter_tokens(p, prefixes))
+            continue
+        if t.upper() == "OPTIONAL":
+            p.next()
+            grp: list[_Pattern] = []
+            _parse_group(p, prefixes, grp, q)
+            q.optionals.append(grp)
+            continue
+        _parse_triples_block(p, prefixes, into)
+
+
+def _parse_term(p: _Parser, prefixes: dict[str, str]) -> tuple[str, bool, str | None, str | None]:
+    """Returns (value_or_var, is_literal, lang, datatype)."""
+    t = p.next()
+    if t.startswith("?"):
+        return t, False, None, None
+    if t.startswith('"'):
+        lang = dt = None
+        if p.peek() and p.peek().startswith("@"):
+            lang = p.next()[1:]
+        elif p.peek() == "^^":
+            p.next()
+            dt = _expand(p.next(), prefixes)
+        return _unquote(t), True, lang, dt
+    if re.fullmatch(r"[+-]?\d+", t):
+        return t, True, None, "http://www.w3.org/2001/XMLSchema#integer"
+    if re.fullmatch(r"[+-]?\d+\.\d+", t):
+        return t, True, None, "http://www.w3.org/2001/XMLSchema#decimal"
+    return _expand(t, prefixes), False, None, None
+
+
+def _parse_triples_block(p: _Parser, prefixes: dict[str, str], into: list[_Pattern]) -> None:
+    subj, s_lit, _, _ = _parse_term(p, prefixes)
+    if s_lit:
+        raise SparqlParseError("literal subject")
+    while True:
+        pred_tok = p.next()
+        pred = pred_tok if pred_tok.startswith("?") else _expand(pred_tok, prefixes)
+        while True:
+            obj, is_lit, lang, dt = _parse_term(p, prefixes)
+            into.append(_Pattern(subj, pred, obj, is_lit, lang, dt))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
+        nxt = p.peek()
+        if nxt == ";":
+            p.next()
+            if p.peek() in ("}", ".", None):  # trailing ;
+                break
+            continue
+        break
+    if p.peek() == ".":
+        p.next()
+
+
+def _parse_filter_tokens(p: _Parser, prefixes: dict[str, str]) -> list[str]:
+    p.expect("(")
+    depth = 1
+    toks: list[str] = []
+    while depth:
+        t = p.next()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        toks.append(t)
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# compilation
+# ---------------------------------------------------------------------------
+
+_NUM_RE = re.compile(r"[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+
+def _filter_expr(toks: list[str]) -> F.Column:
+    """Compile a FILTER token list (comparisons, && / ||, ! , parens).
+    Recursive-descent over the flat token list."""
+
+    pos = {"i": 0}
+
+    def peek():
+        return toks[pos["i"]] if pos["i"] < len(toks) else None
+
+    def nxt():
+        t = toks[pos["i"]]
+        pos["i"] += 1
+        return t
+
+    def atom() -> F.Column:
+        t = nxt()
+        if t == "(":
+            e = or_expr()
+            assert nxt() == ")"
+            return e
+        if t == "!":
+            return ~atom()
+        # comparison: term op term
+        left = t
+        op = nxt()
+        right = nxt()
+        return cmp_(left, op, right)
+
+    def operand(t: str, numeric: bool) -> F.Column:
+        if t.startswith("?"):
+            c = F.col(t[1:])
+            return c.try_cast("double") if numeric else c
+        if t.startswith('"'):
+            return F.lit(_unquote(t))
+        return F.lit(float(t) if numeric else t)
+
+    def cmp_(left: str, op: str, right: str) -> F.Column:
+        numeric = bool(
+            (not left.startswith(("?", '"')) and _NUM_RE.match(left))
+            or (not right.startswith(("?", '"')) and _NUM_RE.match(right))
+        )
+        lc, rc = operand(left, numeric), operand(right, numeric)
+        if op == "=":
+            return lc == rc
+        if op == "!=":
+            return lc != rc
+        if op == "<":
+            return lc < rc
+        if op == "<=":
+            return lc <= rc
+        if op == ">":
+            return lc > rc
+        if op == ">=":
+            return lc >= rc
+        raise SparqlParseError(f"unsupported filter op {op!r}")
+
+    def and_expr() -> F.Column:
+        e = atom()
+        while peek() == "&&":
+            nxt()
+            e = e & atom()
+        return e
+
+    def or_expr() -> F.Column:
+        e = and_expr()
+        while peek() == "||":
+            nxt()
+            e = e | and_expr()
+        return e
+
+    return or_expr()
+
+
+def _pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]]:
+    out_cols: list[F.Column] = []
+    vars_: list[str] = []
+    cond = F.lit(True)
+    if pat.subj.startswith("?"):
+        vars_.append(pat.subj[1:])
+        out_cols.append(F.col("subj").alias(pat.subj[1:]))
+    else:
+        cond = cond & (F.col("subj") == pat.subj)
+    if pat.pred.startswith("?"):
+        vars_.append(pat.pred[1:])
+        out_cols.append(F.col("pred").alias(pat.pred[1:]))
+    else:
+        cond = cond & (F.col("pred") == pat.pred)
+    if pat.obj.startswith("?"):
+        vars_.append(pat.obj[1:])
+        out_cols.append(F.col("obj_value").alias(pat.obj[1:]))
+    else:
+        cond = cond & (F.col("obj_value") == pat.obj)
+        if pat.obj_is_literal:
+            cond = cond & (F.col("obj_kind") == "literal")
+            if pat.obj_lang:
+                cond = cond & (F.col("obj_lang") == pat.obj_lang)
+            elif pat.obj_datatype:
+                # numeric datatypes compare by value class in SPARQL; exact
+                # datatype match is what the fixture profile needs
+                cond = cond & (F.col("obj_datatype") == pat.obj_datatype)
+        else:
+            cond = cond & (F.col("obj_kind") != "literal")
+    if not vars_:
+        out_cols.append(F.lit(1).alias("__exists"))
+    return df.filter(cond).select(*out_cols), vars_
+
+
+def _join_patterns(df: DataFrame, pats: list[_Pattern]) -> DataFrame:
+    acc: DataFrame | None = None
+    acc_vars: set[str] = set()
+    for pat in pats:
+        pdf, pvars = _pattern_df(df, pat)
+        pdf = pdf.distinct()
+        if acc is None:
+            acc, acc_vars = pdf, set(pvars)
+            continue
+        shared = sorted(acc_vars & set(pvars))
+        if shared:
+            acc = acc.join(pdf, on=shared, how="inner")
+        else:
+            acc = acc.crossJoin(pdf)
+        acc_vars |= set(pvars)
+    if acc is None:
+        raise SparqlParseError("empty WHERE clause")
+    return acc.drop("__exists") if "__exists" in acc.columns else acc
+
+
+def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
+    """Execute a SPARQL-SELECT subset query over the triples DataFrame.
+    Returns one column per selected variable (string-typed bindings, the
+    JSON-bindings contract of ``DataQuery.scala:51-63``)."""
+    q = parse_sparql(query_text)
+    acc = _join_patterns(triples, q.patterns)
+    for grp in q.optionals:
+        opt = _join_patterns(triples, grp)
+        shared = sorted(set(acc.columns) & set(opt.columns))
+        acc = acc.join(opt, on=shared, how="left") if shared else acc.crossJoin(opt)
+    for ftoks in q.filters:
+        acc = acc.filter(_filter_expr(ftoks))
+    out = acc.select(*q.select_vars)
+    if q.distinct:
+        out = out.distinct()
+    if q.order_by:
+        out = out.orderBy(
+            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in q.order_by]
+        )
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

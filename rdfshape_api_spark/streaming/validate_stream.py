@@ -1,0 +1,214 @@
+"""Streaming validation (SURVEY §2.10 T1-T5).
+
+Reference: the WebSocket/Kafka streaming validation pipeline — each incoming
+message is a raw RDF string parsed and validated independently, results
+streamed back (``StreamValidation.mkValidationStream``
+``modules/server/.../schema/service/stream/StreamValidation.scala:48-98``;
+``CometTransformations.toValidationStream`` :85-102, Kafka extractor
+:115-141).  Config tree {validator{schema, triggerMode, haltOnInvalid,
+haltOnErrored}, extractor{format, inference}, stream{...}}
+(``StreamValidationConfiguration.scala:18-22``).
+
+Spark mapping — Structured Streaming with the batch pipeline reused in
+``foreachBatch`` (the idiomatic pattern for "same semantics, unbounded
+input"):
+
+* **source**: file-stream of docs-table parquet (the sandbox stand-in for
+  the Kafka topic; swap ``readStream.format("kafka")`` + a value→content
+  projection for a real broker — same downstream code);
+* **T1** per-item validation: each micro-batch runs extract → canonicalize →
+  validate and appends verdicts;
+* **T2** ``halt_on_invalid`` / ``halt_on_errored``: checked per batch;
+  matching condition stops the query after recording a typed close frame
+  (``CometTransformations.mkStreamValidator`` :154-173);
+* **T3** item timeout: a no-progress watchdog on the streaming query
+  (default 40 s, matching ``Server.scala:164``);
+* **T4** concurrency: micro-batch parallelism = shuffle partitions
+  (``concurrentItems`` analogue, :136-139,167-170);
+* **T5** close-code taxonomy 3000-3007/4999
+  (``StreamValidation.WebSocketClosures`` :179-270) recorded in the status
+  file written at query close.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rdfshape_api_spark.model import TRIPLE_COLUMNS
+from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+from rdfshape_api_spark.plans import parse_shacl, parse_shexc, validate
+from rdfshape_api_spark.sources.extract import extract_triples_raw
+
+# T5: the reference's WebSocket closure taxonomy (StreamValidation.scala:179-270)
+CLOSE_CODES = {
+    "STANDARD": 3000,
+    "JSON_PARSE_ERROR": 3001,
+    "CONFIGURATION_ERROR": 3002,
+    "INVALID_ITEM": 3003,
+    "TIMEOUT": 3004,
+    "ERRORED_ITEM": 3005,
+    "ILLEGAL_ARGUMENT": 3006,
+    "ASSERTION_ERROR": 3007,
+    "KAFKA_ERROR": 4999,
+}
+
+DOCS_SCHEMA = (
+    "repo string, path string, commit string, lang string, "
+    "content string, content_sha256 string"
+)
+
+
+@dataclass
+class StreamConfig:
+    """validator/extractor config (StreamValidationConfiguration.scala:18-22)."""
+
+    shex_schema: str | None = None
+    shex_shapemap: str | None = None
+    shacl_schema: str | None = None
+    halt_on_invalid: bool = False
+    halt_on_errored: bool = False
+    timeout_s: float = 40.0  # T3 default, Server.scala:164
+    max_files_per_trigger: int | None = None
+    extra: dict = field(default_factory=dict)
+
+
+def _batch_validate(batch: DataFrame, cfg: StreamConfig) -> tuple[DataFrame, DataFrame]:
+    """The batch pipeline applied to one micro-batch: returns (verdicts,
+    errors)."""
+    raw = extract_triples_raw(batch)
+    errors = raw.filter(F.col("error").isNotNull()).select(
+        "repo", "path", "commit", "doc_sha256", "error"
+    )
+    triples = dedup_triples(
+        canonicalize(raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS)),
+        scope_doc=True,
+    )
+    verdicts = []
+    if cfg.shex_schema:
+        verdicts.append(
+            validate(
+                triples,
+                parse_shexc(cfg.shex_schema),
+                shapemap=cfg.shex_shapemap,
+                shape_label="shex_stream",
+            )
+        )
+    if cfg.shacl_schema:
+        verdicts.append(
+            validate(triples, parse_shacl(cfg.shacl_schema), shape_label="shacl_stream")
+        )
+    if not verdicts:
+        raise ValueError("no schema configured")  # CONFIGURATION_ERROR
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    return out, errors
+
+
+def stream_validate(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    cfg: StreamConfig,
+    available_now: bool = True,
+) -> dict:
+    """Run the streaming validation job; blocks until the stream closes
+    (availableNow drains existing files then stops — the batch-test mode;
+    ``available_now=False`` runs continuously under the watchdog).
+
+    Returns the close status {code, reason, batches, verdicts} and writes it
+    to ``out_dir/close_status.json``."""
+    verdict_dir = os.path.join(out_dir, "verdicts")
+    errors_dir = os.path.join(out_dir, "errors")
+    ckpt_dir = os.path.join(out_dir, "_checkpoint")
+    os.makedirs(out_dir, exist_ok=True)
+
+    state = {"batches": 0, "verdicts": 0, "close": ("STANDARD", "stream completed")}
+    halt = {"flag": False}
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if halt["flag"]:
+            return
+        verdicts, errors = _batch_validate(batch, cfg)
+        verdicts.persist()
+        n = verdicts.count()
+        verdicts.write.mode("append").parquet(verdict_dir)
+        errors.persist()
+        n_err = errors.count()
+        if n_err:
+            errors.write.mode("append").parquet(errors_dir)
+        state["batches"] += 1
+        state["verdicts"] += n
+        # T2: halt conditions checked per micro-batch
+        if cfg.halt_on_errored and n_err:
+            state["close"] = ("ERRORED_ITEM", f"batch {batch_id}: {n_err} errored items")
+            halt["flag"] = True
+        elif cfg.halt_on_invalid:
+            n_bad = verdicts.filter(F.col("status") == "nonconformant").count()
+            if n_bad:
+                state["close"] = ("INVALID_ITEM", f"batch {batch_id}: {n_bad} invalid items")
+                halt["flag"] = True
+        verdicts.unpersist()
+        errors.unpersist()
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if cfg.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    for k, v in cfg.extra.items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(input_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", ckpt_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+
+    try:
+        if available_now:
+            # drain; halt flag still wins between batches
+            while query.isActive:
+                if halt["flag"]:
+                    query.stop()
+                    break
+                query.awaitTermination(0.5)
+        else:
+            # T3: no-progress watchdog (the comet item-timeout analogue)
+            last_progress = time.time()
+            last_batches = 0
+            while query.isActive:
+                if halt["flag"]:
+                    query.stop()
+                    break
+                if state["batches"] != last_batches:
+                    last_batches = state["batches"]
+                    last_progress = time.time()
+                if time.time() - last_progress > cfg.timeout_s:
+                    state["close"] = ("TIMEOUT", f"no items for {cfg.timeout_s}s")
+                    query.stop()
+                    break
+                query.awaitTermination(0.5)
+        query.awaitTermination()
+    except Exception as e:  # noqa: BLE001 — map to taxonomy, re-raise config errors
+        if "no schema configured" in str(e):
+            state["close"] = ("CONFIGURATION_ERROR", str(e))
+        else:
+            state["close"] = ("ASSERTION_ERROR", str(e))
+        if query.isActive:
+            query.stop()
+
+    kind, reason = state["close"]
+    status = {
+        "code": CLOSE_CODES[kind],
+        "kind": kind,
+        "reason": reason,
+        "batches": state["batches"],
+        "verdicts": state["verdicts"],
+    }
+    with open(os.path.join(out_dir, "close_status.json"), "w") as f:
+        json.dump(status, f, indent=2)
+    return status

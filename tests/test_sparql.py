@@ -1,0 +1,133 @@
+"""SPARQL-SELECT subset compiler tests (SURVEY §2.9 Q1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfshape_api_spark.plans.sparql import SparqlParseError, parse_sparql, sparql_select
+
+EX = "http://example.org/"
+
+PREFIX = f"PREFIX ex: <{EX}>\nPREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+
+
+def test_parse_basic():
+    q = parse_sparql(
+        PREFIX + "SELECT ?s ?t WHERE { ?s a ex:Reading . ?s ex:readingTemperature ?t . }"
+    )
+    assert q.select_vars == ["s", "t"]
+    assert len(q.patterns) == 2
+    assert q.patterns[0].pred == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert q.patterns[0].obj == EX + "Reading"
+
+
+def test_parse_property_list_and_star():
+    q = parse_sparql(PREFIX + 'SELECT * WHERE { ?s ex:status "OK" ; ex:station ?st . }')
+    assert len(q.patterns) == 2
+    assert q.patterns[0].obj_is_literal
+    assert q.select_vars == ["s", "st"]
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(SparqlParseError):
+        parse_sparql("SELECT ?s WHERE { ?s ex:broken ?o }")  # unknown prefix
+
+
+def test_bgp_join(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?s ?st WHERE {
+              ?s a ex:Reading .
+              ?s ex:status ?st .
+            }""",
+    )
+    assert set(out.columns) == {"s", "st"}
+    rows = out.collect()
+    assert rows
+    # every binding must be backed by actual status triples
+    statuses = {
+        (r["subj"], r["obj_value"])
+        for r in triples_001.filter(F.col("pred") == EX + "status").collect()
+    }
+    assert all((r["s"], r["st"]) in statuses for r in rows)
+
+
+def test_filter_numeric(spark, triples_001):
+    q = (
+        PREFIX
+        + """SELECT DISTINCT ?s ?t WHERE {
+              ?s ex:readingTemperature ?t .
+              FILTER (?t >= 19.5)
+            }"""
+    )
+    out = sparql_select(triples_001, q)
+    vals = [float(r["t"]) for r in out.collect()]
+    assert vals and all(v >= 19.5 for v in vals)
+    # and it's the exact complement-consistent set
+    n_all = (
+        triples_001.filter(F.col("pred") == EX + "readingTemperature")
+        .select("subj", "obj_value").distinct().count()
+    )
+    n_lo = sparql_select(
+        triples_001,
+        PREFIX
+        + "SELECT DISTINCT ?s ?t WHERE { ?s ex:readingTemperature ?t . FILTER (?t < 19.5) }",
+    ).count()
+    assert n_lo + out.count() == n_all
+
+
+def test_literal_object_match(spark, triples_001):
+    out = sparql_select(
+        triples_001, PREFIX + 'SELECT ?s WHERE { ?s ex:status "BROKEN" . }'
+    )
+    # merged-model semantics: the graph is a SET of triples, so identical
+    # (subj, pred, obj) rows from different docs collapse into one solution
+    expected = (
+        triples_001.filter((F.col("pred") == EX + "status") & (F.col("obj_value") == "BROKEN"))
+        .select("subj")
+        .distinct()
+        .count()
+    )
+    assert out.count() == expected > 0
+
+
+def test_optional(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?s ?lbl WHERE {
+              ?s a ex:Reading .
+              OPTIONAL { ?s ex:label ?lbl }
+            }""",
+    )
+    rows = out.collect()
+    labelled = [r for r in rows if r["lbl"] is not None]
+    unlabelled = [r for r in rows if r["lbl"] is None]
+    assert labelled and unlabelled  # fixture has ~50% labels
+
+
+def test_order_limit(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT DISTINCT ?t WHERE { ?s ex:readingTemperature ?t . }
+            ORDER BY DESC(?t) LIMIT 5""",
+    )
+    vals = [float(r["t"]) for r in out.collect()]
+    assert len(vals) == 5
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_filter_logical_ops(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT DISTINCT ?s ?st WHERE {
+              ?s ex:status ?st .
+              FILTER (?st = "OK" || ?st = "RUNNING")
+            }""",
+    )
+    sts = {r["st"] for r in out.collect()}
+    assert sts == {"OK", "RUNNING"}
