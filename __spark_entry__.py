@@ -221,6 +221,13 @@ def _q_dedup_lsh(spark, sf_dir):
     return lsh_candidate_pairs(docs)
 
 
+def _q_dedup_lsh_keep(spark, sf_dir):
+    from rdfshape_api_spark.functions.dedup import lsh_dedup_keep
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return lsh_dedup_keep(docs)
+
+
 def _q_dedup_ngram(spark, sf_dir):
     from rdfshape_api_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -441,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_pairs": _q_dedup_lsh,
+        "dedup_lsh_keep": _q_dedup_lsh_keep,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_simhash_pairs": _q_dedup_simhash,         # rows-only (xxhash64)
         "sim_cosine_topk": _q_sim_topk,
@@ -695,6 +703,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dedup_lsh_keep": """
+            WITH sigs AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), i ->
+                       list_min(list_transform(
+                         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                         w -> md5(i::VARCHAR || ':' || w)))) AS sig
+              FROM documents
+            ), bands AS (
+              SELECT doc_id, b AS band,
+                     md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '|')) AS band_key
+              FROM sigs, unnest(range(0, 4)) AS t(b)
+            ), bmin AS (
+              SELECT band, band_key, min(doc_id) AS bmin
+              FROM bands GROUP BY 1, 2
+            )
+            SELECT b.doc_id, min(m.bmin) AS cluster_rep,
+                   (b.doc_id = min(m.bmin)) AS keep
+            FROM bands b JOIN bmin m ON b.band = m.band AND b.band_key = m.band_key
+            GROUP BY b.doc_id
         """,
         "dedup_ngram_jaccard": """
             WITH toks AS (

@@ -39,9 +39,13 @@ SEED = 42
 EX = "http://example.org/"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-GENERATOR_VERSION = "v1"  # bump to invalidate cached fixture dirs
+GENERATOR_VERSION = "v2"  # bump to invalidate cached fixture dirs
 
-SF_DOCS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000}
+SF_DOCS = {"sf0.001": 1_000, "sf0.01": 10_000, "sf0.1": 100_000, "sf1": 1_000_000}
+
+# tiers where golden triples/verdicts are skipped (scaling benchmarks only —
+# goldens at 1M docs would be ~13M rows of pure-python tuple building)
+DOCS_ONLY = {"sf1"}
 
 STATUSES = ["OK", "RUNNING", "BROKEN"]
 
@@ -255,6 +259,57 @@ def _golden_triples(readings: list[_Reading], doc_sha: str) -> list[tuple]:
     return rows
 
 
+def _gen_one_doc(j: int):
+    """One deterministic document: returns (docs_row_tuple, readings,
+    is_error_doc, doc_sha)."""
+    rng = random.Random(SEED * 7_777_777 + j)
+    if rng.random() < 0.6:
+        repo_idx = rng.randrange(10)  # 10% of repos hold 60% of rows
+    else:
+        repo_idx = 10 + rng.randrange(91)
+    repo = f"org{repo_idx % 7}/repo{repo_idx}"
+    fmt_roll = rng.random()
+    if fmt_roll < 0.6:
+        lang, ext = "turtle", "ttl"
+    elif fmt_roll < 0.9:
+        lang, ext = "ntriples", "nt"
+    else:
+        lang, ext = "jsonld", "jsonld"
+    prefix = "ex" if j % 2 == 0 else "sensor"
+    commit = hashlib.sha1(f"{SEED}:{repo}:{j}".encode()).hexdigest()
+
+    readings = _gen_doc_entities(j)
+    if lang == "turtle":
+        content = _render_turtle(readings, prefix)
+    elif lang == "ntriples":
+        content = _render_ntriples(readings)
+    else:
+        content = _render_jsonld(readings, prefix)
+
+    is_error_doc = j % 97 == 13  # ~1%
+    if is_error_doc:
+        content = content[: int(len(content) * 0.6)] + "\n<truncated"
+    doc_sha = hashlib.sha256(content.encode()).hexdigest()
+    row = (repo, f"data/{j:06d}.{ext}", commit, lang, content, doc_sha)
+    return row, readings, is_error_doc, doc_sha
+
+
+_DOC_COLS = ("repo", "path", "commit", "lang", "content", "content_sha256")
+
+
+def _generate_docs_only(n_docs: int, docs_path: str) -> None:
+    """Streaming docs-table writer for the big scaling tiers: fixed-size
+    batches straight into one parquet file, no goldens, bounded memory."""
+    schema = pa.schema([(c, pa.string()) for c in _DOC_COLS])
+    batch = 50_000
+    with pq.ParquetWriter(docs_path, schema) as w:
+        for lo in range(0, n_docs, batch):
+            rows = [_gen_one_doc(j)[0] for j in range(lo, min(lo + batch, n_docs))]
+            cols = {c: [r[i] for r in rows] for i, c in enumerate(_DOC_COLS)}
+            tbl = pa.table(cols, schema=schema)
+            w.write_table(tbl, row_group_size=4096)
+
+
 def generate(sf_tag: str, out_dir: str) -> dict[str, str]:
     """Generate the docs table + goldens for one scale tier. Idempotent."""
     n_docs = SF_DOCS[sf_tag]
@@ -268,46 +323,21 @@ def generate(sf_tag: str, out_dir: str) -> dict[str, str]:
         return paths
     os.makedirs(out_dir, exist_ok=True)
 
+    if sf_tag in DOCS_ONLY:
+        _generate_docs_only(n_docs, paths["docs"])
+        paths.pop("triples"), paths.pop("verdicts")
+        with open(marker, "w") as f:
+            f.write("ok\n")
+        return paths
+
     docs_rows = {k: [] for k in ("repo", "path", "commit", "lang", "content", "content_sha256")}
     triple_rows: list[tuple] = []
     verdict_rows: list[tuple] = []
 
     for j in range(n_docs):
-        rng = random.Random(SEED * 7_777_777 + j)
-        if rng.random() < 0.6:
-            repo_idx = rng.randrange(10)  # 10% of repos hold 60% of rows
-        else:
-            repo_idx = 10 + rng.randrange(91)
-        repo = f"org{repo_idx % 7}/repo{repo_idx}"
-        fmt_roll = rng.random()
-        if fmt_roll < 0.6:
-            lang, ext = "turtle", "ttl"
-        elif fmt_roll < 0.9:
-            lang, ext = "ntriples", "nt"
-        else:
-            lang, ext = "jsonld", "jsonld"
-        prefix = "ex" if j % 2 == 0 else "sensor"
-        commit = hashlib.sha1(f"{SEED}:{repo}:{j}".encode()).hexdigest()
-
-        readings = _gen_doc_entities(j)
-        if lang == "turtle":
-            content = _render_turtle(readings, prefix)
-        elif lang == "ntriples":
-            content = _render_ntriples(readings)
-        else:
-            content = _render_jsonld(readings, prefix)
-
-        is_error_doc = j % 97 == 13  # ~1%
-        if is_error_doc:
-            content = content[: int(len(content) * 0.6)] + "\n<truncated"
-
-        doc_sha = hashlib.sha256(content.encode()).hexdigest()
-        docs_rows["repo"].append(repo)
-        docs_rows["path"].append(f"data/{j:06d}.{ext}")
-        docs_rows["commit"].append(commit)
-        docs_rows["lang"].append(lang)
-        docs_rows["content"].append(content)
-        docs_rows["content_sha256"].append(doc_sha)
+        row, readings, is_error_doc, doc_sha = _gen_one_doc(j)
+        for c, v in zip(_DOC_COLS, row):
+            docs_rows[c].append(v)
 
         if not is_error_doc:
             triple_rows.extend(_golden_triples(readings, doc_sha))
@@ -317,7 +347,9 @@ def generate(sf_tag: str, out_dir: str) -> dict[str, str]:
                 verdict_rows.append((doc_sha, node, "shex_sensor", status))
                 verdict_rows.append((doc_sha, node, "shacl_sensor", status))
 
-    pq.write_table(pa.table(docs_rows), paths["docs"])
+    # small row groups: a single-row-group file is unsplittable for Spark
+    # (one task would scan everything — an artifact no real corpus has)
+    pq.write_table(pa.table(docs_rows), paths["docs"], row_group_size=4096)
     t_cols = ["doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
     pq.write_table(
         pa.table({c: [r[i] for r in triple_rows] for i, c in enumerate(t_cols)},

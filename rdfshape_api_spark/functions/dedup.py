@@ -75,14 +75,28 @@ def minhash_bands(docs: DataFrame, num_hashes: int = NUM_HASHES, band_rows: int 
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(docs: DataFrame, max_bucket: int | None = None) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
 
     Scale: the self-join keys on (band, band_key) — only same-bucket rows
     meet; a degenerate hot bucket (e.g. many empty docs) is exactly the
     AQE-skew-join case, and the bucket key is already salted by band index.
+
+    ``max_bucket`` is the 100TB-corpus guard: a bucket of b docs emits
+    O(b²) pairs, and near-identical template families (very common in web
+    corpora) produce buckets of 10⁵+ — pass e.g. ``max_bucket=1000`` to
+    exclude those buckets here and handle their members with
+    :func:`exact_duplicates` / :func:`lsh_dedup_groups` instead (a giant
+    bucket IS a duplicate family; enumerating its pairs is pointless).
+    Default None keeps exact pair semantics (the oracle contract).
     """
     b = minhash_bands(docs)
+    if max_bucket is not None:
+        counts = b.groupBy("band", "band_key").agg(F.count("*").alias("_bn"))
+        b = (
+            b.join(F.broadcast(counts.filter(F.col("_bn") > max_bucket)),
+                   on=["band", "band_key"], how="left_anti")
+        )
     left = b.select(F.col("band").alias("lband"), F.col("band_key").alias("lkey"), F.col("doc_id").alias("doc_a"))
     right = b.select(F.col("band").alias("rband"), F.col("band_key").alias("rkey"), F.col("doc_id").alias("doc_b"))
     return (
@@ -93,6 +107,23 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def lsh_dedup_keep(docs: DataFrame) -> DataFrame:
+    """Training-data dedup decision: per doc, a cluster representative =
+    min doc_id over all its LSH bucket-mates (1-hop label propagation — a
+    bucket is a duplicate family, so one survivor per family).  A doc
+    survives iff ``doc_id == cluster_rep``.  This is the O(n) scale path
+    where pairwise enumeration (``lsh_candidate_pairs``) is O(bucket²):
+    two shuffles total (bucket min + per-doc min), no self-join at all."""
+    b = minhash_bands(docs)
+    bucket_min = b.groupBy("band", "band_key").agg(F.min("doc_id").alias("bmin"))
+    return (
+        b.join(bucket_min, on=["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("cluster_rep"))
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_rep"))
     )
 
 

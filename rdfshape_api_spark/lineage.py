@@ -50,6 +50,31 @@ def extraction_lineage(docs: DataFrame, raw_triples: DataFrame) -> DataFrame:
     return d.join(t, on="repo", how="left").na.fill(0, ["output_triples", "error_docs"])
 
 
+def triple_precision_recall(got: DataFrame, expected: DataFrame) -> dict:
+    """Triple-level precision/recall of the canonical output vs a golden
+    emitter (north_star: P/R ≥ 0.95 vs the reference's emitted triples).
+
+    Set semantics on the full canonical key; one pass per side via
+    left-anti counts (no driver-side collection)."""
+    cols = ["doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+    # obj_lang/obj_datatype are null for most rows; plain equi-join keys
+    # would never match them (null != null in SQL) — coalesce to a sentinel
+    sent = [F.coalesce(F.col(c), F.lit("\x00")).alias(c) for c in cols]
+    g = got.select(*sent).distinct()
+    e = expected.select(*sent).distinct()
+    n_got = g.count()
+    n_exp = e.count()
+    fp = g.join(e, on=cols, how="left_anti").count()  # emitted but not golden
+    fn = e.join(g, on=cols, how="left_anti").count()  # golden but missed
+    tp = n_got - fp
+    return {
+        "triples_emitted": n_got,
+        "triples_expected": n_exp,
+        "precision": round(tp / n_got, 6) if n_got else 1.0,
+        "recall": round(tp / (tp + fn), 6) if (tp + fn) else 1.0,
+    }
+
+
 def stage_complete(stage_dir: str) -> bool:
     return os.path.exists(os.path.join(stage_dir, "_SUCCESS"))
 

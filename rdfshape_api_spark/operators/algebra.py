@@ -69,6 +69,18 @@ def has_predicate_with_subject(df: DataFrame, node: str, pred: str) -> bool:
     )
 
 
+# --- P5: checkDatatype (MergedModels.scala:96-97) ---------------------------
+
+def check_datatype(df: DataFrame, node: str, datatype: str) -> DataFrame:
+    """Per-value datatype check for a node's literals: datatype IRI equality
+    plus lexical-form validity (try_cast/regex — plans/validate.datatype_ok)."""
+    from rdfshape_api_spark.plans.validate import datatype_ok
+
+    return df.filter(F.col("subj") == node).select(
+        "subj", "pred", "obj_value", datatype_ok(datatype).alias("datatype_ok")
+    )
+
+
 # --- P6: SHACL instances incl. subclass closure (MergedModels.scala:75-79) --
 
 def subclass_closure(df: DataFrame, cls: str, max_iters: int = 20) -> list[str]:

@@ -42,6 +42,7 @@ def run_pipeline(
     repartition_by_repo: int | None = None,
     resume: bool = True,
     store_subj_buckets: int = 16,
+    golden_triples: str | None = None,
 ) -> dict:
     """Run all stages; returns a metrics dict (also written to
     ``out_dir/metrics.json``). Stages with existing `_SUCCESS` are skipped
@@ -56,11 +57,32 @@ def run_pipeline(
     # -- stage 1: extraction (+ error channel + lineage) ---------------------
     if not (resume and stage_complete(raw_dir)):
         with StageTimer(metrics, "extract"):
-            raw = extract_triples_raw(docs, repartition_by_repo=repartition_by_repo)
-            raw.write.mode("overwrite").parquet(raw_dir)
-            extraction_lineage(docs, spark.read.parquet(raw_dir)).write.mode(
-                "overwrite"
-            ).parquet(lineage_dir)
+            # Materialize the prepared docs (sha + range-shuffle) ONCE as an
+            # explicit ingest stage boundary: the NT-columnar and Python
+            # format branches each consume it, and without this the
+            # per-branch lang filters get pushed below the exchange so
+            # Catalyst cannot reuse it — scan+sha256+range-sampling would
+            # run once per branch (observed 2×+ extract wall at sf0.1).
+            # DISK_ONLY ≈ a shuffle-file materialization, the same cost
+            # model as a staging table on a real cluster.
+            from pyspark import StorageLevel
+
+            from rdfshape_api_spark.sources.extract import with_doc_sha
+
+            prepared = with_doc_sha(docs)
+            if repartition_by_repo:
+                prepared = prepared.repartitionByRange(
+                    repartition_by_repo, "repo", "path"
+                )
+            prepared = prepared.persist(StorageLevel.DISK_ONLY)
+            try:
+                raw = extract_triples_raw(prepared)
+                raw.write.mode("overwrite").parquet(raw_dir)
+                extraction_lineage(prepared, spark.read.parquet(raw_dir)).write.mode(
+                    "overwrite"
+                ).parquet(lineage_dir)
+            finally:
+                prepared.unpersist()
     raw = spark.read.parquet(raw_dir)
     raw.filter(F.col("error").isNotNull()).select(
         "repo", "path", "commit", "doc_sha256", "error"
@@ -110,6 +132,12 @@ def run_pipeline(
     )
     if os.path.exists(verdict_dir):
         metrics["verdicts"] = spark.read.parquet(verdict_dir).count()
+    if golden_triples:
+        from rdfshape_api_spark.lineage import triple_precision_recall
+
+        metrics.update(
+            triple_precision_recall(triples, spark.read.parquet(golden_triples))
+        )
     wall = sum(v for k, v in metrics.items() if isinstance(v, float) and k.endswith("_wall_s"))
     if wall and metrics.get("triples"):
         metrics["triples_per_sec"] = round(metrics["triples"] / wall, 1)

@@ -12,3 +12,12 @@ from rdfshape_api_spark.plans.shex import parse_shexc  # noqa: F401
 from rdfshape_api_spark.plans.shacl import parse_shacl  # noqa: F401
 from rdfshape_api_spark.plans.shapemap import parse_shapemap, resolve_focus  # noqa: F401
 from rdfshape_api_spark.plans.validate import validate  # noqa: F401
+from rdfshape_api_spark.plans.sparql import sparql_select  # noqa: F401
+from rdfshape_api_spark.plans.convert import (  # noqa: F401
+    schema_info,
+    shacl_to_shex,
+    shapemap_info,
+    shex_to_shacl,
+    to_shacl_turtle,
+    to_shexc,
+)

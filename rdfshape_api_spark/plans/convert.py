@@ -1,0 +1,219 @@
+"""Schema conversion + info (SURVEY §2.2 K3, §2.4 A4).
+
+Reference: ``SchemaConvert.schemaConvert`` (same-engine format conversion,
+``modules/server/.../schema/logic/operations/SchemaConvert.scala:69-105``),
+SHACL→ShEx via ``Shacl2ShEx.shacl2ShEx`` (:203-232), and ShEx→SHACL
+explicitly **not implemented** in the reference (:183-186) — we mirror that
+asymmetry.  ``SchemaInfo`` extracts shape list + prefix map
+(``SchemaInfo.scala:33-46``); ``ShapeMapInfo`` counts associations
+(``ShapeMapInfo.scala:34-56``).
+
+Because both frontends compile to one constraint-record IR
+(``plans/ir.py``), engine conversion is a relabel + re-render: the IR *is*
+the normalized schema.  Everything here is driver-side (schemas are
+KB-sized, never data-sized).
+"""
+
+from __future__ import annotations
+
+from rdfshape_api_spark.plans.ir import CompiledSchema, Shape, TripleConstraint
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+SH = "http://www.w3.org/ns/shacl#"
+
+
+def shacl_to_shex(schema: CompiledSchema) -> CompiledSchema:
+    """SHACL → ShEx on the IR (Shacl2ShEx.shacl2ShEx call contract,
+    SchemaConvert.scala:203-232).  Target declarations have no ShEx
+    equivalent — they move to the validation trigger (shapemap side), so
+    conversion drops them; constraint records carry over unchanged."""
+    if schema.engine != "shacl":
+        raise ValueError(f"expected a shacl schema, got {schema.engine!r}")
+    shapes = {
+        sid: Shape(shape_id=sid, constraints=list(sh.constraints), closed=sh.closed)
+        for sid, sh in schema.shapes.items()
+    }
+    return CompiledSchema(engine="shex", shapes=shapes, prefixes=dict(schema.prefixes))
+
+
+def shex_to_shacl(schema: CompiledSchema) -> CompiledSchema:
+    """Mirrors the reference: 'conversion from ShEx to SHACL is not
+    implemented' (SchemaConvert.scala:183-186)."""
+    raise NotImplementedError(
+        "ShEx -> SHACL conversion is not implemented (parity with "
+        "SchemaConvert.scala:183-186)"
+    )
+
+
+def _pname(iri: str, prefixes: dict[str, str]) -> str:
+    for p, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        if iri.startswith(ns) and "/" not in iri[len(ns):] and "#" not in iri[len(ns):]:
+            return f"{p}:{iri[len(ns):]}"
+    return f"<{iri}>"
+
+
+def _card(tc: TripleConstraint) -> str:
+    mn, mx = tc.min_count, tc.max_count
+    if (mn, mx) == (1, 1):
+        return ""
+    if (mn, mx) == (0, 1):
+        return " ?"
+    if mn == 0 and mx is None:
+        return " *"
+    if mn == 1 and mx is None:
+        return " +"
+    if mx is None:
+        return f" {{{mn},}}"
+    return f" {{{mn},{mx}}}"
+
+
+def _value_expr(tc: TripleConstraint, prefixes: dict[str, str]) -> str:
+    parts: list[str] = []
+    if tc.value_set is not None:
+        vals = " ".join(
+            (f'"{v}"' if k == "literal" else _pname(v, prefixes)) for k, v in tc.value_set
+        )
+        parts.append(f"[ {vals} ]")
+    elif tc.datatype:
+        parts.append(_pname(tc.datatype, prefixes))
+    elif tc.node_kind:
+        parts.append(tc.node_kind.upper() if tc.node_kind != "nonliteral" else "NONLITERAL")
+    elif tc.ref_shape:
+        parts.append(f"@{_pname(tc.ref_shape, prefixes)}")
+    else:
+        parts.append(".")
+    for attr, kw in (
+        ("min_inclusive", "MININCLUSIVE"),
+        ("max_inclusive", "MAXINCLUSIVE"),
+        ("min_exclusive", "MINEXCLUSIVE"),
+        ("max_exclusive", "MAXEXCLUSIVE"),
+        ("min_length", "MINLENGTH"),
+        ("max_length", "MAXLENGTH"),
+    ):
+        v = getattr(tc, attr)
+        if v is not None:
+            parts.append(f"{kw} {int(v) if float(v).is_integer() else v}")
+    if tc.pattern:
+        parts.append(f"/{tc.pattern}/")
+    return " ".join(parts)
+
+
+def to_shexc(schema: CompiledSchema) -> str:
+    """Render a compiled schema (either engine's IR) to ShExC text — the
+    reference's default conversion target (ShExFormat.scala:26)."""
+    lines = [f"PREFIX {p}: <{ns}>" for p, ns in sorted(schema.prefixes.items())]
+    if lines:
+        lines.append("")
+    for sid in sorted(schema.shapes):
+        sh = schema.shapes[sid]
+        head = _pname(sid, schema.prefixes) if sid.startswith("http") else f"<{sid}>"
+        mods = []
+        if any(tc.extra for tc in sh.constraints):
+            mods.append("EXTRA " + " ".join(
+                _pname(tc.pred, schema.prefixes) for tc in sh.constraints if tc.extra
+            ))
+        if sh.closed:
+            mods.append("CLOSED")
+        lines.append(f"{head} {' '.join(mods) + ' ' if mods else ''}{{")
+        body = []
+        for tc in sh.constraints:
+            pred = "a" if tc.pred == RDF_TYPE else _pname(tc.pred, schema.prefixes)
+            body.append(f"  {pred} {_value_expr(tc, schema.prefixes)}{_card(tc)}")
+        lines.append(" ;\n".join(body))
+        lines.append("}")
+        lines.append("")
+    return "\n".join(lines).rstrip() + "\n"
+
+
+def to_shacl_turtle(schema: CompiledSchema) -> str:
+    """Render the IR to SHACL Turtle (same-engine format conversion path,
+    SchemaConvert.scala:69-105)."""
+    pm = dict(schema.prefixes)
+    pm.setdefault("sh", SH)
+    pm.setdefault("xsd", XSD)
+    lines = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(pm.items())]
+    lines.append("")
+    for sid in sorted(schema.shapes):
+        sh = schema.shapes[sid]
+        head = _pname(sid, pm)
+        props = ["  a sh:NodeShape"]
+        for cls in sh.target_class:
+            props.append(f"  sh:targetClass {_pname(cls, pm)}")
+        for n in sh.target_node:
+            props.append(f"  sh:targetNode {_pname(n, pm)}")
+        for p_ in sh.target_subjects_of:
+            props.append(f"  sh:targetSubjectsOf {_pname(p_, pm)}")
+        for p_ in sh.target_objects_of:
+            props.append(f"  sh:targetObjectsOf {_pname(p_, pm)}")
+        if sh.closed:
+            props.append("  sh:closed true")
+        for tc in sh.constraints:
+            c = [f"    sh:path {_pname(tc.pred, pm)}"]
+            if tc.datatype:
+                c.append(f"    sh:datatype {_pname(tc.datatype, pm)}")
+            if tc.node_kind:
+                nk = {"iri": "sh:IRI", "bnode": "sh:BlankNode", "literal": "sh:Literal",
+                      "nonliteral": "sh:BlankNodeOrIRI"}[tc.node_kind]
+                c.append(f"    sh:nodeKind {nk}")
+            if tc.value_set is not None:
+                vals = " ".join(
+                    (f'"{v}"' if k == "literal" else _pname(v, pm)) for k, v in tc.value_set
+                )
+                c.append(f"    sh:in ( {vals} )")
+            if tc.min_count:
+                c.append(f"    sh:minCount {tc.min_count}")
+            if tc.max_count is not None:
+                c.append(f"    sh:maxCount {tc.max_count}")
+            if tc.min_inclusive is not None:
+                c.append(f"    sh:minInclusive {_numlex(tc.min_inclusive)}")
+            if tc.max_inclusive is not None:
+                c.append(f"    sh:maxInclusive {_numlex(tc.max_inclusive)}")
+            if tc.min_exclusive is not None:
+                c.append(f"    sh:minExclusive {_numlex(tc.min_exclusive)}")
+            if tc.max_exclusive is not None:
+                c.append(f"    sh:maxExclusive {_numlex(tc.max_exclusive)}")
+            if tc.pattern:
+                c.append(f'    sh:pattern "{tc.pattern}"')
+            if tc.ref_shape:
+                c.append(f"    sh:node {_pname(tc.ref_shape, pm)}")
+            props.append("  sh:property [\n" + " ;\n".join(c) + " ;\n  ]")
+        lines.append(f"{head}\n" + " ;\n".join(props) + " .")
+        lines.append("")
+    return "\n".join(lines).rstrip() + "\n"
+
+
+def _numlex(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else str(v)
+
+
+def schema_info(schema: CompiledSchema) -> dict:
+    """SchemaInfo result model (SchemaInfo.scala:33-46): shape list +
+    prefix map."""
+    return {
+        "engine": schema.engine,
+        "shapes": sorted(schema.shapes),
+        "n_shapes": len(schema.shapes),
+        "prefix_map": dict(schema.prefixes),
+    }
+
+
+def shapemap_info(shapemap_text: str, prefixes: dict[str, str]) -> dict:
+    """ShapeMapInfo result model (ShapeMapInfo.scala:34-56): association
+    count + the parsed associations."""
+    from rdfshape_api_spark.plans.shapemap import parse_shapemap
+
+    assocs = parse_shapemap(shapemap_text, prefixes)
+    return {
+        "n_associations": len(assocs),
+        "associations": [
+            {
+                "selector_kind": a.kind,
+                "node": a.node,
+                "query_pred": a.query_pred,
+                "query_obj": a.query_obj,
+                "shape": a.shape,
+            }
+            for a in assocs
+        ],
+    }

@@ -511,6 +511,20 @@ def parse_jsonld(content: str) -> list[Triple]:
 # dispatch
 # --------------------------------------------------------------------------
 
+def parse_html(content: str, flavor: str = "rdfa11"):
+    """HTML→RDF extraction stub (SURVEY §2.1 S2 — Any23 RDFa 1.1/Microdata,
+    ``HtmlToRdf.extractFromString`` ``.../html2rdf/HtmlToRdf.scala:50-122``).
+
+    The extraction libraries (extruct/Any23-equivalents) are not in this
+    container and the format is outside the north-star set; the dispatch
+    plumbing (lang column, error channel, batch shape) is real, the kernel
+    is a marked stub."""
+    raise NotImplementedError(
+        f"HTML {flavor} extraction not implemented (plumbing stub; "
+        "see HtmlToRdf.scala:50-122 for the reference semantics)"
+    )
+
+
 PARSERS = {
     "ntriples": parse_ntriples,
     "nt": parse_ntriples,
@@ -519,6 +533,8 @@ PARSERS = {
     "ttl": parse_turtle,
     "jsonld": parse_jsonld,
     "json-ld": parse_jsonld,
+    "html-rdfa11": lambda c: parse_html(c, "rdfa11"),
+    "html-microdata": lambda c: parse_html(c, "microdata"),
 }
 
 

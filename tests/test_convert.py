@@ -1,0 +1,97 @@
+"""Schema conversion / info tests (SURVEY §2.2 K3, §2.4 A4, §2.3 P5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdfshape_api_spark.fixtures.generator import (
+    SHACL_SENSOR,
+    SHAPEMAP_QUERY,
+    SHEX_SENSOR,
+)
+from rdfshape_api_spark.plans import parse_shacl, parse_shexc, validate
+from rdfshape_api_spark.plans.convert import (
+    schema_info,
+    shacl_to_shex,
+    shapemap_info,
+    shex_to_shacl,
+    to_shacl_turtle,
+    to_shexc,
+)
+
+EX = "http://example.org/"
+
+
+def test_shacl_to_shex_roundtrip_validates_identically(spark, triples_001):
+    """SHACL → IR → ShExC text → reparse → validate must agree with the
+    original SHACL verdicts (the conversion-correctness contract)."""
+    shacl = parse_shacl(SHACL_SENSOR)
+    shex = shacl_to_shex(shacl)
+    text = to_shexc(shex)
+    reparsed = parse_shexc(text)
+
+    orig = validate(triples_001, shacl, shape_label="s").select("doc_sha256", "node", "status")
+    conv = validate(
+        triples_001, reparsed, shapemap="{FOCUS a <" + EX + "Reading>}@<" + EX + "ValidReadingShape>",
+        shape_label="s",
+    ).select("doc_sha256", "node", "status")
+    assert orig.exceptAll(conv).isEmpty() and conv.exceptAll(orig).isEmpty()
+
+
+def test_shex_to_shacl_not_implemented():
+    with pytest.raises(NotImplementedError):
+        shex_to_shacl(parse_shexc(SHEX_SENSOR))
+
+
+def test_shacl_turtle_roundtrip(spark, triples_001):
+    """IR → SHACL Turtle → reparse → validate agrees (same-engine format
+    conversion, SchemaConvert.scala:69-105)."""
+    shacl = parse_shacl(SHACL_SENSOR)
+    text = to_shacl_turtle(shacl)
+    reparsed = parse_shacl(text)
+    orig = validate(triples_001, shacl, shape_label="s").select("doc_sha256", "node", "status")
+    rt = validate(triples_001, reparsed, shape_label="s").select("doc_sha256", "node", "status")
+    assert orig.exceptAll(rt).isEmpty() and rt.exceptAll(orig).isEmpty()
+
+
+def test_shexc_render_mentions_facets():
+    text = to_shexc(parse_shexc(SHEX_SENSOR))
+    assert "MININCLUSIVE 18" in text and "MAXINCLUSIVE 20" in text
+    assert '[ "OK" "RUNNING" ]' in text
+    reparsed = parse_shexc(text)
+    assert set(reparsed.shapes) == set(parse_shexc(SHEX_SENSOR).shapes)
+
+
+def test_schema_info():
+    info = schema_info(parse_shexc(SHEX_SENSOR))
+    assert info["engine"] == "shex"
+    assert info["n_shapes"] == 1
+    assert info["shapes"] == [EX + "ValidReading"]
+    assert info["prefix_map"]["ex"] == EX
+
+
+def test_shapemap_info():
+    info = shapemap_info(SHAPEMAP_QUERY, {"ex": EX})
+    assert info["n_associations"] == 1
+    a = info["associations"][0]
+    assert a["selector_kind"] == "query"
+    assert a["query_obj"] == EX + "Reading"
+    assert a["shape"] == EX + "ValidReading"
+
+
+def test_check_datatype(spark, triples_001):
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.operators.algebra import check_datatype
+
+    node = (
+        triples_001.filter(F.col("pred") == EX + "readingTemperature")
+        .select("subj").first()["subj"]
+    )
+    out = check_datatype(triples_001, node, "http://www.w3.org/2001/XMLSchema#decimal")
+    rows = out.collect()
+    assert any(r["datatype_ok"] for r in rows if r["pred"] == EX + "readingTemperature")
+    # non-decimal predicates on the same node must fail the check
+    assert all(
+        not r["datatype_ok"] for r in rows if r["pred"] == EX + "status"
+    )

@@ -1,0 +1,47 @@
+"""Scale-path dedup tests: bucket cap + O(n) keep-decision."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfshape_api_spark.functions.dedup import (
+    lsh_candidate_pairs,
+    lsh_dedup_keep,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = (
+        # a template family: 6 near-identical docs → giant bucket
+        [(i, "the quick brown fox jumps over the lazy dog variant") for i in range(6)]
+        # distinct docs
+        + [(10, "completely different text about spark partitions"),
+           (11, "another unrelated document mentioning catalyst optimizer"),
+           (12, "")]
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_max_bucket_drops_giant_buckets(docs):
+    full = lsh_candidate_pairs(docs)
+    capped = lsh_candidate_pairs(docs, max_bucket=3)
+    # the 6-doc identical family produces C(6,2)=15 pairs in the full run
+    family = full.filter((F.col("doc_a") < 6) & (F.col("doc_b") < 6))
+    assert family.count() == 15
+    # with the cap, those buckets are excluded entirely
+    assert capped.filter((F.col("doc_a") < 6) & (F.col("doc_b") < 6)).count() == 0
+    # and capped output is a subset of the full output
+    assert capped.exceptAll(full).isEmpty()
+
+
+def test_lsh_dedup_keep_one_survivor_per_family(docs):
+    keep = lsh_dedup_keep(docs)
+    fam = {r["doc_id"]: r for r in keep.filter(F.col("doc_id") < 6).collect()}
+    # all six identical docs map to the same representative: doc 0
+    assert all(r["cluster_rep"] == 0 for r in fam.values())
+    assert [d for d, r in sorted(fam.items()) if r["keep"]] == [0]
+    # distinct docs survive as their own representatives
+    others = {r["doc_id"]: r for r in keep.filter(F.col("doc_id") >= 10).collect()}
+    assert all(r["keep"] for r in others.values())
