@@ -36,9 +36,12 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "rdf_validate_shacl",
         "rdf_ntriples",
         "rdf_hub_degree",
+        "rdf_sparql_select",
+        "rdf_infer_profile",
         "text_features",
         "dedup_exact",
         "dedup_lsh_pairs",
+        "dedup_lsh_keep",
         "sim_cosine_topk",
         "mm_features",
         "events_hourly",

@@ -43,6 +43,7 @@ def run_pipeline(
     resume: bool = True,
     store_subj_buckets: int = 16,
     golden_triples: str | None = None,
+    extract_buckets: int = 0,
 ) -> dict:
     """Run all stages; returns a metrics dict (also written to
     ``out_dir/metrics.json``). Stages with existing `_SUCCESS` are skipped
@@ -76,11 +77,35 @@ def run_pipeline(
                 )
             prepared = prepared.persist(StorageLevel.DISK_ONLY)
             try:
-                raw = extract_triples_raw(prepared)
-                raw.write.mode("overwrite").parquet(raw_dir)
-                extraction_lineage(prepared, spark.read.parquet(raw_dir)).write.mode(
-                    "overwrite"
-                ).parquet(lineage_dir)
+                if extract_buckets > 0:
+                    # Sub-stage checkpointing (north rule: resumable with
+                    # per-partition lineage): extraction runs as B
+                    # independent bucket jobs keyed by a deterministic hash
+                    # of (repo, path); each bucket's parquet job writes its
+                    # own _SUCCESS, so a crashed run re-does only the
+                    # unfinished buckets — the anti-join resume of SURVEY §4
+                    # expressed as directory skips (no driver state needed).
+                    bucket = F.pmod(F.xxhash64("repo", "path"), F.lit(extract_buckets))
+                    for b in range(extract_buckets):
+                        bdir = os.path.join(raw_dir, f"bucket={b}")
+                        if resume and stage_complete(bdir):
+                            continue
+                        extract_triples_raw(
+                            prepared.filter(bucket == b)
+                        ).write.mode("overwrite").parquet(bdir)
+                    raw_glob = os.path.join(raw_dir, "bucket=*")
+                    extraction_lineage(
+                        prepared, spark.read.parquet(raw_glob)
+                    ).write.mode("overwrite").parquet(lineage_dir)
+                    # stage marker so downstream stage_complete() sees done
+                    with open(os.path.join(raw_dir, "_SUCCESS"), "w"):
+                        pass
+                else:
+                    raw = extract_triples_raw(prepared)
+                    raw.write.mode("overwrite").parquet(raw_dir)
+                    extraction_lineage(prepared, spark.read.parquet(raw_dir)).write.mode(
+                        "overwrite"
+                    ).parquet(lineage_dir)
             finally:
                 prepared.unpersist()
     raw = spark.read.parquet(raw_dir)
