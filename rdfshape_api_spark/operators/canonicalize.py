@@ -149,7 +149,12 @@ def pred_partition_key(pred=None):
 
 
 def write_canonical_store(
-    df: DataFrame, path: str, subj_buckets: int = 16, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    subj_buckets: int = 16,
+    mode: str = "overwrite",
+    dedup: bool = False,
+    scope_doc: bool = True,
 ) -> None:
     """Write the canonical triple store: parquet partitioned by predicate
     (north rule), sub-bucketed by subject hash so hot predicates split.
@@ -158,13 +163,32 @@ def write_canonical_store(
     up with partition directories (one shuffle, no small-files explosion);
     readers filtering on predicate get directory-level partition pruning,
     and the 2-col projection prunes parquet columns.
+
+    ``dedup=True`` fuses exact-duplicate elimination INTO the layout
+    shuffle: the dedup key determines (pred_part, bucket), so grouping by
+    (pred_part, bucket, *key) over the repartitioned child satisfies the
+    aggregation's required distribution and Catalyst elides the second
+    exchange — one shuffle total instead of dedup-shuffle + layout-shuffle
+    (verified: executedPlan has a single Exchange), with map-side partial
+    aggregation absorbing duplicates before the wire.
     """
     out = df.withColumn("pred_part", pred_partition_key()).withColumn(
         "bucket", F.pmod(F.xxhash64("subj"), F.lit(subj_buckets))
     )
+    out = out.repartition("pred_part", "bucket")
+    if dedup:
+        key = (["doc_sha256"] if scope_doc and "doc_sha256" in df.columns else []) + [
+            c for c in TRIPLE_KEY if c in df.columns
+        ]
+        extras = [c for c in df.columns if c not in key]
+        aggs = [F.first(c).alias(c) for c in extras] or [F.count(F.lit(1)).alias("_n")]
+        out = out.groupBy("pred_part", "bucket", *key).agg(*aggs)
+        if not extras:
+            out = out.drop("_n")
+        # restore the writer-side column order (partition cols last)
+        out = out.select(*[c for c in df.columns], "pred_part", "bucket")
     (
-        out.repartition("pred_part", "bucket")
-        .write.mode(mode)
+        out.write.mode(mode)
         .partitionBy("pred_part", "bucket")
         .parquet(path)
     )

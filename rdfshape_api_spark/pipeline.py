@@ -25,7 +25,6 @@ from rdfshape_api_spark.lineage import (
 from rdfshape_api_spark.model import TRIPLE_COLUMNS
 from rdfshape_api_spark.operators.canonicalize import (
     canonicalize,
-    dedup_triples,
     write_canonical_store,
 )
 from rdfshape_api_spark.plans import parse_shacl, parse_shexc, validate
@@ -116,11 +115,13 @@ def run_pipeline(
     # -- stage 2: canonicalize + dedup → predicate-partitioned store ---------
     if not (resume and stage_complete(store_dir)):
         with StageTimer(metrics, "canonicalize"):
-            canon = dedup_triples(
-                canonicalize(raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS)),
-                scope_doc=True,
+            canon = canonicalize(
+                raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS)
             )
-            write_canonical_store(canon, store_dir, subj_buckets=store_subj_buckets)
+            # dedup is fused into the store's layout shuffle (one exchange)
+            write_canonical_store(
+                canon, store_dir, subj_buckets=store_subj_buckets, dedup=True
+            )
     triples = spark.read.parquet(store_dir).select(*TRIPLE_COLUMNS)
 
     # -- stage 3: validation --------------------------------------------------

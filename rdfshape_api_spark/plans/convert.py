@@ -69,6 +69,9 @@ def _card(tc: TripleConstraint) -> str:
 
 
 def _value_expr(tc: TripleConstraint, prefixes: dict[str, str]) -> str:
+    if tc.disjuncts:
+        return " OR ".join(_value_expr(d, prefixes) for d in tc.disjuncts)
+    neg = "NOT " if tc.negated else ""
     parts: list[str] = []
     if tc.value_set is not None:
         vals = " ".join(
@@ -96,7 +99,7 @@ def _value_expr(tc: TripleConstraint, prefixes: dict[str, str]) -> str:
             parts.append(f"{kw} {int(v) if float(v).is_integer() else v}")
     if tc.pattern:
         parts.append(f"/{tc.pattern}/")
-    return " ".join(parts)
+    return neg + " ".join(parts)
 
 
 def to_shexc(schema: CompiledSchema) -> str:

@@ -37,6 +37,11 @@ class TripleConstraint:
     max_length: int | None = None
     ref_shape: str | None = None
     extra: bool = False  # ShEx EXTRA on this predicate
+    negated: bool = False  # ShEx NOT on this value expression
+    # ShEx OR of value expressions: when set, the value predicate is the
+    # disjunction of the members' predicates (each member is a value-only
+    # TripleConstraint; pred/cardinality of members are ignored)
+    disjuncts: list["TripleConstraint"] | None = None
 
 
 @dataclass

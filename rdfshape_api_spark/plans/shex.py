@@ -153,12 +153,42 @@ class _ShexParser:
         else:
             pred = self.iri_or_pname()
         tc = TripleConstraint(pred=pred)
-        self.parse_value_expr(tc)
+        self.parse_value_expr_or(tc)
         self.parse_cardinality(tc)
         return tc
 
+    def parse_value_expr_or(self, tc: TripleConstraint):
+        """valueExpr := [NOT] atom (OR [NOT] atom)* — AND between primitives
+        inside an atom is the implicit conjunction the atom parser already
+        accumulates; an explicit AND keyword between primitives is consumed
+        as a no-op separator of the same conjunction."""
+        if self.peek() == ("kw", "NOT"):
+            self.next()
+            tc.negated = True
+        self.parse_value_expr(tc)
+        if self.peek()[0] == "kw" and self.peek()[1].upper() == "OR":
+            disjuncts = [tc_value_copy(tc)]
+            tc.negated = False
+            _clear_value_fields(tc)
+            while self.peek()[0] == "kw" and self.peek()[1].upper() == "OR":
+                self.next()
+                d = TripleConstraint(pred=tc.pred)
+                if self.peek() == ("kw", "NOT"):
+                    self.next()
+                    d.negated = True
+                self.parse_value_expr(d)
+                if d.ref_shape is not None:
+                    raise ValueError("ShExC: shape references inside OR are not supported")
+                disjuncts.append(d)
+            if any(d.ref_shape is not None for d in disjuncts):
+                raise ValueError("ShExC: shape references inside OR are not supported")
+            tc.disjuncts = disjuncts
+
     def parse_value_expr(self, tc: TripleConstraint):
         while True:
+            if self.peek()[0] == "kw" and self.peek()[1].upper() == "AND":
+                self.next()  # explicit AND — same conjunction
+                continue
             k, v = self.peek()
             if k == "punct" and v == ".":
                 self.next()  # wildcard — no value constraint
@@ -231,6 +261,25 @@ class _ShexParser:
                 tc.max_count = tc.min_count
             self.expect("}")
         # default: exactly one (min=max=1), already the dataclass default
+
+
+_VALUE_FIELDS = (
+    "datatype", "node_kind", "value_set", "min_inclusive", "max_inclusive",
+    "min_exclusive", "max_exclusive", "pattern", "min_length", "max_length",
+    "ref_shape", "negated",
+)
+
+
+def tc_value_copy(tc: TripleConstraint) -> TripleConstraint:
+    d = TripleConstraint(pred=tc.pred)
+    for f in _VALUE_FIELDS:
+        setattr(d, f, getattr(tc, f))
+    return d
+
+
+def _clear_value_fields(tc: TripleConstraint) -> None:
+    for f in _VALUE_FIELDS:
+        setattr(tc, f, False if f == "negated" else None)
 
 
 def _unquote(s: str) -> str:

@@ -79,7 +79,15 @@ def datatype_ok(datatype: str) -> Column:
 
 def _value_ok(tc: TripleConstraint, ref_ok_col: str | None) -> Column:
     """The compiled value expression: conjunction of the constraint's
-    primitives, all pure Column logic."""
+    primitives (OR-of-disjuncts / NOT when present), all pure Column
+    logic."""
+    if tc.disjuncts:
+        member = F.lit(False)
+        for d in tc.disjuncts:
+            # coalesce: SQL three-valued logic would poison the OR with
+            # nulls from e.g. `obj_datatype == X` on a null datatype
+            member = member | F.coalesce(_value_ok(d, None), F.lit(False))
+        return member
     ok = F.lit(True)
     if tc.datatype:
         ok = ok & datatype_ok(tc.datatype)
@@ -123,18 +131,25 @@ def _value_ok(tc: TripleConstraint, ref_ok_col: str | None) -> Column:
         ok = ok & (F.length("obj_value") <= tc.max_length)
     if tc.ref_shape is not None:
         ok = ok & F.col(ref_ok_col)
-    return ok
+    # NOT under three-valued logic: null (e.g. datatype mismatch on a null
+    # column) must negate to TRUE, so ground to false first
+    return ~F.coalesce(ok, F.lit(False)) if tc.negated else ok
 
 
-def _ref_order(schema: CompiledSchema, roots: list[str]) -> list[str]:
-    """Topological order of shape references; cycles rejected (round-2
-    fixpoint loop per SURVEY §4 handles recursion)."""
+def _ref_order(schema: CompiledSchema, roots: list[str]) -> tuple[list[str], set[str]]:
+    """(topological-ish order of reachable shapes, shapes involved in
+    reference cycles).  Cyclic shapes are evaluated by the fixpoint loop in
+    :func:`validate` (greatest fixed point — standard for negation-free
+    ShEx recursion; we reject NOT, so positivity holds)."""
     order: list[str] = []
     state: dict[str, int] = {}
+    cyclic: set[str] = set()
 
     def visit(sid: str, stack: tuple[str, ...]):
         if sid in stack:
-            raise ValueError(f"recursive shape reference cycle at {sid} (not yet supported)")
+            cyclic.update(stack[stack.index(sid):])
+            cyclic.add(sid)
+            return
         if state.get(sid) == 2:
             return
         state[sid] = 1
@@ -148,7 +163,7 @@ def _ref_order(schema: CompiledSchema, roots: list[str]) -> list[str]:
 
     for r in roots:
         visit(r, ())
-    return order
+    return order, cyclic
 
 
 def evaluate_shape(
@@ -248,6 +263,7 @@ def validate(
     schema: CompiledSchema,
     shapemap: str | list[Association] | None = None,
     shape_label: str | None = None,
+    max_fixpoint_iters: int = 25,
 ) -> DataFrame:
     """Validate — the `/api/schema/validate` equivalent (SURVEY §3.1).
 
@@ -276,19 +292,54 @@ def validate(
             raise ValueError("SHACL schema declares no targets and no shapemap was given")
 
     roots = [sid for sid, _ in work]
-    order = _ref_order(schema, roots)
+    order, cyclic = _ref_order(schema, roots)
+    all_subjects = triples.select("doc_sha256", F.col("subj").alias("node")).distinct()
 
     # evaluate referenced shapes first, over all subjects (their conformant
     # sets feed the referring constraints)
     conformant_refs: dict[str, DataFrame] = {}
     for sid in order:
-        if sid in roots:
+        if sid in cyclic or sid in roots:
             continue
-        all_subjects = triples.select("doc_sha256", F.col("subj").alias("node")).distinct()
         v = evaluate_shape(triples, schema, sid, all_subjects, conformant_refs)
         conformant_refs[sid] = v.filter(F.col("status") == STATUS_CONFORMANT).select(
             "doc_sha256", "node"
         )
+
+    if cyclic:
+        # Recursive shape references (SURVEY §4 fixpoint row; the reference
+        # recursion lives inside shexs at SchemaValidate.scala:97-99).
+        # Greatest fixed point: start every cyclic shape optimistically
+        # conformant over all subjects, re-evaluate the cycle set until no
+        # conformant set shrinks. With positive (negation-free) references
+        # the sets shrink monotonically, so count-stability ⇔ fixpoint and
+        # the loop terminates in ≤ |subjects| rounds (bounded below).
+        # localCheckpoint per round keeps plans flat (Catalyst can't recurse).
+        all_ck = all_subjects.localCheckpoint()
+        sizes: dict[str, int] = {}
+        for sid in sorted(cyclic):
+            conformant_refs[sid] = all_ck
+            sizes[sid] = all_ck.count()
+        for _ in range(max_fixpoint_iters):
+            changed = False
+            for sid in sorted(cyclic):
+                v = evaluate_shape(triples, schema, sid, all_ck, conformant_refs)
+                nxt = (
+                    v.filter(F.col("status") == STATUS_CONFORMANT)
+                    .select("doc_sha256", "node")
+                    .localCheckpoint()
+                )
+                n = nxt.count()
+                if n != sizes[sid]:
+                    changed = True
+                conformant_refs[sid] = nxt
+                sizes[sid] = n
+            if not changed:
+                break
+        else:
+            raise ValueError(
+                f"shape-reference fixpoint did not converge in {max_fixpoint_iters} rounds"
+            )
 
     outs = []
     for sid, targets in work:

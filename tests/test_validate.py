@@ -116,13 +116,21 @@ def test_shape_reference_join(spark):
     assert res == {"http://e/a": "conformant", "http://e/c": "nonconformant"}
 
 
-def test_recursion_rejected(spark):
+def test_mutual_recursion_fixpoint(spark):
+    """A⇄B mutual recursion resolves via the greatest-fixpoint loop
+    (full coverage in test_recursion.py)."""
     schema = parse_shexc(
         "PREFIX ex: <http://e/>\nex:A { ex:p @ex:B }\nex:B { ex:q @ex:A }"
     )
-    tri = _mini_triples(spark, [("http://e/a", "http://e/p", "iri", "http://e/b", None, None)])
-    with pytest.raises(ValueError, match="recursive"):
-        validate(tri, schema, shapemap="<http://e/a>@<http://e/A>")
+    tri = _mini_triples(
+        spark,
+        [
+            ("http://e/a", "http://e/p", "iri", "http://e/b", None, None),
+            ("http://e/b", "http://e/q", "iri", "http://e/a", None, None),
+        ],
+    )
+    v = validate(tri, schema, shapemap="<http://e/a>@<http://e/A>")
+    assert v.collect()[0]["status"] == "conformant"
 
 
 def test_closed_shape(spark):
