@@ -314,13 +314,20 @@ def _scaling(sf_dir: str) -> None:
     for label, master in [("N(4)", "local[4]"), ("4N(16)", "local[16]")]:
         spark = get_spark("bench_scaling", master=master, shuffle_partitions=64)
         warm = tempfile.mkdtemp(prefix="scaling_warm_")
-        meas = tempfile.mkdtemp(prefix=f"scaling_{label.split('(')[0]}_")
         try:
             _pipeline_run(spark, "sf0.1", warm)  # warm-up, discarded
-            results[label] = _pipeline_run(spark, scaling_sf, meas)
+            best = None
+            for _ in range(2):  # min-of-2: the shared host is noisy
+                meas = tempfile.mkdtemp(prefix=f"scaling_{label.split('(')[0]}_")
+                try:
+                    m = _pipeline_run(spark, scaling_sf, meas)
+                finally:
+                    shutil.rmtree(meas, ignore_errors=True)
+                if best is None or m["total_wall_s"] < best["total_wall_s"]:
+                    best = m
+            results[label] = best
         finally:
             shutil.rmtree(warm, ignore_errors=True)
-            shutil.rmtree(meas, ignore_errors=True)
             spark.stop()
     kernels = _scaling_kernels(scaling_sf)
     ceiling = _cpu_ceiling(4, 16)
