@@ -353,6 +353,9 @@ def _scaling(sf_dir: str) -> None:
     md = [
         "# BENCH/BASELINE.md — measured baseline (protocol per BASELINE.md)",
         "",
+        "Interpretation of these numbers — what is operator compute vs one-box",
+        "plumbing, and why an executor fleet fares better: see `BENCH/ANALYSIS.md`.",
+        "",
         "End-to-end pipeline (extract + validate ShEx&SHACL + canonicalize + store) on the",
         f"deterministic `{scaling_sf}` RDF docs table, identical input + identical partitioning",
         "(64 range partitions, 64 shuffle partitions) at two parallelism levels — the sandbox",

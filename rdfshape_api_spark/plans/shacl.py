@@ -14,8 +14,11 @@ SHACL core vocabulary is lifted into the same constraint records as ShEx:
   ``sh:pattern``, ``sh:minLength/maxLength``, ``sh:nodeKind``, ``sh:node``
   (shape reference), ``sh:closed``.
 
-Unsupported core features (property paths beyond a direct predicate,
-sh:or/and/not, sparql constraints) raise with a clear message.
+Logical constraint components ``sh:or`` / ``sh:and`` / ``sh:not`` over
+value-level members map to the IR's disjuncts/negated fields (same
+evaluator as ShEx OR/AND/NOT).  Unsupported core features (property paths
+beyond a direct predicate, sh:xone, sparql constraints,
+qualifiedValueShape) raise with a clear message.
 """
 
 from __future__ import annotations
@@ -36,9 +39,6 @@ _NODEKIND = {
 _UNSUPPORTED = {
     SH + p
     for p in (
-        "or",
-        "and",
-        "not",
         "xone",
         "sparql",
         "qualifiedValueShape",
@@ -81,6 +81,46 @@ def _num(v: str) -> float:
     return float(v)
 
 
+_VALUE_FIELDS = (
+    "datatype", "node_kind", "value_set", "min_inclusive", "max_inclusive",
+    "min_exclusive", "max_exclusive", "pattern", "min_length", "max_length",
+    "ref_shape",
+)
+
+
+def _read_value_constraints(g: "_Graph", node: str, tc: TripleConstraint) -> None:
+    """Lift the SHACL value-level components of ``node`` onto ``tc``."""
+    if (v := g.obj1(node, SH + "datatype")) is not None:
+        tc.datatype = v[1]
+    if (v := g.obj1(node, SH + "nodeKind")) is not None:
+        tc.node_kind = _NODEKIND.get(v[1])
+    if (v := g.obj1(node, SH + "in")) is not None:
+        tc.value_set = [
+            ("iri" if k in ("iri", "bnode") else "literal", val)
+            for k, val, _, _ in g.rdf_list(v[1])
+        ]
+    for sh_name, field in (
+        ("minInclusive", "min_inclusive"),
+        ("maxInclusive", "max_inclusive"),
+        ("minExclusive", "min_exclusive"),
+        ("maxExclusive", "max_exclusive"),
+    ):
+        if (v := g.obj1(node, SH + sh_name)) is not None:
+            setattr(tc, field, _num(v[1]))
+    if (v := g.obj1(node, SH + "pattern")) is not None:
+        tc.pattern = v[1]
+    if (v := g.obj1(node, SH + "minLength")) is not None:
+        tc.min_length = int(v[1])
+    if (v := g.obj1(node, SH + "maxLength")) is not None:
+        tc.max_length = int(v[1])
+    if (v := g.obj1(node, SH + "node")) is not None:
+        tc.ref_shape = v[1]
+
+
+def _has_value_fields(tc: TripleConstraint) -> bool:
+    return any(getattr(tc, f) is not None for f in _VALUE_FIELDS)
+
+
 def parse_shacl(text: str) -> CompiledSchema:
     """Parse a SHACL shapes graph (Turtle) into the shared constraint IR."""
     triples = parse_turtle(text)
@@ -119,31 +159,53 @@ def parse_shacl(text: str) -> CompiledSchema:
                 tc.min_count = int(v[1])
             if (v := g.obj1(pshape, SH + "maxCount")) is not None:
                 tc.max_count = int(v[1])
-            if (v := g.obj1(pshape, SH + "datatype")) is not None:
-                tc.datatype = v[1]
-            if (v := g.obj1(pshape, SH + "nodeKind")) is not None:
-                tc.node_kind = _NODEKIND.get(v[1])
-            if (v := g.obj1(pshape, SH + "in")) is not None:
-                tc.value_set = [
-                    ("iri" if k in ("iri", "bnode") else "literal", val)
-                    for k, val, _, _ in g.rdf_list(v[1])
-                ]
-            for sh_name, field in (
-                ("minInclusive", "min_inclusive"),
-                ("maxInclusive", "max_inclusive"),
-                ("minExclusive", "min_exclusive"),
-                ("maxExclusive", "max_exclusive"),
-            ):
-                if (v := g.obj1(pshape, SH + sh_name)) is not None:
-                    setattr(tc, field, _num(v[1]))
-            if (v := g.obj1(pshape, SH + "pattern")) is not None:
-                tc.pattern = v[1]
-            if (v := g.obj1(pshape, SH + "minLength")) is not None:
-                tc.min_length = int(v[1])
-            if (v := g.obj1(pshape, SH + "maxLength")) is not None:
-                tc.max_length = int(v[1])
-            if (v := g.obj1(pshape, SH + "node")) is not None:
-                tc.ref_shape = v[1]
+            _read_value_constraints(g, pshape, tc)
+
+            # sh:or ( m1 m2 … ): value disjunction — each member is a
+            # value-only blank node lifted into a disjunct TC
+            if (v := g.obj1(pshape, SH + "or")) is not None:
+                if _has_value_fields(tc):
+                    raise ValueError(
+                        "SHACL: sh:or combined with sibling value constraints "
+                        "is not supported in this subset"
+                    )
+                members = []
+                for _, mnode, _, _ in g.rdf_list(v[1]):
+                    m = TripleConstraint(pred=pv)
+                    _read_value_constraints(g, mnode, m)
+                    if m.ref_shape is not None:
+                        raise ValueError("SHACL: sh:node inside sh:or is not supported")
+                    members.append(m)
+                tc.disjuncts = members
+
+            # sh:and ( m1 m2 … ): conjunction — members' value components
+            # merge onto the property shape (conflicting fields rejected)
+            if (v := g.obj1(pshape, SH + "and")) is not None:
+                for _, mnode, _, _ in g.rdf_list(v[1]):
+                    m = TripleConstraint(pred=pv)
+                    _read_value_constraints(g, mnode, m)
+                    for f in _VALUE_FIELDS:
+                        mv = getattr(m, f)
+                        if mv is None:
+                            continue
+                        if getattr(tc, f) is not None and getattr(tc, f) != mv:
+                            raise ValueError(
+                                f"SHACL: conflicting {f} in sh:and members"
+                            )
+                        setattr(tc, f, mv)
+
+            # sh:not [ … ]: negated value constraint (only form supported:
+            # no sibling value constraints on the property shape itself)
+            if (v := g.obj1(pshape, SH + "not")) is not None:
+                if _has_value_fields(tc) or tc.disjuncts:
+                    raise ValueError(
+                        "SHACL: sh:not combined with sibling value constraints "
+                        "is not supported in this subset"
+                    )
+                _read_value_constraints(g, v[1], tc)
+                if tc.ref_shape is not None:
+                    raise ValueError("SHACL: sh:node inside sh:not is not supported")
+                tc.negated = True
             shape.constraints.append(tc)
         shapes[s] = shape
 
