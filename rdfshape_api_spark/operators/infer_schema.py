@@ -129,13 +129,49 @@ def to_shexc(profile_rows: list, shape_label: str = "InferredShape") -> str:
     return "\n".join(lines)
 
 
+def referenced_nodes(triples: DataFrame, focus: DataFrame) -> DataFrame:
+    """IRI objects referenced by the focus nodes' arcs (excluding
+    rdf:type class IRIs) — the follow-on frontier of ``InferOptions``."""
+    arcs = triples.join(F.broadcast(focus), triples["subj"] == focus["node"], "left_semi")
+    return (
+        arcs.filter((F.col("obj_kind") == KIND_IRI) & (F.col("pred") != RDF_TYPE))
+        .select(F.col("obj_value").alias("node"))
+        .distinct()
+    )
+
+
 def extract_schema(
-    triples: DataFrame, selector: str, shape_label: str = "InferredShape"
+    triples: DataFrame,
+    selector: str,
+    shape_label: str = "InferredShape",
+    max_follow_on: int = 0,
 ) -> tuple[DataFrame, DataFrame, str]:
     """The full DataExtract contract: returns (profile DF, result shapemap
-    DF `(node, shape)`, ShExC text)."""
+    DF `(node, shape)`, ShExC text).
+
+    ``max_follow_on`` profiles referenced nodes up to that many hops away
+    into additional shapes (``InferOptions.maxFollowOn`` — 1 at the API,
+    3 for the Wikidata extract, DataExtract.scala:70 /
+    WikibaseSchemaExtract.scala:78); each hop's shape is named
+    ``{shape_label}_hop{i}``."""
     focus = node_selector_focus(triples, selector)
     profile = infer_shape_profile(triples, focus)
     shapemap = focus.select("node", F.lit(shape_label).alias("shape"))
-    text = to_shexc(profile.collect(), shape_label)
-    return profile, shapemap, text
+    texts = [to_shexc(profile.collect(), shape_label)]
+
+    seen = focus
+    frontier = focus
+    for hop in range(1, max_follow_on + 1):
+        frontier = referenced_nodes(triples, frontier).join(seen, "node", "left_anti")
+        if frontier.isEmpty():
+            break
+        hop_label = f"{shape_label}_hop{hop}"
+        hop_profile = infer_shape_profile(triples, frontier)
+        hop_rows = hop_profile.collect()
+        if hop_rows:
+            texts.append(to_shexc(hop_rows, hop_label))
+        shapemap = shapemap.unionByName(
+            frontier.select("node", F.lit(hop_label).alias("shape"))
+        )
+        seen = seen.unionByName(frontier).distinct()
+    return profile, shapemap, "\n\n".join(texts)

@@ -77,6 +77,11 @@ class SparqlQuery:
     filters: list[list[str]] = field(default_factory=list)  # token lists
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    offset: int | None = None
+    # UNION blocks: each block is a list of alternative branches (each a
+    # pattern list); block solutions = union of branch solutions, joined
+    # with the rest of the WHERE clause on shared variables
+    union_groups: list[list[list[_Pattern]]] = field(default_factory=list)
 
 
 class SparqlParseError(ValueError):
@@ -174,12 +179,15 @@ def parse_sparql(text: str) -> SparqlQuery:
                 q.order_by.append((t[1:], desc))
         elif kw == "LIMIT":
             q.limit = int(p.next())
+        elif kw == "OFFSET":
+            q.offset = int(p.next())
         else:
             raise SparqlParseError(f"unsupported clause {kw!r}")
 
     if not q.select_vars:  # SELECT *
         seen: list[str] = []
-        for pat in q.patterns + [x for grp in q.optionals for x in grp]:
+        union_pats = [pat for blk in q.union_groups for br in blk for pat in br]
+        for pat in q.patterns + [x for grp in q.optionals for x in grp] + union_pats:
             for t in (pat.subj, pat.pred, pat.obj):
                 if t.startswith("?") and t[1:] not in seen:
                     seen.append(t[1:])
@@ -205,6 +213,24 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], into: list[_Pattern], q: 
             grp: list[_Pattern] = []
             _parse_group(p, prefixes, grp, q)
             q.optionals.append(grp)
+            continue
+        if t == "{":
+            # nested group — `{ A } UNION { B } (UNION { C })*`
+            branches: list[list[_Pattern]] = []
+            first: list[_Pattern] = []
+            _parse_group(p, prefixes, first, q)
+            branches.append(first)
+            while p.peek() and p.peek().upper() == "UNION":
+                p.next()
+                alt: list[_Pattern] = []
+                _parse_group(p, prefixes, alt, q)
+                branches.append(alt)
+            if len(branches) == 1:
+                into.extend(first)  # plain grouping braces
+            else:
+                q.union_groups.append(branches)
+            if p.peek() == ".":
+                p.next()
             continue
         _parse_triples_block(p, prefixes, into)
 
@@ -409,7 +435,31 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     Returns one column per selected variable (string-typed bindings, the
     JSON-bindings contract of ``DataQuery.scala:51-63``)."""
     q = parse_sparql(query_text)
-    acc = _join_patterns(triples, q.patterns)
+    acc = _join_patterns(triples, q.patterns) if q.patterns else None
+    for blk in q.union_groups:
+        branch_dfs = [_join_patterns(triples, br) for br in blk]
+        # align branch columns: union over the block's full variable set,
+        # absent variables become null bindings (SPARQL UNION semantics)
+        all_vars = sorted({c for b in branch_dfs for c in b.columns})
+        aligned = [
+            b.select(
+                *[
+                    (F.col(v) if v in b.columns else F.lit(None).cast("string")).alias(v)
+                    for v in all_vars
+                ]
+            )
+            for b in branch_dfs
+        ]
+        blk_df = aligned[0]
+        for a in aligned[1:]:
+            blk_df = blk_df.unionByName(a)
+        if acc is None:
+            acc = blk_df
+        else:
+            shared = sorted(set(acc.columns) & set(blk_df.columns))
+            acc = acc.join(blk_df, on=shared, how="inner") if shared else acc.crossJoin(blk_df)
+    if acc is None:
+        raise SparqlParseError("empty WHERE clause")
     for grp in q.optionals:
         opt = _join_patterns(triples, grp)
         shared = sorted(set(acc.columns) & set(opt.columns))
@@ -423,6 +473,8 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         out = out.orderBy(
             *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in q.order_by]
         )
+    if q.offset is not None:
+        out = out.offset(q.offset)
     if q.limit is not None:
         out = out.limit(q.limit)
     return out

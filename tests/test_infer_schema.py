@@ -50,6 +50,17 @@ def test_profile_and_shexc(spark, triples_001):
     assert shapemap.first()["shape"] == "Inferred"
 
 
+def test_follow_on_profiles_referenced_nodes(spark, triples_001):
+    # readings reference ex:hub via ex:station → hop-1 shape profiles hub
+    profile, shapemap, text = extract_schema(
+        triples_001, "{FOCUS a <" + EX + "Reading>}", shape_label="R", max_follow_on=1
+    )
+    hop_nodes = {r["node"] for r in shapemap.filter("shape = 'R_hop1'").collect()}
+    assert EX + "hub" in hop_nodes
+    # hub has no outgoing arcs in the fixture, so only the base shape renders
+    assert text.startswith("<R>")
+
+
 def test_fixed_node_selector(spark, triples_001):
     focus = node_selector_focus(triples_001, f"<{EX}shared0>")
     assert focus.collect()[0]["node"] == EX + "shared0"

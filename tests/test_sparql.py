@@ -120,6 +120,64 @@ def test_order_limit(spark, triples_001):
     assert vals == sorted(vals, reverse=True)
 
 
+def test_union(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT DISTINCT ?s WHERE {
+              { ?s ex:status "BROKEN" . } UNION { ?s ex:status "RUNNING" . }
+            }""",
+    )
+    expected = (
+        triples_001.filter(
+            (F.col("pred") == EX + "status") & F.col("obj_value").isin("BROKEN", "RUNNING")
+        )
+        .select("subj").distinct().count()
+    )
+    assert out.count() == expected > 0
+
+
+def test_union_disjoint_vars_null_padding(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?lbl ?st WHERE {
+              { ?s ex:label ?lbl . } UNION { ?s ex:status ?st . }
+            }""",
+    )
+    rows = out.collect()
+    assert any(r["lbl"] is None for r in rows) and any(r["st"] is None for r in rows)
+    assert all((r["lbl"] is None) != (r["st"] is None) for r in rows)
+
+
+def test_union_joined_with_sibling_pattern(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT DISTINCT ?s ?t WHERE {
+              ?s ex:readingTemperature ?t .
+              { ?s ex:status "OK" . } UNION { ?s ex:status "RUNNING" . }
+            }""",
+    )
+    ok = (
+        triples_001.filter((F.col("pred") == EX + "status") & F.col("obj_value").isin("OK", "RUNNING"))
+        .select("subj").distinct()
+    )
+    temps = (
+        triples_001.filter(F.col("pred") == EX + "readingTemperature")
+        .select("subj", "obj_value").distinct()
+    )
+    expected = temps.join(ok, "subj").count()
+    assert out.count() == expected > 0
+
+
+def test_offset(spark, triples_001):
+    base = PREFIX + "SELECT DISTINCT ?t WHERE { ?s ex:readingTemperature ?t . } ORDER BY ?t"
+    all_vals = [r["t"] for r in sparql_select(triples_001, base).collect()]
+    tail = [r["t"] for r in sparql_select(triples_001, base + " LIMIT 5 OFFSET 3").collect()]
+    assert tail == all_vals[3:8]
+
+
 def test_filter_logical_ops(spark, triples_001):
     out = sparql_select(
         triples_001,
