@@ -198,3 +198,28 @@ def read_canonical_store(spark, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     keep = [c for c in TRIPLE_COLUMNS if c in df.columns]
     return df.select(*keep)
+
+
+def pred_partition_value(pred: str) -> str:
+    """Driver-side twin of :func:`pred_partition_key` for a literal
+    predicate — needed to push a predicate filter down to the store's
+    *directory* level (the `pred` data column cannot prune `pred_part=`
+    directories by itself)."""
+    import hashlib
+    import re as _re
+
+    local = _re.sub(r"[^A-Za-z0-9_-]", "_", _re.split(r"[/#]", pred)[-1])
+    return f"{local}_{hashlib.md5(pred.encode()).hexdigest()[:8]}"
+
+
+def read_store_predicate(spark, path: str, pred: str) -> DataFrame:
+    """Partition-pruned scan of one predicate (SURVEY §2.3 P3: predicate
+    selection on the canonical store is a pruned directory read — the
+    `pred_part=` filter reaches Catalyst as a partition filter, so only
+    that predicate's files are listed/read)."""
+    df = spark.read.parquet(path)
+    out = df.filter(
+        (F.col("pred_part") == pred_partition_value(pred)) & (F.col("pred") == pred)
+    )
+    keep = [c for c in TRIPLE_COLUMNS if c in out.columns]
+    return out.select(*keep)

@@ -1,0 +1,103 @@
+"""Physical-plan quality gates: pruning, pushdown, codegen.
+
+These assert the *plan shape* we designed for (SURVEY §4), not just row
+correctness — a regression that silently reverts to full scans or drops
+codegen fails here even though results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfshape_api_spark.fixtures.generator import SHAPEMAP_QUERY, SHEX_SENSOR
+from rdfshape_api_spark.operators.canonicalize import (
+    canonicalize,
+    pred_partition_value,
+    read_store_predicate,
+    write_canonical_store,
+)
+from rdfshape_api_spark.model import TRIPLE_COLUMNS
+
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def store(spark, fixtures_001, tmp_path_factory):
+    from rdfshape_api_spark.sources.extract import extract_triples_raw
+
+    docs = spark.read.parquet(fixtures_001["docs"])
+    raw = extract_triples_raw(docs)
+    canon = canonicalize(raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS))
+    path = str(tmp_path_factory.mktemp("store") / "triple_store")
+    write_canonical_store(canon, path, subj_buckets=4, dedup=True)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_predicate_read_is_partition_pruned(spark, store):
+    df = read_store_predicate(spark, store, EX + "status")
+    plan = _plan(df)
+    # the pred_part literal must appear as a partition filter on the scan
+    assert "PartitionFilters" in plan
+    assert pred_partition_value(EX + "status") in plan
+    # and it returns exactly the pred's rows
+    full = spark.read.parquet(store)
+    assert df.count() == full.filter(F.col("pred") == EX + "status").count() > 0
+
+
+def test_column_projection_prunes_read_schema(spark, store):
+    df = read_store_predicate(spark, store, EX + "status").select("subj", "obj_value")
+    plan = _plan(df)
+    # ReadSchema must not include the unused literal-metadata columns
+    rs = plan[plan.index("ReadSchema") :].split("\n")[0] if "ReadSchema" in plan else ""
+    assert "obj_lang" not in rs and "doc_sha256" in rs or "subj" in rs
+
+
+def test_extraction_fast_path_is_whole_stage_codegen(spark, fixtures_001):
+    from rdfshape_api_spark.sources.extract import extract_ntriples_columnar, with_doc_sha
+
+    docs = with_doc_sha(spark.read.parquet(fixtures_001["docs"]))
+    nt = extract_ntriples_columnar(docs.filter(F.lower("lang") == "ntriples"))
+    plan = _plan(nt)
+    # `*(n)` prefixes in executedPlan.toString mark WholeStageCodegen stages
+    assert "*(" in plan
+    # zero Python stages on the fast path
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_validation_plan_has_no_python_stages(spark, store):
+    """Validation over the store (the pipeline's stage-3 shape) is pure
+    Spark SQL — Python appears only in the extraction stage upstream."""
+    from rdfshape_api_spark.operators.canonicalize import read_canonical_store
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = read_canonical_store(spark, store)
+    v = validate(
+        tri, parse_shexc(SHEX_SENSOR), shapemap=SHAPEMAP_QUERY, shape_label="s"
+    )
+    plan = _plan(v)
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan  # the A5 cardinality aggregation
+
+
+def test_fused_store_write_single_exchange(spark, store):
+    from rdfshape_api_spark.operators.canonicalize import (
+        pred_partition_key,
+        read_canonical_store,
+    )
+
+    out = read_canonical_store(spark, store).select(*TRIPLE_COLUMNS).withColumn(
+        "pred_part", pred_partition_key()
+    ).withColumn("bucket", F.pmod(F.xxhash64("subj"), F.lit(4)))
+    key = ["doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+    fused = (
+        out.repartition("pred_part", "bucket")
+        .groupBy("pred_part", "bucket", *key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    plan = _plan(fused)
+    assert plan.count("Exchange") == 1
