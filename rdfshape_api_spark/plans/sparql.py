@@ -478,3 +478,25 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+def sparql_select_json(triples: DataFrame, query_text: str, limit: int = 10_000) -> dict:
+    """SPARQL-results-JSON (the DataQuery JSON-bindings contract,
+    ``DataQuery.scala:51-63`` — Jena ARQ's output shape): ``{head: {vars},
+    results: {bindings: [{var: {type, value}}…]}}``.
+
+    Driver-side materialization — use only for API-response-sized results
+    (``limit`` guards against accidentally collecting a data-sized set)."""
+    df = sparql_select(triples, query_text).limit(limit)
+    vars_ = df.columns
+    bindings = []
+    for row in df.collect():
+        b = {}
+        for v in vars_:
+            val = row[v]
+            if val is None:
+                continue
+            kind = "uri" if isinstance(val, str) and val.startswith(("http://", "https://", "urn:")) else "literal"
+            b[v] = {"type": kind, "value": str(val)}
+        bindings.append(b)
+    return {"head": {"vars": vars_}, "results": {"bindings": bindings}}

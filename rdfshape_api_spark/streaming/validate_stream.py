@@ -75,6 +75,34 @@ class StreamConfig:
     timeout_s: float = 40.0  # T3 default, Server.scala:164
     max_files_per_trigger: int | None = None
     extra: dict = field(default_factory=dict)
+    # the reference's stream block (server/port/topic/groupId) — consumed by
+    # a Kafka source in production; informational for the file-stream stand-in
+    stream_info: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_reference_json(cls, cfg: dict) -> "StreamConfig":
+        """Build from the reference's streaming configuration tree
+        (docs/api-usage/streaming.md:57-84):
+
+        ``{validator: {schema: {content, engine, ...}, triggerMode:
+        {shape-map, ...}, haltOnInvalid, haltOnErrored}, extractor:
+        {data: {format, inference}}, stream: {server, port, topic,
+        groupId}}`` — the ``stream`` block maps to the source options
+        (Kafka in production, file-stream here)."""
+        validator = cfg.get("validator", {})
+        schema = validator.get("schema", {})
+        engine = str(schema.get("engine", "shex")).lower()
+        content = schema.get("content")
+        trigger = validator.get("triggerMode", {})
+        shapemap = trigger.get("shape-map", trigger.get("shapeMap"))
+        return cls(
+            shex_schema=content if engine == "shex" else None,
+            shex_shapemap=shapemap,
+            shacl_schema=content if engine != "shex" else None,
+            halt_on_invalid=bool(validator.get("haltOnInvalid", False)),
+            halt_on_errored=bool(validator.get("haltOnErrored", False)),
+            stream_info=dict(cfg.get("stream", {})),
+        )
 
 
 def _batch_validate(batch: DataFrame, cfg: StreamConfig) -> tuple[DataFrame, DataFrame]:
