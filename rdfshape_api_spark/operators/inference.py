@@ -123,12 +123,159 @@ def rdfs_closure(df: DataFrame, spark=None) -> DataFrame:
     return out.groupBy(*key).agg(F.min("origin").alias("origin"))
 
 
+OWL = "http://www.w3.org/2002/07/owl#"
+OWL_INVERSE_OF = OWL + "inverseOf"
+OWL_SYMMETRIC = OWL + "SymmetricProperty"
+OWL_TRANSITIVE = OWL + "TransitiveProperty"
+OWL_EQUIV_CLASS = OWL + "equivalentClass"
+
+
+def owl_lite_closure(df: DataFrame, spark=None, max_transitive_iters: int = 10) -> DataFrame:
+    """OWL-RL-lite entailment: the property-axiom subset of Jena's OWL
+    reasoner that instance data commonly exercises —
+
+    * ``owl:inverseOf``      (prp-inv1/2): x p y ⇒ y q x
+    * ``owl:SymmetricProperty`` (prp-symp): x p y ⇒ y p x
+    * ``owl:TransitiveProperty`` (prp-trp): bounded fixpoint self-join
+      (driver loop with localCheckpoint — Catalyst has no recursion)
+    * ``owl:equivalentClass`` (cax-eqc1/2): typed as one ⇒ typed as both
+
+    Schema axioms are tiny → collected and broadcast like
+    :func:`rdfs_closure`; entailed rows carry ``origin='inferred'``.
+    Everything else in OWL (restrictions, sameAs identity, hasValue…) is
+    deliberately out of scope — see SURVEY §2.8.
+    """
+    spark = spark or df.sparkSession
+    axioms = (
+        df.filter(
+            (F.col("pred").isin(OWL_INVERSE_OF, OWL_EQUIV_CLASS))
+            | ((F.col("pred") == RDF_TYPE) & F.col("obj_value").isin(OWL_SYMMETRIC, OWL_TRANSITIVE))
+        )
+        .select("pred", "subj", "obj_value")
+        .collect()
+    )
+    inverse = [(r["subj"], r["obj_value"]) for r in axioms if r["pred"] == OWL_INVERSE_OF]
+    equiv = [(r["subj"], r["obj_value"]) for r in axioms if r["pred"] == OWL_EQUIV_CLASS]
+    symmetric = sorted(
+        {r["subj"] for r in axioms if r["pred"] == RDF_TYPE and r["obj_value"] == OWL_SYMMETRIC}
+    )
+    transitive = sorted(
+        {r["subj"] for r in axioms if r["pred"] == RDF_TYPE and r["obj_value"] == OWL_TRANSITIVE}
+    )
+
+    base = ["repo", "path", "commit", "doc_sha256"] if "repo" in df.columns else ["doc_sha256"]
+
+    def _swap(src: DataFrame, new_pred_col) -> DataFrame:
+        """(x p y) → (y q x); only non-literal objects can be subjects."""
+        return src.filter(F.col("obj_kind") != "literal").select(
+            *base,
+            F.col("obj_value").alias("subj"),
+            new_pred_col.alias("pred"),
+            F.lit(KIND_IRI).alias("obj_kind"),
+            F.col("subj").alias("obj_value"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit("inferred").alias("origin"),
+        )
+
+    # compose with rdfs_closure: an existing origin column is preserved so
+    # RDFS-inferred rows stay 'inferred' through the OWL pass
+    if "origin" in df.columns:
+        parts = [df]
+        df = df.drop("origin")
+    else:
+        parts = [df.withColumn("origin", F.lit("asserted"))]
+    if inverse:
+        # both directions (owl:inverseOf is symmetric over the axiom pair)
+        pairs = inverse + [(q, p) for p, q in inverse]
+        inv_df = spark.createDataFrame(pairs, "p string, q string")
+        j = df.join(F.broadcast(inv_df), df["pred"] == inv_df["p"])
+        parts.append(_swap(j, F.col("q")))
+    if symmetric:
+        sym = df.filter(F.col("pred").isin(*symmetric))
+        parts.append(_swap(sym, F.col("pred")))
+    if equiv:
+        pairs = equiv + [(d, c) for c, d in equiv]
+        eq_df = spark.createDataFrame(pairs, "c string, d string")
+        typed = df.filter(F.col("pred") == RDF_TYPE)
+        j = typed.join(F.broadcast(eq_df), typed["obj_value"] == eq_df["c"])
+        parts.append(
+            j.select(
+                *base,
+                "subj",
+                F.lit(RDF_TYPE).alias("pred"),
+                F.lit(KIND_IRI).alias("obj_kind"),
+                F.col("d").alias("obj_value"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+                F.lit("inferred").alias("origin"),
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
+    if transitive:
+        # per-predicate bounded fixpoint over (subj, obj) pairs
+        for pred in transitive:
+            pairs_df = (
+                out.filter((F.col("pred") == pred) & (F.col("obj_kind") != "literal"))
+                .select(*base, "subj", "obj_value")
+                .distinct()
+                .localCheckpoint()
+            )
+            acc = pairs_df
+            frontier = pairs_df
+            for _ in range(max_transitive_iters):
+                a = frontier.select(*base, "subj", F.col("obj_value").alias("_mid"))
+                b = pairs_df.select(
+                    *[F.col(c).alias(f"_b_{c}") for c in base],
+                    F.col("subj").alias("_mid2"),
+                    F.col("obj_value").alias("_dst"),
+                )
+                cond = [a["_mid"] == b["_mid2"]] + [
+                    a[c] == b[f"_b_{c}"] for c in ["doc_sha256"]
+                ]
+                nxt = (
+                    a.join(b, on=cond)
+                    .select(*base, "subj", F.col("_dst").alias("obj_value"))
+                    .distinct()
+                )
+                new = nxt.exceptAll(acc).localCheckpoint()
+                if new.isEmpty():
+                    break
+                acc = acc.unionByName(new).localCheckpoint()
+                frontier = new
+            entailed = acc.exceptAll(pairs_df)
+            out = out.unionByName(
+                entailed.select(
+                    *base,
+                    "subj",
+                    F.lit(pred).alias("pred"),
+                    F.lit(KIND_IRI).alias("obj_kind"),
+                    "obj_value",
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                    F.lit("inferred").alias("origin"),
+                )
+            )
+
+    key = [c for c in out.columns if c != "origin"]
+    return out.groupBy(*key).agg(F.min("origin").alias("origin"))
+
+
 def apply_inference(df: DataFrame, engine: str = "NONE") -> DataFrame:
     """The reference's applyInference dispatch (NONE default,
-    ApiDefaults.scala:60)."""
+    ApiDefaults.scala:60; engines from InferenceEngine.availableInferenceEngines,
+    ApiDefinitions.scala:59-60)."""
     eng = (engine or "NONE").upper()
     if eng == "NONE":
         return df
     if eng == "RDFS":
         return rdfs_closure(df)
-    raise ValueError(f"inference engine {engine!r} not supported (NONE | RDFS)")
+    if eng == "OWL":
+        # RDFS rules + the OWL-lite property/class axiom subset; origin
+        # labels survive the composition (rdfs-inferred stays 'inferred')
+        return owl_lite_closure(rdfs_closure(df))
+    raise ValueError(f"inference engine {engine!r} not supported (NONE | RDFS | OWL)")

@@ -1,0 +1,101 @@
+"""OWL-RL-lite entailment (SURVEY §2.8 — the OWL property-axiom subset)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdfshape_api_spark.operators.inference import (
+    OWL_EQUIV_CLASS,
+    OWL_INVERSE_OF,
+    OWL_SYMMETRIC,
+    OWL_TRANSITIVE,
+    apply_inference,
+    owl_lite_closure,
+)
+
+E = "http://e/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _tri(spark, rows):
+    cols = "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    return spark.createDataFrame([("d", *r) for r in rows], cols)
+
+
+def _facts(df):
+    return {
+        (r["subj"], r["pred"], r["obj_value"], r["origin"]) for r in df.collect()
+    }
+
+
+def test_inverse_of(spark):
+    tri = _tri(
+        spark,
+        [
+            (E + "childOf", OWL_INVERSE_OF, "iri", E + "parentOf", None, None),
+            (E + "a", E + "childOf", "iri", E + "b", None, None),
+            (E + "c", E + "parentOf", "iri", E + "d", None, None),
+        ],
+    )
+    facts = _facts(owl_lite_closure(tri))
+    assert (E + "b", E + "parentOf", E + "a", "inferred") in facts
+    assert (E + "d", E + "childOf", E + "c", "inferred") in facts  # both directions
+
+
+def test_symmetric(spark):
+    tri = _tri(
+        spark,
+        [
+            (E + "knows", RDF_TYPE, "iri", OWL_SYMMETRIC, None, None),
+            (E + "a", E + "knows", "iri", E + "b", None, None),
+        ],
+    )
+    facts = _facts(owl_lite_closure(tri))
+    assert (E + "b", E + "knows", E + "a", "inferred") in facts
+
+
+def test_transitive_chain(spark):
+    tri = _tri(
+        spark,
+        [
+            (E + "part", RDF_TYPE, "iri", OWL_TRANSITIVE, None, None),
+            (E + "a", E + "part", "iri", E + "b", None, None),
+            (E + "b", E + "part", "iri", E + "c", None, None),
+            (E + "c", E + "part", "iri", E + "d", None, None),
+        ],
+    )
+    facts = _facts(owl_lite_closure(tri))
+    assert (E + "a", E + "part", E + "c", "inferred") in facts
+    assert (E + "a", E + "part", E + "d", "inferred") in facts  # 2-hop closure
+    assert (E + "b", E + "part", E + "d", "inferred") in facts
+    # asserted rows keep their origin
+    assert (E + "a", E + "part", E + "b", "asserted") in facts
+
+
+def test_equivalent_class(spark):
+    tri = _tri(
+        spark,
+        [
+            (E + "Car", OWL_EQUIV_CLASS, "iri", E + "Automobile", None, None),
+            (E + "x", RDF_TYPE, "iri", E + "Car", None, None),
+            (E + "y", RDF_TYPE, "iri", E + "Automobile", None, None),
+        ],
+    )
+    facts = _facts(owl_lite_closure(tri))
+    assert (E + "x", RDF_TYPE, E + "Automobile", "inferred") in facts
+    assert (E + "y", RDF_TYPE, E + "Car", "inferred") in facts
+
+
+def test_apply_inference_owl_includes_rdfs(spark):
+    RDFS_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    tri = _tri(
+        spark,
+        [
+            (E + "Car", RDFS_SUB, "iri", E + "Vehicle", None, None),
+            (E + "Car", OWL_EQUIV_CLASS, "iri", E + "Automobile", None, None),
+            (E + "x", RDF_TYPE, "iri", E + "Car", None, None),
+        ],
+    )
+    facts = _facts(apply_inference(tri, "OWL"))
+    assert (E + "x", RDF_TYPE, E + "Vehicle", "inferred") in facts  # rdfs9
+    assert (E + "x", RDF_TYPE, E + "Automobile", "inferred") in facts  # cax-eqc
