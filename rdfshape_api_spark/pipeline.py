@@ -27,7 +27,7 @@ from rdfshape_api_spark.operators.canonicalize import (
     canonicalize,
     write_canonical_store,
 )
-from rdfshape_api_spark.plans import parse_shacl, parse_shexc, validate
+from rdfshape_api_spark.plans import parse_shacl, parse_shexc
 from rdfshape_api_spark.sources.extract import extract_triples_raw
 
 
@@ -124,23 +124,18 @@ def run_pipeline(
             )
     triples = spark.read.parquet(store_dir).select(*TRIPLE_COLUMNS)
 
-    # -- stage 3: validation --------------------------------------------------
+    # -- stage 3: validation (all schemas in ONE pass over the store) --------
     if not (resume and stage_complete(verdict_dir)):
         with StageTimer(metrics, "validate"):
-            verdicts = []
+            jobs = []
             if shex_schema:
-                schema = parse_shexc(shex_schema)
-                verdicts.append(
-                    validate(triples, schema, shapemap=shex_shapemap, shape_label="shex_sensor")
-                )
+                jobs.append((parse_shexc(shex_schema), shex_shapemap, "shex_sensor"))
             if shacl_schema:
-                schema = parse_shacl(shacl_schema)
-                verdicts.append(validate(triples, schema, shape_label="shacl_sensor"))
-            if verdicts:
-                out = verdicts[0]
-                for v in verdicts[1:]:
-                    out = out.unionByName(v)
-                out.write.mode("overwrite").parquet(verdict_dir)
+                jobs.append((parse_shacl(shacl_schema), None, "shacl_sensor"))
+            if jobs:
+                from rdfshape_api_spark.plans.validate import validate_batch
+
+                validate_batch(triples, jobs).write.mode("overwrite").parquet(verdict_dir)
 
     # -- metrics --------------------------------------------------------------
     lineage = spark.read.parquet(lineage_dir)

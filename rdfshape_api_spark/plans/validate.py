@@ -258,6 +258,122 @@ def evaluate_shape(
     )
 
 
+def validate_batch(
+    triples: DataFrame,
+    jobs: list[tuple[CompiledSchema, "str | list[Association] | None", str]],
+) -> DataFrame:
+    """Validate several (schema, shapemap, label) jobs in ONE pass over the
+    triples: the focus work-lists are unioned with a shape tag, joined once
+    against the union of all mentioned predicates, and a single
+    groupBy(doc, node, tag) computes every job's constraint aggregates —
+    one scan + one shuffle for N schemas instead of N of each.  Used by the
+    pipeline's validation stage; falls back to sequential :func:`validate`
+    for jobs with shape references or CLOSED shapes (their evaluation needs
+    per-shape neighbourhoods).
+
+    Returns the same verdict schema as :func:`validate`.
+    """
+    simple: list[tuple[int, CompiledSchema, Shape, DataFrame, str]] = []
+    fallback_out: list[DataFrame] = []
+    for schema, shapemap, label in jobs:
+        complex_ = any(
+            sh.closed or any(tc.ref_shape for tc in sh.constraints)
+            for sh in schema.shapes.values()
+        ) or len(schema.shapes) > 1
+        if complex_:
+            fallback_out.append(
+                validate(triples, schema, shapemap=shapemap, shape_label=label)
+            )
+            continue
+        sid, shape = next(iter(schema.shapes.items()))
+        if shapemap is not None:
+            assocs = (
+                parse_shapemap(shapemap, schema.prefixes)
+                if isinstance(shapemap, str)
+                else shapemap
+            )
+            focus = resolve_focus(triples, assocs).select("doc_sha256", "node")
+        else:
+            focus = resolve_targets(triples, shape)
+        simple.append((len(simple), schema, shape, focus, label))
+
+    outs = list(fallback_out)
+    if simple:
+        tagged_focus = None
+        for i, _, _, focus, _ in simple:
+            f = focus.distinct().withColumn("_tag", F.lit(i))
+            tagged_focus = f if tagged_focus is None else tagged_focus.unionByName(f)
+        all_preds = sorted({tc.pred for _, _, sh, _, _ in simple for tc in sh.constraints})
+
+        tri = triples.select(
+            "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+        ).filter(F.col("pred").isin(*all_preds))
+        f = tagged_focus.select(
+            F.col("doc_sha256").alias("_f_doc"), F.col("node").alias("_f_node"), "_tag"
+        )
+        nbr = tri.join(
+            f, on=[tri["doc_sha256"] == f["_f_doc"], tri["subj"] == f["_f_node"]]
+        ).select(tri["*"], f["_tag"])
+
+        aggs = []
+        for i, _, shape, _, _ in simple:
+            for j, tc in enumerate(shape.constraints):
+                on = (F.col("_tag") == i) & (F.col("pred") == tc.pred)
+                aggs.append(
+                    F.sum(F.when(on & _value_ok(tc, None), 1).otherwise(0)).alias(f"m_{i}_{j}")
+                )
+                aggs.append(F.sum(F.when(on, 1).otherwise(0)).alias(f"t_{i}_{j}"))
+        grouped = nbr.groupBy(
+            "_tag", "doc_sha256", F.col("subj").alias("node")
+        ).agg(*aggs)
+        res = tagged_focus.join(
+            grouped, on=["_tag", "doc_sha256", "node"], how="left"
+        )
+
+        # single projection dispatching on the tag — per-tag filter+union
+        # branches would duplicate the whole aggregation subtree in the plan
+        label_expr = F.lit(None).cast("string")
+        status_expr = F.lit(None).cast("string")
+        reasons_expr = F.array().cast("array<string>")
+        for i, _, shape, _, label in simple:
+            ok = F.lit(True)
+            reasons = []
+            for j, tc in enumerate(shape.constraints):
+                m = F.coalesce(F.col(f"m_{i}_{j}"), F.lit(0))
+                t = F.coalesce(F.col(f"t_{i}_{j}"), F.lit(0))
+                c_ok = m >= tc.min_count
+                if tc.max_count is not None:
+                    c_ok = c_ok & (m <= tc.max_count)
+                if not tc.extra:
+                    c_ok = c_ok & (m == t)
+                ok = ok & c_ok
+                card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
+                reasons.append(F.when(~c_ok, F.lit(f"constraint on <{tc.pred}> {card} violated")))
+            tag_is = F.col("_tag") == i
+            label_expr = F.when(tag_is, F.lit(label)).otherwise(label_expr)
+            status_expr = F.when(
+                tag_is,
+                F.when(ok, F.lit(STATUS_CONFORMANT)).otherwise(F.lit(STATUS_NONCONFORMANT)),
+            ).otherwise(status_expr)
+            reasons_expr = F.when(tag_is, F.array_compact(F.array(*reasons))).otherwise(
+                reasons_expr
+            )
+        outs.append(
+            res.select(
+                "doc_sha256",
+                "node",
+                label_expr.alias("shape_id"),
+                status_expr.alias("status"),
+                reasons_expr.alias("reasons"),
+            )
+        )
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("doc_sha256", "node", "shape_id", "status", "reasons")
+
+
 def validate(
     triples: DataFrame,
     schema: CompiledSchema,
