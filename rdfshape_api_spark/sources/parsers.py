@@ -85,8 +85,14 @@ _NT_LITERAL = re.compile(
 )
 
 
+_NT_IRI_TOK = re.compile(r"^<[^<>\s]*>$")
+
+
 def _nt_term(tok: str):
     if tok.startswith("<") and tok.endswith(">"):
+        if not _NT_IRI_TOK.match(tok):
+            # e.g. '<b> <g>' — two terms the lazy object regex swallowed
+            raise ValueError(f"bad N-Triples IRI: {tok!r}")
         return ("iri", tok[1:-1], None, None)
     if tok.startswith("_:"):
         return ("bnode", tok, None, None)
@@ -136,7 +142,7 @@ _TOKEN = re.compile(
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<dtsep>\^\^)
     | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-    | (?P<punct>[;,.\[\]()])
+    | (?P<punct>[;,.\[\](){}])
     | (?P<pname>[A-Za-z0-9_][\w.-]*?:[\w.%-]*|:[\w.%-]*|[A-Za-z0-9_][\w.-]*:)
     | (?P<kw>@?[A-Za-z][A-Za-z0-9_-]*)
     """,
@@ -219,8 +225,40 @@ class _TurtleParser:
                 if v == "@base":
                     self.expect(".")
                 continue
+            # TriG graph blocks: `{ … }`, `GRAPH <g> { … }`, `<g> { … }` —
+            # graph labels are parsed then DROPPED (merged-model semantics,
+            # matching the reference's dataset→model flattening for the
+            # TriG/N-Quads formats, RdfFormat.scala:18-29)
+            if k == "punct" and v == "{":
+                self.parse_graph_block()
+                continue
+            if k == "kw" and v.upper() == "GRAPH":
+                self.next()
+                self.parse_subject()  # the graph label
+                self.parse_graph_block()
+                continue
+            if k in ("iri", "pname", "bnode") and self.peek2()[1] == "{":
+                self.parse_subject()  # the graph label
+                self.parse_graph_block()
+                continue
             self.parse_statement()
         return self.triples
+
+    def peek2(self):
+        return self.toks[self.i + 1] if self.i + 1 < len(self.toks) else (None, None)
+
+    def parse_graph_block(self):
+        self.expect("{")
+        while self.peek()[1] != "}":
+            if self.peek()[0] is None:
+                raise ValueError("unterminated graph block")
+            subj = self.parse_subject()
+            self.parse_predicate_object_list(subj)
+            if self.peek()[1] == ".":  # separator; optional before '}'
+                self.next()
+        self.expect("}")
+        if self.peek()[1] == ".":  # optional trailing dot
+            self.next()
 
     def parse_statement(self):
         subj = self.parse_subject()
@@ -511,6 +549,163 @@ def parse_jsonld(content: str) -> list[Triple]:
 # dispatch
 # --------------------------------------------------------------------------
 
+def parse_nquads(content: str) -> list[Triple]:
+    """N-Quads: N-Triples with an optional graph label, which is DROPPED
+    (merged-model semantics — the reference flattens the dataset into one
+    model for the request, RdfFormat.scala:18-29).  A line is tried as a
+    triple first; on failure the trailing graph term is peeled and the rest
+    re-tried, so IRIs-as-objects never get mistaken for graph labels."""
+    triples: list[Triple] = []
+    quad_tail = re.compile(r"^(.*?)\s+(<[^>]*>|_:[^\s]+)\s*\.\s*$")
+
+    def try_triple(line: str) -> Triple | None:
+        m = _NT_LINE.match(line)
+        if m is None:
+            return None
+        try:
+            _, s_val, _, _ = _nt_term(m.group(1))
+            o_kind, o_val, o_lang, o_dt = _nt_term(m.group(3))
+        except ValueError:
+            return None
+        return (s_val, m.group(2)[1:-1], o_kind, o_val, o_lang, o_dt)
+
+    for lineno, line in enumerate(content.split("\n"), 1):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        t = try_triple(line)
+        if t is None:
+            qm = quad_tail.match(line)
+            t = try_triple(qm.group(1) + " .") if qm else None
+            if t is None:
+                raise ValueError(f"line {lineno}: malformed N-Quads statement")
+        triples.append(t)
+    return triples
+
+
+def parse_rdfjson(content: str) -> list[Triple]:
+    """RDF/JSON (the Talis shape the reference's RdfFormat list includes):
+    ``{subj: {pred: [{type: uri|literal|bnode, value, lang?, datatype?}]}}``."""
+    doc = json.loads(content)
+    if not isinstance(doc, dict):
+        raise ValueError("RDF/JSON document must be an object")
+    triples: list[Triple] = []
+    for subj, preds in doc.items():
+        if not isinstance(preds, dict):
+            raise ValueError(f"RDF/JSON subject {subj!r} must map to an object")
+        for pred, objs in preds.items():
+            for o in objs:
+                t = o.get("type")
+                v = o.get("value")
+                if t == "uri":
+                    triples.append((subj, pred, "iri", v, None, None))
+                elif t == "bnode":
+                    triples.append((subj, pred, "bnode", v, None, None))
+                elif t == "literal":
+                    lang = o.get("lang")
+                    triples.append(
+                        (subj, pred, "literal", v,
+                         lang.lower() if lang else None, o.get("datatype"))
+                    )
+                else:
+                    raise ValueError(f"RDF/JSON object type {t!r} unknown")
+    return triples
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+
+def parse_rdfxml(content: str) -> list[Triple]:
+    """RDF/XML subset: the striped-syntax profile that covers typical
+    serializer output — ``rdf:Description``/typed node elements with
+    ``rdf:about``/``rdf:nodeID``/anonymous, property elements with
+    ``rdf:resource``/``rdf:nodeID``/``rdf:datatype``/``xml:lang``, nested
+    node elements, and ``rdf:parseType="Resource"``.  Reification,
+    containers, rdf:li, and xml:base resolution are out of subset."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(content)
+    triples: list[Triple] = []
+    genid = [0]
+
+    def fresh() -> str:
+        genid[0] += 1
+        return f"_:xg{genid[0]}"
+
+    def expand(tag: str) -> str:
+        # ElementTree gives '{ns}local'
+        if tag.startswith("{"):
+            ns, local = tag[1:].split("}", 1)
+            return ns + local
+        return tag
+
+    def node_id(el) -> str:
+        about = el.get(f"{{{_RDF_NS}}}about")
+        if about is not None:
+            return about
+        nid = el.get(f"{{{_RDF_NS}}}nodeID")
+        if nid is not None:
+            return f"_:{nid}"
+        return fresh()
+
+    def walk_node(el) -> str:
+        subj = node_id(el)
+        tag_iri = expand(el.tag)
+        if tag_iri != _RDF_NS + "Description":
+            triples.append((subj, _RDF_NS + "type", "iri", tag_iri, None, None))
+        # attribute-as-property shorthand
+        for k, v in el.attrib.items():
+            k_iri = expand(k)
+            if k_iri.startswith(_RDF_NS) or k_iri.startswith(_XML_NS):
+                continue
+            triples.append((subj, k_iri, "literal", v, None, None))
+        for prop in el:
+            pred = expand(prop.tag)
+            res = prop.get(f"{{{_RDF_NS}}}resource")
+            nid = prop.get(f"{{{_RDF_NS}}}nodeID")
+            dt = prop.get(f"{{{_RDF_NS}}}datatype")
+            lang = prop.get(f"{{{_XML_NS}}}lang")
+            ptype = prop.get(f"{{{_RDF_NS}}}parseType")
+            children = list(prop)
+            if res is not None:
+                triples.append((subj, pred, "iri", res, None, None))
+            elif nid is not None:
+                triples.append((subj, pred, "bnode", f"_:{nid}", None, None))
+            elif ptype == "Resource":
+                b = fresh()
+                triples.append((subj, pred, "bnode", b, None, None))
+                for sub in children:
+                    # properties directly under the parseType=Resource blank node
+                    sp = expand(sub.tag)
+                    sres = sub.get(f"{{{_RDF_NS}}}resource")
+                    if sres is not None:
+                        triples.append((b, sp, "iri", sres, None, None))
+                    else:
+                        triples.append(
+                            (b, sp, "literal", sub.text or "",
+                             None, sub.get(f"{{{_RDF_NS}}}datatype"))
+                        )
+            elif children:
+                child = children[0]
+                obj = walk_node(child)
+                kind = "bnode" if obj.startswith("_:") else "iri"
+                triples.append((subj, pred, kind, obj, None, None))
+            else:
+                triples.append(
+                    (subj, pred, "literal", prop.text or "",
+                     lang.lower() if lang else None, dt)
+                )
+        return subj
+
+    if expand(root.tag) == _RDF_NS + "RDF":
+        for el in root:
+            walk_node(el)
+    else:
+        walk_node(root)
+    return triples
+
+
 def parse_html(content: str, flavor: str = "rdfa11"):
     """HTML→RDF extraction stub (SURVEY §2.1 S2 — Any23 RDFa 1.1/Microdata,
     ``HtmlToRdf.extractFromString`` ``.../html2rdf/HtmlToRdf.scala:50-122``).
@@ -529,10 +724,19 @@ PARSERS = {
     "ntriples": parse_ntriples,
     "nt": parse_ntriples,
     "n-triples": parse_ntriples,
+    "nquads": parse_nquads,
+    "nq": parse_nquads,
+    "n-quads": parse_nquads,
     "turtle": parse_turtle,
     "ttl": parse_turtle,
+    "trig": parse_turtle,  # TriG = Turtle + graph blocks (handled in-parser)
     "jsonld": parse_jsonld,
     "json-ld": parse_jsonld,
+    "rdfjson": parse_rdfjson,
+    "rdf-json": parse_rdfjson,
+    "rdfxml": parse_rdfxml,
+    "rdf-xml": parse_rdfxml,
+    "rdf/xml": parse_rdfxml,
     "html-rdfa11": lambda c: parse_html(c, "rdfa11"),
     "html-microdata": lambda c: parse_html(c, "microdata"),
 }

@@ -11,5 +11,5 @@ def test_html_formats_route_to_error_channel():
 
 
 def test_unknown_format_still_errors():
-    triples, err = parse_document("x", "rdfxml")
+    triples, err = parse_document("x", "rdf-star-quint")
     assert triples == [] and "unsupported format" in err
