@@ -119,11 +119,18 @@ def to_shexc(schema: CompiledSchema) -> str:
         if sh.closed:
             mods.append("CLOSED")
         lines.append(f"{head} {' '.join(mods) + ' ' if mods else ''}{{")
-        body = []
-        for tc in sh.constraints:
-            pred = "a" if tc.pred == RDF_TYPE else _pname(tc.pred, schema.prefixes)
-            body.append(f"  {pred} {_value_expr(tc, schema.prefixes)}{_card(tc)}")
-        lines.append(" ;\n".join(body))
+
+        def _group(tcs) -> str:
+            return " ;\n".join(
+                f"  {'a' if tc.pred == RDF_TYPE else _pname(tc.pred, schema.prefixes)} "
+                f"{_value_expr(tc, schema.prefixes)}{_card(tc)}"
+                for tc in tcs
+            )
+
+        if sh.alternatives is not None:
+            lines.append(" |\n".join(_group(g) for g in sh.alternatives))
+        else:
+            lines.append(_group(sh.constraints))
         lines.append("}")
         lines.append("")
     return "\n".join(lines).rstrip() + "\n"

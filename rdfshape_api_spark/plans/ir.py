@@ -49,6 +49,11 @@ class Shape:
     shape_id: str
     constraints: list[TripleConstraint] = field(default_factory=list)
     closed: bool = False
+    # ShEx OneOf at the triple-expression level: when set, the shape body is
+    # `alt_0 | alt_1 | …` (each an EachOf constraint list) and a node
+    # conforms iff at least one alternative's constraints hold;
+    # `constraints` is empty in that case
+    alternatives: list[list[TripleConstraint]] | None = None
     # SHACL target declarations (TriggerTargetDeclarations.scala:24-25)
     target_class: list[str] = field(default_factory=list)
     target_node: list[str] = field(default_factory=list)

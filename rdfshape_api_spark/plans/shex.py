@@ -134,15 +134,24 @@ class _ShexParser:
                 else:
                     extra_preds.add(self.iri_or_pname())
         self.expect("{")
+        groups: list[list[TripleConstraint]] = [[]]
         while self.peek()[1] != "}":
             tc = self.parse_constraint()
             tc.extra = tc.pred in extra_preds
-            shape.constraints.append(tc)
+            groups[-1].append(tc)
             if self.peek()[1] == ";":
                 self.next()
             elif self.peek()[1] == "|":
-                raise ValueError("ShExC: OneOf ('|') not supported in this subset")
+                # OneOf: '|' binds looser than ';' — start a new alternative
+                self.next()
+                groups.append([])
         self.expect("}")
+        if len(groups) == 1:
+            shape.constraints = groups[0]
+        else:
+            if any(not g for g in groups):
+                raise ValueError("ShExC: empty OneOf alternative")
+            shape.alternatives = groups
         self.shapes[label] = shape
 
     def parse_constraint(self) -> TripleConstraint:

@@ -20,7 +20,7 @@ interpret** (SURVEY §2.7):
 4. shape references (ShEx ``@ref`` / SHACL ``sh:node``, SURVEY §2.5 J3):
    referenced shapes evaluate first (DAG order) over *all* subjects, and
    the conformant set left-joins onto the referring constraint's value
-   rows. Cycles are rejected (recursion needs the round-2 fixpoint loop).
+   rows; cyclic references resolve via a greatest-fixpoint loop.
 
 Scale: the only shuffles are (a) the groupBy(doc, node) aggregation and
 (b) the focus join — both on the same key, so AQE can reuse the exchange;
@@ -153,7 +153,11 @@ def _ref_order(schema: CompiledSchema, roots: list[str]) -> tuple[list[str], set
         if state.get(sid) == 2:
             return
         state[sid] = 1
-        for tc in schema.shapes[sid].constraints:
+        sh = schema.shapes[sid]
+        all_tcs = list(sh.constraints) + [
+            tc for grp in (sh.alternatives or []) for tc in grp
+        ]
+        for tc in all_tcs:
             if tc.ref_shape is not None:
                 if tc.ref_shape not in schema.shapes:
                     raise ValueError(f"unknown shape reference {tc.ref_shape}")
@@ -178,7 +182,19 @@ def evaluate_shape(
     Returns ``(doc_sha256, node, status, reasons)``.
     """
     shape: Shape = schema.shapes[shape_id]
-    mentioned = sorted({tc.pred for tc in shape.constraints})
+    # OneOf alternatives flatten into one constraint vector; the verdict
+    # recombines them per alternative (at-least-one-satisfiable semantics)
+    alt_of: list[int] = []
+    flat_constraints: list[TripleConstraint] = []
+    if shape.alternatives is not None:
+        for a, group in enumerate(shape.alternatives):
+            for tc in group:
+                flat_constraints.append(tc)
+                alt_of.append(a)
+    else:
+        flat_constraints = list(shape.constraints)
+        alt_of = [0] * len(flat_constraints)
+    mentioned = sorted({tc.pred for tc in flat_constraints})
 
     tri = triples.select("doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype")
     if not shape.closed and mentioned:
@@ -200,7 +216,7 @@ def evaluate_shape(
     # shape-reference columns: left-join the referenced shapes' conformant
     # sets onto the value rows (SURVEY §2.5 J3)
     ref_cols: dict[int, str] = {}
-    for i, tc in enumerate(shape.constraints):
+    for i, tc in enumerate(flat_constraints):
         if tc.ref_shape is not None:
             col = f"_ref_ok_{i}"
             conf = conformant_refs[tc.ref_shape].select(
@@ -214,7 +230,7 @@ def evaluate_shape(
             ref_cols[i] = col
 
     aggs = []
-    for i, tc in enumerate(shape.constraints):
+    for i, tc in enumerate(flat_constraints):
         on_pred = F.col("pred") == tc.pred
         aggs.append(
             F.sum(F.when(on_pred & _value_ok(tc, ref_cols.get(i)), 1).otherwise(0)).alias(f"m{i}")
@@ -232,9 +248,10 @@ def evaluate_shape(
         grouped, on=["doc_sha256", "node"], how="left"
     )
 
-    ok = F.lit(True)
+    n_alts = (max(alt_of) + 1) if alt_of else 1
+    alt_ok = [F.lit(True) for _ in range(n_alts)]
     reasons = []
-    for i, tc in enumerate(shape.constraints):
+    for i, tc in enumerate(flat_constraints):
         m = F.coalesce(F.col(f"m{i}"), F.lit(0))
         t = F.coalesce(F.col(f"t{i}"), F.lit(0))
         c_ok = m >= tc.min_count
@@ -242,9 +259,20 @@ def evaluate_shape(
             c_ok = c_ok & (m <= tc.max_count)
         if not tc.extra:
             c_ok = c_ok & (m == t)
-        ok = ok & c_ok
+        alt_ok[alt_of[i]] = alt_ok[alt_of[i]] & c_ok
         card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
-        reasons.append(F.when(~c_ok, F.lit(f"constraint on <{tc.pred}> {card} violated")))
+        if shape.alternatives is None:
+            reasons.append(
+                F.when(~c_ok, F.lit(f"constraint on <{tc.pred}> {card} violated"))
+            )
+    if shape.alternatives is not None:
+        # OneOf: conformant iff at least one alternative fully holds
+        ok = alt_ok[0]
+        for a in alt_ok[1:]:
+            ok = ok | a
+        reasons.append(F.when(~ok, F.lit("no OneOf alternative satisfied")))
+    else:
+        ok = alt_ok[0]
     if shape.closed:
         un = F.coalesce(F.col("unmentioned"), F.lit(0))
         ok = ok & (un == 0)
@@ -277,7 +305,9 @@ def validate_batch(
     fallback_out: list[DataFrame] = []
     for schema, shapemap, label in jobs:
         complex_ = any(
-            sh.closed or any(tc.ref_shape for tc in sh.constraints)
+            sh.closed
+            or sh.alternatives is not None
+            or any(tc.ref_shape for tc in sh.constraints)
             for sh in schema.shapes.values()
         ) or len(schema.shapes) > 1
         if complex_:
