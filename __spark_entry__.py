@@ -93,6 +93,19 @@ def _q_validate_shex(spark, sf_dir):
     )
 
 
+def _q_validate_batch(spark, sf_dir):
+    """Single-pass multi-schema validation (the pipeline's stage-3 path)."""
+    from rdfshape_api_spark.plans import parse_shacl, parse_shexc
+    from rdfshape_api_spark.plans.validate import validate_batch
+
+    tri = _rdf_triples(spark, sf_dir)
+    jobs = [
+        (parse_shexc(SHEX_SENSOR), SHAPEMAP_QUERY, "shex_sensor"),
+        (parse_shacl(SHACL_SENSOR), None, "shacl_sensor"),
+    ]
+    return validate_batch(tri, jobs).select("doc_sha256", "node", "shape_id", "status")
+
+
 def _q_validate_shacl(spark, sf_dir):
     from rdfshape_api_spark.plans import parse_shacl, validate
 
@@ -309,6 +322,16 @@ def _q_sparql_select(spark, sf_dir):
     return sparql_select(_merged_triples(spark, sf_dir), q)
 
 
+def _q_sparql_agg(spark, sf_dir):
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT ?st (COUNT(?s) AS ?n) WHERE {{ ?s ex:status ?st . }} GROUP BY ?st
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
 def _q_infer_profile(spark, sf_dir):
     from rdfshape_api_spark.operators.infer_schema import (
         infer_shape_profile,
@@ -424,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_extract_canonical": _q_rdf_extract,         # S1+S4, canonicalize
         "rdf_validate_shex": _q_validate_shex,           # §2.7 flagship + J1
         "rdf_validate_shacl": _q_validate_shacl,         # §2.7 + J2 targets
+        "rdf_validate_batch": _q_validate_batch,         # §2.7 single-pass multi-schema
         "rdf_subjects": _q_subjects,                     # P2
         "rdf_predicates": _q_predicates,                 # P2
         "rdf_iris": _q_iris,                             # P2
@@ -438,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_skolem_count": _q_skolem_count,             # canonicalization
         "rdf_hub_degree": _q_hub_degree,                 # J5 skewed entity agg
         "rdf_sparql_select": _q_sparql_select,           # Q1 SPARQL subset
+        "rdf_sparql_agg": _q_sparql_agg,                 # Q1 aggregates/GROUP BY
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
         "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint
@@ -490,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "rdf_validate_shacl": (
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shacl_sensor'"
         ),
+        "rdf_validate_batch": f"SELECT doc_sha256, node, shape_id, status FROM {_V}",
         "rdf_subjects": f"SELECT DISTINCT subj FROM {_T}",
         "rdf_predicates": f"SELECT DISTINCT pred FROM {_T}",
         "rdf_iris": f"""
@@ -563,6 +589,11 @@ def oracle_sql() -> dict[str, str]:
               AND b.pred = '{ex}readingTemperature'
               AND c.pred = '{ex}status' AND c.obj_kind = 'literal' AND c.obj_value = 'OK'
               AND CAST(b.obj_value AS DOUBLE) >= 19.5
+        """,
+        "rdf_sparql_agg": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_value FROM {_T})
+            SELECT obj_value AS st, count(*)::BIGINT AS n
+            FROM m WHERE pred = '{ex}status' GROUP BY 1
         """,
         "rdf_infer_profile": f"""
             WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,

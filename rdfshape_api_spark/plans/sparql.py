@@ -82,6 +82,9 @@ class SparqlQuery:
     # pattern list); block solutions = union of branch solutions, joined
     # with the rest of the WHERE clause on shared variables
     union_groups: list[list[list[_Pattern]]] = field(default_factory=list)
+    # aggregate projections: (func, var_or_'*', distinct, alias)
+    aggregates: list[tuple[str, str, bool, str]] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
 
 
 class SparqlParseError(ValueError):
@@ -151,20 +154,48 @@ def parse_sparql(text: str) -> SparqlQuery:
         distinct = True
         p.next()
     select_vars: list[str] = []
-    while p.peek() and (p.peek().startswith("?") or p.peek() == "*"):
+    aggregates: list[tuple[str, str, bool, str]] = []
+    _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+    while p.peek() and (p.peek().startswith("?") or p.peek() in ("*", "(")):
         t = p.next()
-        if t == "*":
+        if t == "(":
+            # `( AGG ( [DISTINCT] ?v | * ) AS ?alias )`
+            func = p.next().upper()
+            if func not in _AGGS:
+                raise SparqlParseError(f"unsupported select expression {func!r}")
+            p.expect("(")
+            agg_distinct = False
+            if p.peek() and p.peek().upper() == "DISTINCT":
+                agg_distinct = True
+                p.next()
+            arg = p.next()
+            if arg != "*" and not arg.startswith("?"):
+                raise SparqlParseError(f"aggregate argument must be ?var or *, got {arg!r}")
+            p.expect(")")
+            p.expect("AS")
+            alias = p.next()
+            if not alias.startswith("?"):
+                raise SparqlParseError("aggregate alias must be a ?var")
+            p.expect(")")
+            aggregates.append((func, arg if arg == "*" else arg[1:], agg_distinct, alias[1:]))
+        elif t == "*":
             select_vars = []  # resolved after parsing patterns
         else:
             select_vars.append(t[1:])
     p.expect("WHERE")
 
-    q = SparqlQuery(select_vars=select_vars, distinct=distinct, patterns=[])
+    q = SparqlQuery(
+        select_vars=select_vars, distinct=distinct, patterns=[], aggregates=aggregates
+    )
     _parse_group(p, prefixes, q.patterns, q)
 
     while p.peek():
         kw = p.next().upper()
-        if kw == "ORDER":
+        if kw == "GROUP":
+            p.expect("BY")
+            while p.peek() and p.peek().startswith("?"):
+                q.group_by.append(p.next()[1:])
+        elif kw == "ORDER":
             p.expect("BY")
             while p.peek() and (
                 p.peek().startswith("?") or p.peek().upper() in ("ASC", "DESC")
@@ -184,7 +215,7 @@ def parse_sparql(text: str) -> SparqlQuery:
         else:
             raise SparqlParseError(f"unsupported clause {kw!r}")
 
-    if not q.select_vars:  # SELECT *
+    if not q.select_vars and not q.aggregates:  # SELECT *
         seen: list[str] = []
         union_pats = [pat for blk in q.union_groups for br in blk for pat in br]
         for pat in q.patterns + [x for grp in q.optionals for x in grp] + union_pats:
@@ -466,7 +497,27 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         acc = acc.join(opt, on=shared, how="left") if shared else acc.crossJoin(opt)
     for ftoks in q.filters:
         acc = acc.filter(_filter_expr(ftoks))
-    out = acc.select(*q.select_vars)
+    if q.aggregates:
+        aggs = []
+        for func, arg, agg_distinct, alias in q.aggregates:
+            if func == "COUNT":
+                if arg == "*":
+                    c = F.count(F.lit(1))
+                else:
+                    c = F.count_distinct(F.col(arg)) if agg_distinct else F.count(F.col(arg))
+                aggs.append(c.cast("bigint").alias(alias))
+            else:
+                col = F.col(arg).try_cast("double")
+                if agg_distinct:
+                    raise SparqlParseError(f"DISTINCT not supported for {func}")
+                fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
+                aggs.append(fn(col).alias(alias))
+        grouped = acc.groupBy(*q.group_by) if q.group_by else acc.groupBy()
+        out = grouped.agg(*aggs)
+        proj = (q.select_vars or q.group_by) + [a for *_x, a in q.aggregates]
+        out = out.select(*proj)
+    else:
+        out = acc.select(*q.select_vars)
     if q.distinct:
         out = out.distinct()
     if q.order_by:

@@ -178,6 +178,52 @@ def test_offset(spark, triples_001):
     assert tail == all_vals[3:8]
 
 
+def test_count_group_by(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?st (COUNT(?s) AS ?n) WHERE { ?s ex:status ?st . }
+            GROUP BY ?st ORDER BY ?st""",
+    )
+    rows = {r["st"]: r["n"] for r in out.collect()}
+    merged = (
+        triples_001.filter(F.col("pred") == EX + "status")
+        .select("subj", "obj_value").distinct()
+    )
+    for st in ("OK", "RUNNING", "BROKEN"):
+        assert rows[st] == merged.filter(F.col("obj_value") == st).count()
+
+
+def test_count_distinct_global(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX + "SELECT (COUNT(DISTINCT ?s) AS ?n) WHERE { ?s a ex:Reading . }",
+    )
+    expected = (
+        triples_001.filter(
+            (F.col("pred") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+            & (F.col("obj_value") == EX + "Reading")
+        ).select("subj").distinct().count()
+    )
+    assert out.collect()[0]["n"] == expected
+
+
+def test_min_max_avg(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT (MIN(?t) AS ?lo) (MAX(?t) AS ?hi) (AVG(?t) AS ?mean)
+            WHERE { ?s ex:readingTemperature ?t . }""",
+    ).collect()[0]
+    vals = [
+        float(r["obj_value"])
+        for r in triples_001.filter(F.col("pred") == EX + "readingTemperature")
+        .select("subj", "pred", "obj_value").distinct().collect()
+    ]
+    assert out["lo"] == min(vals) and out["hi"] == max(vals)
+    assert abs(out["mean"] - sum(vals) / len(vals)) < 1e-9
+
+
 def test_filter_logical_ops(spark, triples_001):
     out = sparql_select(
         triples_001,
