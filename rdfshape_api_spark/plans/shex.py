@@ -146,6 +146,18 @@ class _ShexParser:
                 self.next()
                 groups.append([])
         self.expect("}")
+        for g in groups:
+            # EachOf with a repeated property needs triple-partitioning
+            # semantics (each triple matched by exactly one constraint) —
+            # not expressible as per-predicate aggregation; reject instead
+            # of silently mis-evaluating (SURVEY §7.3 honesty rule)
+            preds = [tc.pred for tc in g]
+            if len(preds) != len(set(preds)):
+                dup = next(p for p in preds if preds.count(p) > 1)
+                raise ValueError(
+                    f"ShExC: repeated property <{dup}> in one EachOf group "
+                    "requires partition-matching semantics (unsupported)"
+                )
         if len(groups) == 1:
             shape.constraints = groups[0]
         else:

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # dynamic-partition writes (the canonical store) use concurrent
+        # writers instead of the sort-based fallback — the pre-write
+        # repartition(pred_part, bucket) leaves only a handful of partition
+        # dirs per task, and skipping the sort measured ~20-50% faster
+        .config("spark.sql.maxConcurrentOutputFileWriters", "64")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

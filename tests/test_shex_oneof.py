@@ -66,3 +66,12 @@ def test_oneof_roundtrips_through_shexc():
     assert " |" in text
     re2 = parse_shexc(text)
     assert re2.shapes[E + "Contact"].alternatives is not None
+
+
+def test_repeated_predicate_in_eachof_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="repeated property"):
+        parse_shexc(
+            f"PREFIX ex: <{E}>\nex:S {{ ex:p . ; ex:p . }}"
+        )
