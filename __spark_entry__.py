@@ -431,6 +431,13 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_events_sessionize(spark, sf_dir):
+    from rdfshape_api_spark.functions.textops import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize(ev, gap_minutes=30)
+
+
 def _q_events_sessions(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -484,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_samples": _q_mm_frames,                # rows-only
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_sessionize_gap": _q_events_sessionize,
     }
 
 
@@ -823,5 +831,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS seq
             FROM events
+        """,
+        "events_sessionize_gap": """
+            WITH b AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id,
+                   sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+            FROM b
         """,
     }
