@@ -34,12 +34,38 @@ from rdfshape_api_spark.fixtures.generator import (
 ensure_fixtures("sf0.001")
 _SF001 = ensure_fixtures("sf0.01")
 
+from rdfshape_api_spark.fixtures.social import (
+    SHAPEMAP_PERSON,
+    SHEX_PERSON,
+    ensure_social,
+)
+
+ensure_social("sf0.001")
+_SOC001 = ensure_social("sf0.01")
+
 EX = "http://example.org/"
 _ORACLE_TRIPLES = _SF001["triples"]
 _ORACLE_VERDICTS = _SF001["verdicts"]
 _ORACLE_DOCS = _SF001["docs"]
+_SOC_TRIPLES = _SOC001["triples"]
+_SOC_VERDICTS = _SOC001["verdicts"]
 
 _triples_cache: dict[str, DataFrame] = {}
+_social_cache: dict[str, DataFrame] = {}
+
+
+def _social_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfshape_api_spark.fixtures.generator import sf_tag_from_dir as _tagof
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    tag = _tagof(sf_dir)
+    if tag not in _social_cache:
+        paths = ensure_social(tag)
+        docs = spark.read.parquet(paths["docs"])
+        tri = dedup_triples(canonicalize(extract_triples(docs)), scope_doc=True)
+        _social_cache[tag] = tri.persist()
+    return _social_cache[tag]
 
 
 def _rdf_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,6 +237,22 @@ def _q_hub_degree(spark, sf_dir):
     return entity_degree(_rdf_triples(spark, sf_dir)).filter(
         F.col("entity") == EX + "hub"
     ).select("entity", F.col("degree").cast("bigint").alias("degree"))
+
+
+def _q_social_extract(spark, sf_dir):
+    return _social_triples(spark, sf_dir).select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+    ).distinct()
+
+
+def _q_social_validate(spark, sf_dir):
+    """OneOf + recursive shape references under the golden gate."""
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(
+        tri, parse_shexc(SHEX_PERSON), shapemap=SHAPEMAP_PERSON, shape_label="shex_person"
+    ).select("doc_sha256", "node", "status")
 
 
 def _q_text_features(spark, sf_dir):
@@ -476,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_json_graph": _q_json_graph,                 # K2 adjacency export
         "rdf_turtle": _q_turtle,                         # K1 Turtle emitter
         "rdf_stream_validate": _q_stream_validate,       # T1 streaming validation
+        "social_extract": _q_social_extract,             # S1 incl. N-Quads/TriG
+        "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
         # training-data pipeline operators
         "text_features": _q_text_features,
         "dedup_exact": _q_dedup_exact,
@@ -661,6 +705,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rdf_stream_validate": (
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
+        ),
+        "social_extract": f"SELECT DISTINCT * FROM '{_SOC_TRIPLES}'",
+        "social_validate_person": (
+            f"SELECT doc_sha256, node, status FROM '{_SOC_VERDICTS}'"
         ),
         "text_features": """
             SELECT doc_id,

@@ -95,6 +95,9 @@ def _nt_term(tok: str):
             raise ValueError(f"bad N-Triples IRI: {tok!r}")
         return ("iri", tok[1:-1], None, None)
     if tok.startswith("_:"):
+        if any(c.isspace() for c in tok):
+            # e.g. '_:b <g>' — a quad tail swallowed into the label
+            raise ValueError(f"bad N-Triples bnode label: {tok!r}")
         return ("bnode", tok, None, None)
     m = _NT_LITERAL.match(tok)
     if m:
