@@ -326,10 +326,24 @@ def _q_mm_meta(spark, sf_dir):
 
 
 def _q_mm_features(spark, sf_dir):
-    from rdfshape_api_spark.functions.multimodal import attach_binary, extract_features
+    """Byte-histogram features as 8 integer columns (hash-friendly: the
+    driver's canonicalizer can't sort/hash array columns, and integer
+    counts avoid float-rounding skew vs the oracle)."""
+    from rdfshape_api_spark.functions.multimodal import (
+        FEATURE_DIM,
+        attach_binary,
+        extract_features,
+    )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return extract_features(attach_binary(docs))
+    feats = extract_features(attach_binary(docs), normalize=False)
+    return feats.select(
+        "doc_id",
+        *[
+            F.element_at("features", i + 1).cast("bigint").alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
 
 
 def _q_mm_frames(spark, sf_dir):
@@ -526,13 +540,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh,
         "dedup_lsh_keep": _q_dedup_lsh_keep,
         "dedup_ngram_jaccard": _q_dedup_ngram,
-        "dedup_simhash_pairs": _q_dedup_simhash,         # rows-only (xxhash64)
+        "dedup_simhash_pairs": _q_dedup_simhash,
         "sim_cosine_topk": _q_sim_topk,
         "sim_embedding_near_dups": _q_sim_near_dups,
-        "sim_lsh_ann": _q_sim_lsh_ann,                   # rows-only (scale path)
+        "sim_lsh_ann": _q_sim_lsh_ann,
         "mm_payload_meta": _q_mm_meta,
-        "mm_features": _q_mm_features,                   # rows-only (arrays)
-        "mm_frame_samples": _q_mm_frames,                # rows-only
+        "mm_features": _q_mm_features,
+        "mm_frame_samples": _q_mm_frames,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "events_sessionize_gap": _q_events_sessionize,
@@ -837,6 +851,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
         """,
+        "dedup_simhash_pairs": """
+            -- portable simhash twin: same md5-derived 64-bit token hash
+            -- (hi = first 8 hex chars, lo = next 8), same bit-majority,
+            -- same 4x16-bit band blocking as functions/dedup.py:simhash64
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'))) AS w
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS hi,
+                     CAST('0x' || substring(md5(w), 9, 8) AS BIGINT) AS lo
+              FROM toks
+            ), votes AS (
+              SELECT doc_id, b,
+                     sum(CASE WHEN ((CASE WHEN b < 32 THEN lo >> b
+                                         ELSE hi >> (b - 32) END) & 1) = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM h, unnest(range(0, 64)) AS t(b)
+              GROUP BY 1, 2
+            ), bands AS (
+              SELECT doc_id, b // 16 AS band,
+                     sum(CASE WHEN v > 0 THEN 1 ELSE 0 END << (b % 16)) AS band_val
+              FROM votes GROUP BY 1, 2
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        """,
+        "sim_lsh_ann": """
+            -- hyperplane components are md5-derived (similarity.py:_plane_component)
+            -- so the oracle recomputes identical sign-bit buckets
+            WITH sig AS (
+              SELECT vec_id, embedding,
+                array_to_string(list_transform(range(0, 8), p ->
+                  CASE WHEN list_dot_product(embedding::DOUBLE[],
+                    list_transform(range(0, len(embedding)), i ->
+                      (CAST('0x' || substring(md5('plane' || p || ':' || i), 1, 8)
+                            AS BIGINT)::DOUBLE / 4294967295.0) - 0.5)) > 0
+                  THEN '1' ELSE '0' END), '') AS bucket
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, embedding AS q_emb, bucket
+              FROM sig WHERE vec_id < 10
+            ), scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_dot_product(q.q_emb::DOUBLE[], e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.q_emb::DOUBLE[], q.q_emb::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS score
+              FROM q JOIN sig e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, neighbor_id FROM (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
         "sim_cosine_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -868,6 +941,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents
+        """,
+        "mm_features": """
+            -- byte-histogram counts mod 8 over the utf-8 payload; byte k of
+            -- the blob = hex chars (2k+1, 2k+2) — exact integers, no floats
+            WITH idx AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     unnest(range(0, octet_length(encode(text)))) AS i
+              FROM documents
+            ), bytes AS (
+              SELECT doc_id,
+                     CAST('0x' || substring(hx, i * 2 + 1, 2) AS INTEGER) % 8 AS bucket
+              FROM idx
+            ), hist AS (
+              SELECT doc_id, bucket, count(*)::BIGINT AS c FROM bytes GROUP BY 1, 2
+            )
+            SELECT d.doc_id,
+                   coalesce(max(CASE WHEN bucket = 0 THEN c END), 0)::BIGINT AS f0,
+                   coalesce(max(CASE WHEN bucket = 1 THEN c END), 0)::BIGINT AS f1,
+                   coalesce(max(CASE WHEN bucket = 2 THEN c END), 0)::BIGINT AS f2,
+                   coalesce(max(CASE WHEN bucket = 3 THEN c END), 0)::BIGINT AS f3,
+                   coalesce(max(CASE WHEN bucket = 4 THEN c END), 0)::BIGINT AS f4,
+                   coalesce(max(CASE WHEN bucket = 5 THEN c END), 0)::BIGINT AS f5,
+                   coalesce(max(CASE WHEN bucket = 6 THEN c END), 0)::BIGINT AS f6,
+                   coalesce(max(CASE WHEN bucket = 7 THEN c END), 0)::BIGINT AS f7
+            FROM documents d LEFT JOIN hist h USING (doc_id)
+            GROUP BY d.doc_id
+        """,
+        "mm_frame_samples": """
+            -- sampled byte at offsets 0, 64, 128, ... of the payload
+            WITH idx AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     unnest(range(0, (octet_length(encode(text)) + 63) // 64)) AS k
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id, (k * 64)::BIGINT AS frame_offset,
+                   CAST('0x' || substring(hx, k * 128 + 1, 2) AS INTEGER)::BIGINT AS sample_value
+            FROM idx
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,

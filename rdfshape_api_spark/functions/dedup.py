@@ -9,9 +9,9 @@ Five strategies, each a scale-conscious Spark plan:
   band keys, so candidate generation is O(bucket²) not O(n²); signatures
   use md5 strings (portable to the DuckDB oracle — lexicographic min of
   hex = deterministic on both engines).
-* **SimHash** — 64-bit bit-majority over token xxhash64; Hamming-ball
-  grouping by band of bits (Spark-only; xxhash64 has no SQL-oracle twin,
-  so the driver records a rows-only check).
+* **SimHash** — 64-bit bit-majority over portable md5-derived token
+  hashes; Hamming-ball grouping by band of bits (md5 halves parse
+  identically in DuckDB, so the oracle recomputes the signature).
 * **n-gram Jaccard** — word-bigram shingles, explode → pair-count →
   exact Jaccard; candidate pruning by shared-shingle join.
 * **embedding cosine near-dup** — see functions/similarity.py.
@@ -172,21 +172,35 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash: per-bit majority vote over token xxhash64 values.
+    """64-bit SimHash: per-bit majority vote over a portable token hash.
 
     Columnar construction: aggregate over the words array summing ±1 per
     bit, then reassemble the sign bits — one map-only pass, no UDF.
-    (xxhash64 is JVM-side only → no SQL oracle; rows-only check.)
+    The 64 token-hash bits come from the first 16 hex chars of md5(word)
+    (two 32-bit halves, long-safe) — portable, so the DuckDB oracle can
+    recompute the identical signature (same trick as minhash above).
     """
     ws = words()
+    # per-word (hi, lo) 32-bit hash halves, md5 computed ONCE per word
+    word_hash = F.transform(
+        ws,
+        lambda w: F.struct(
+            F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long").alias("lo"),
+        ),
+    )
     # per-word ±1 votes for each of the 64 bits (bit positions are Python
     # literals — shiftright requires a literal shift amount)
     per_word_bits = F.transform(
-        ws,
-        lambda w: F.array(
+        word_hash,
+        lambda h: F.array(
             *[
                 F.when(
-                    F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    F.shiftright(
+                        h["lo"] if b < 32 else h["hi"], b if b < 32 else b - 32
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1),
                 )
                 .otherwise(F.lit(-1))
                 .cast("long")

@@ -50,18 +50,26 @@ def _decode_image_real(payload: bytes) -> np.ndarray:  # pragma: no cover
     raise NotImplementedError("real decode path not exercised in this sandbox")
 
 
-def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+def _fake_features(
+    payload: bytes, dim: int = FEATURE_DIM, normalize: bool = True
+) -> list[float]:
     """Deterministic fake 'embedding': byte histogram folded to `dim`
-    buckets, normalized — stands in for a CNN/CLIP feature extractor."""
+    buckets, normalized — stands in for a CNN/CLIP feature extractor.
+    With ``normalize=False`` returns the raw integer counts (exact, so
+    the driver's value-hash check is float-free)."""
     if payload is None or len(payload) == 0:
         return [0.0] * dim
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+    if not normalize:
+        return list(hist)
     total = hist.sum()
     return list(np.round(hist / total, 6)) if total else [0.0] * dim
 
 
-def extract_features(binary_df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+def extract_features(
+    binary_df: DataFrame, use_real_decoder: bool = False, normalize: bool = True
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     Batch shape contract: input batches carry (doc_id, payload); output
@@ -74,7 +82,7 @@ def extract_features(binary_df: DataFrame, use_real_decoder: bool = False) -> Da
             if use_real_decoder:
                 feats = [_decode_image_real(p) for p in pdf["payload"]]
             else:
-                feats = [_fake_features(p) for p in pdf["payload"]]
+                feats = [_fake_features(p, normalize=normalize) for p in pdf["payload"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return binary_df.select("doc_id", "payload").mapInPandas(

@@ -125,3 +125,43 @@ def test_real_decoder_stub_raises(docs):
 
     with pytest.raises(Exception, match="(?i)decode|NotImplemented"):
         extract_features(attach_binary(docs), use_real_decoder=True).collect()
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """Recall@k gate: LSH-ANN must recover most of the exact top-k on a
+    clustered corpus (same-cluster vectors should land in one bucket)."""
+    import math
+    import random
+
+    from rdfshape_api_spark.functions.similarity import cosine_topk, lsh_ann_topk
+
+    rng = random.Random(7)
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for vid in range(80):
+        c = centers[vid % 4]
+        vec = [x + rng.uniform(-0.05, 0.05) for x in c]
+        rows.append((vid, [float(v) for v in vec], vid % 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, k=5, n_queries=8).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, k=5, n_queries=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall@5 = {recall:.2f}"
+
+
+def test_extract_features_counts_mode(docs):
+    from rdfshape_api_spark.functions.multimodal import attach_binary, extract_features
+
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in extract_features(attach_binary(docs), normalize=False).collect()
+    }
+    assert sum(feats[0]) == 43  # counts sum to payload length
+    assert all(f == int(f) for f in feats[0])
+    assert feats[5] == [0.0] * 8

@@ -95,4 +95,7 @@ def test_turtle_parser_accepts_ntriples(triples):
     from rdfshape_api_spark.sources.parsers import parse_turtle
 
     text = _render(triples)
-    assert sorted(parse_turtle(text)) == sorted(parse_ntriples(text))
+    # None-safe sort key: tuples may mix None and str in the lang/datatype
+    # slots, and Python refuses None < str.
+    key = lambda t: tuple("" if x is None else str(x) for x in t)
+    assert sorted(parse_turtle(text), key=key) == sorted(parse_ntriples(text), key=key)
