@@ -388,6 +388,44 @@ def _q_sparql_agg(spark, sf_dir):
     return sparql_select(_merged_triples(spark, sf_dir), q)
 
 
+def _q_sparql_bind(spark, sf_dir):
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT ?s ?t2 WHERE {{
+      ?s ex:readingTemperature ?t .
+      BIND (?t * 2 AS ?t2)
+      FILTER (?t2 >= 39.0)
+    }}
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
+def _q_sparql_having(spark, sf_dir):
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT ?st (COUNT(?s) AS ?n) WHERE {{ ?s ex:status ?st . }}
+    GROUP BY ?st HAVING (?n > 4000)
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
+def _q_sparql_values(spark, sf_dir):
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT ?s ?st WHERE {{
+      ?s ex:status ?st .
+      VALUES ?st {{ "OK" "BROKEN" }}
+    }}
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
 def _q_infer_profile(spark, sf_dir):
     from rdfshape_api_spark.operators.infer_schema import (
         infer_shape_profile,
@@ -526,6 +564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_hub_degree": _q_hub_degree,                 # J5 skewed entity agg
         "rdf_sparql_select": _q_sparql_select,           # Q1 SPARQL subset
         "rdf_sparql_agg": _q_sparql_agg,                 # Q1 aggregates/GROUP BY
+        "rdf_sparql_bind": _q_sparql_bind,               # Q1 BIND expressions
+        "rdf_sparql_having": _q_sparql_having,           # Q1 HAVING post-agg
+        "rdf_sparql_values": _q_sparql_values,           # Q1 VALUES inline data
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
         "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint
@@ -657,9 +698,31 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(b.obj_value AS DOUBLE) >= 19.5
         """,
         "rdf_sparql_agg": f"""
-            WITH m AS (SELECT DISTINCT subj, pred, obj_value FROM {_T})
+            -- merged model = 6-column distinct; aggregates are bag-semantics
+            -- over it (each model triple counts once)
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T})
             SELECT obj_value AS st, count(*)::BIGINT AS n
             FROM m WHERE pred = '{ex}status' GROUP BY 1
+        """,
+        "rdf_sparql_bind": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T})
+            SELECT subj AS s, CAST(obj_value AS DOUBLE) * 2 AS t2
+            FROM m WHERE pred = '{ex}readingTemperature'
+              AND CAST(obj_value AS DOUBLE) * 2 >= 39.0
+        """,
+        "rdf_sparql_having": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T})
+            SELECT obj_value AS st, count(*)::BIGINT AS n
+            FROM m WHERE pred = '{ex}status' GROUP BY 1 HAVING count(*) > 4000
+        """,
+        "rdf_sparql_values": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T})
+            SELECT subj AS s, obj_value AS st
+            FROM m WHERE pred = '{ex}status' AND obj_value IN ('OK', 'BROKEN')
         """,
         "rdf_infer_profile": f"""
             WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,

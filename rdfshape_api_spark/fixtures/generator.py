@@ -319,13 +319,16 @@ def generate(sf_tag: str, out_dir: str) -> dict[str, str]:
         "triples": os.path.join(out_dir, "expected_triples.parquet"),
         "verdicts": os.path.join(out_dir, "expected_verdicts.parquet"),
     }
+    if sf_tag in DOCS_ONLY:
+        # same return contract whether cached or freshly generated: DOCS_ONLY
+        # tiers never have golden paths
+        paths.pop("triples"), paths.pop("verdicts")
     if os.path.exists(marker):
         return paths
     os.makedirs(out_dir, exist_ok=True)
 
     if sf_tag in DOCS_ONLY:
         _generate_docs_only(n_docs, paths["docs"])
-        paths.pop("triples"), paths.pop("verdicts")
         with open(marker, "w") as f:
             f.write("ok\n")
         return paths

@@ -165,13 +165,18 @@ def owl_lite_closure(df: DataFrame, spark=None, max_transitive_iters: int = 10) 
 
     base = ["repo", "path", "commit", "doc_sha256"] if "repo" in df.columns else ["doc_sha256"]
 
+    def _node_kind(col) -> F.Column:
+        """Kind of a node moving into object position: raw blank-node
+        labels stay bnodes (skolemized subjects are urn:skolem: IRIs)."""
+        return F.when(col.startswith("_:"), F.lit("bnode")).otherwise(F.lit(KIND_IRI))
+
     def _swap(src: DataFrame, new_pred_col) -> DataFrame:
         """(x p y) → (y q x); only non-literal objects can be subjects."""
         return src.filter(F.col("obj_kind") != "literal").select(
             *base,
             F.col("obj_value").alias("subj"),
             new_pred_col.alias("pred"),
-            F.lit(KIND_IRI).alias("obj_kind"),
+            _node_kind(F.col("subj")).alias("obj_kind"),
             F.col("subj").alias("obj_value"),
             F.lit(None).cast("string").alias("obj_lang"),
             F.lit(None).cast("string").alias("obj_datatype"),
@@ -235,7 +240,7 @@ def owl_lite_closure(df: DataFrame, spark=None, max_transitive_iters: int = 10) 
                     F.col("obj_value").alias("_dst"),
                 )
                 cond = [a["_mid"] == b["_mid2"]] + [
-                    a[c] == b[f"_b_{c}"] for c in ["doc_sha256"]
+                    a[c] == b[f"_b_{c}"] for c in base
                 ]
                 nxt = (
                     a.join(b, on=cond)
@@ -253,7 +258,7 @@ def owl_lite_closure(df: DataFrame, spark=None, max_transitive_iters: int = 10) 
                     *base,
                     "subj",
                     F.lit(pred).alias("pred"),
-                    F.lit(KIND_IRI).alias("obj_kind"),
+                    _node_kind(F.col("obj_value")).alias("obj_kind"),
                     "obj_value",
                     F.lit(None).cast("string").alias("obj_lang"),
                     F.lit(None).cast("string").alias("obj_datatype"),

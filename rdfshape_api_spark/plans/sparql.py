@@ -4,9 +4,11 @@ Reference: ``DataQuery.dataQuery`` delegates SELECT execution to Jena ARQ
 (``modules/server/.../data/logic/operations/DataQuery.scala:51-63``;
 ``MergedModels.querySelect`` :131-132).  The reference query surface at the
 API is "any SPARQL the request model can answer"; our engine compiles the
-subset the fixtures/test queries use — BGP + FILTER + OPTIONAL + DISTINCT +
-ORDER BY + LIMIT — into DataFrame self-joins over the triples view
-(SURVEY §2.5 J6), leaning on Catalyst/AQE for join order and strategy.
+subset the fixtures/test queries use — BGP + FILTER (group-scoped) +
+OPTIONAL + UNION + BIND + VALUES + DISTINCT + GROUP BY/aggregates +
+HAVING + ORDER BY + LIMIT/OFFSET — into DataFrame self-joins over the
+triples view (SURVEY §2.5 J6), leaning on Catalyst/AQE for join order and
+strategy.
 
 Compilation scheme:
 * each triple pattern → a filtered projection of the triples DF with one
@@ -43,7 +45,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|&&|\|\||[{}().;,=<>*!])
+  | (?P<op><=|>=|!=|&&|\|\||[{}().;,=<>*!+/-])
     """,
     re.VERBOSE,
 )
@@ -69,22 +71,39 @@ class _Pattern:
 
 
 @dataclass
+class _Group:
+    """A braced pattern group with its own FILTER scope (SPARQL filters
+    apply within their group — an OPTIONAL-scoped filter must run before
+    the left join, not after it)."""
+
+    patterns: list[_Pattern] = field(default_factory=list)
+    filters: list[list[str]] = field(default_factory=list)  # token lists
+
+
+@dataclass
 class SparqlQuery:
     select_vars: list[str]
     distinct: bool
     patterns: list[_Pattern]
-    optionals: list[list[_Pattern]] = field(default_factory=list)
-    filters: list[list[str]] = field(default_factory=list)  # token lists
+    optionals: list[_Group] = field(default_factory=list)
+    filters: list[list[str]] = field(default_factory=list)  # top-level scope
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
     offset: int | None = None
     # UNION blocks: each block is a list of alternative branches (each a
-    # pattern list); block solutions = union of branch solutions, joined
-    # with the rest of the WHERE clause on shared variables
-    union_groups: list[list[list[_Pattern]]] = field(default_factory=list)
+    # _Group); block solutions = union of branch solutions, joined with
+    # the rest of the WHERE clause on shared variables
+    union_groups: list[list[_Group]] = field(default_factory=list)
     # aggregate projections: (func, var_or_'*', distinct, alias)
     aggregates: list[tuple[str, str, bool, str]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
+    # BIND(expr AS ?var): evaluated on the joined solution before filters
+    binds: list[tuple[list[str], str]] = field(default_factory=list)
+    having: list[list[str]] = field(default_factory=list)  # post-agg filters
+    # VALUES ?v1 ?v2 { (t1 t2) ... }: inline solution sequence
+    values_blocks: list[tuple[list[str], list[list[str | None]]]] = field(
+        default_factory=list
+    )
 
 
 class SparqlParseError(ValueError):
@@ -187,7 +206,10 @@ def parse_sparql(text: str) -> SparqlQuery:
     q = SparqlQuery(
         select_vars=select_vars, distinct=distinct, patterns=[], aggregates=aggregates
     )
-    _parse_group(p, prefixes, q.patterns, q)
+    top = _Group()
+    _parse_group(p, prefixes, top, q)
+    q.patterns = top.patterns
+    q.filters = top.filters
 
     while p.peek():
         kw = p.next().upper()
@@ -195,6 +217,8 @@ def parse_sparql(text: str) -> SparqlQuery:
             p.expect("BY")
             while p.peek() and p.peek().startswith("?"):
                 q.group_by.append(p.next()[1:])
+        elif kw == "HAVING":
+            q.having.append(_parse_filter_tokens(p, prefixes))
         elif kw == "ORDER":
             p.expect("BY")
             while p.peek() and (
@@ -217,16 +241,23 @@ def parse_sparql(text: str) -> SparqlQuery:
 
     if not q.select_vars and not q.aggregates:  # SELECT *
         seen: list[str] = []
-        union_pats = [pat for blk in q.union_groups for br in blk for pat in br]
-        for pat in q.patterns + [x for grp in q.optionals for x in grp] + union_pats:
+        union_pats = [pat for blk in q.union_groups for br in blk for pat in br.patterns]
+        for pat in q.patterns + [x for grp in q.optionals for x in grp.patterns] + union_pats:
             for t in (pat.subj, pat.pred, pat.obj):
                 if t.startswith("?") and t[1:] not in seen:
                     seen.append(t[1:])
+        for _toks, alias in q.binds:
+            if alias not in seen:
+                seen.append(alias)
+        for vars_, _rows in q.values_blocks:
+            for v in vars_:
+                if v not in seen:
+                    seen.append(v)
         q.select_vars = seen
     return q
 
 
-def _parse_group(p: _Parser, prefixes: dict[str, str], into: list[_Pattern], q: SparqlQuery) -> None:
+def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQuery) -> None:
     p.expect("{")
     while True:
         t = p.peek()
@@ -237,33 +268,117 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], into: list[_Pattern], q: 
             return
         if t.upper() == "FILTER":
             p.next()
-            q.filters.append(_parse_filter_tokens(p, prefixes))
+            # group-scoped: an OPTIONAL's filter applies to its branch
+            # BEFORE the left join (null-binding rows survive)
+            grp.filters.append(_parse_filter_tokens(p, prefixes))
+            continue
+        if t.upper() == "BIND":
+            p.next()
+            q.binds.append(_parse_bind(p, prefixes))
+            continue
+        if t.upper() == "VALUES":
+            p.next()
+            q.values_blocks.append(_parse_values(p, prefixes))
             continue
         if t.upper() == "OPTIONAL":
             p.next()
-            grp: list[_Pattern] = []
-            _parse_group(p, prefixes, grp, q)
-            q.optionals.append(grp)
+            opt = _Group()
+            _parse_group(p, prefixes, opt, q)
+            q.optionals.append(opt)
             continue
         if t == "{":
             # nested group — `{ A } UNION { B } (UNION { C })*`
-            branches: list[list[_Pattern]] = []
-            first: list[_Pattern] = []
+            branches: list[_Group] = []
+            first = _Group()
             _parse_group(p, prefixes, first, q)
             branches.append(first)
             while p.peek() and p.peek().upper() == "UNION":
                 p.next()
-                alt: list[_Pattern] = []
+                alt = _Group()
                 _parse_group(p, prefixes, alt, q)
                 branches.append(alt)
             if len(branches) == 1:
-                into.extend(first)  # plain grouping braces
+                grp.patterns.extend(first.patterns)  # plain grouping braces
+                grp.filters.extend(first.filters)
             else:
                 q.union_groups.append(branches)
             if p.peek() == ".":
                 p.next()
             continue
-        _parse_triples_block(p, prefixes, into)
+        _parse_triples_block(p, prefixes, grp.patterns)
+
+
+def _parse_bind(p: _Parser, prefixes: dict[str, str]) -> tuple[list[str], str]:
+    """``BIND ( expr AS ?var )`` → (expr tokens, alias)."""
+    p.expect("(")
+    depth = 1
+    toks: list[str] = []
+    while True:
+        t = p.next()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                raise SparqlParseError("BIND missing AS ?var")
+        elif t.upper() == "AS" and depth == 1:
+            break
+        toks.append(t)
+    alias = p.next()
+    if not alias.startswith("?"):
+        raise SparqlParseError("BIND alias must be a ?var")
+    p.expect(")")
+    return toks, alias[1:]
+
+
+def _parse_values(
+    p: _Parser, prefixes: dict[str, str]
+) -> tuple[list[str], list[list[str | None]]]:
+    """``VALUES ?v { t... }`` or ``VALUES (?a ?b) { (ta tb)... }``.
+    UNDEF → None. Terms resolve to their binding string (IRIs expanded,
+    literals unquoted) — matching the string-typed binding columns."""
+    vars_: list[str] = []
+    rows: list[list[str | None]] = []
+
+    def term() -> str | None:
+        t = p.next()
+        if t.upper() == "UNDEF":
+            return None
+        if t.startswith('"'):
+            return _unquote(t)
+        if re.fullmatch(r"[+-]?\d+(\.\d+)?", t):
+            return t
+        return _expand(t, prefixes)
+
+    if p.peek() == "(":
+        p.next()
+        while p.peek() != ")":
+            v = p.next()
+            if not v.startswith("?"):
+                raise SparqlParseError("VALUES var list expects ?vars")
+            vars_.append(v[1:])
+        p.next()
+        p.expect("{")
+        while p.peek() != "}":
+            p.expect("(")
+            row = []
+            while p.peek() != ")":
+                row.append(term())
+            p.next()
+            if len(row) != len(vars_):
+                raise SparqlParseError("VALUES row arity mismatch")
+            rows.append(row)
+        p.next()
+    else:
+        v = p.next()
+        if not v.startswith("?"):
+            raise SparqlParseError("VALUES expects a ?var")
+        vars_.append(v[1:])
+        p.expect("{")
+        while p.peek() != "}":
+            rows.append([term()])
+        p.next()
+    return vars_, rows
 
 
 def _parse_term(p: _Parser, prefixes: dict[str, str]) -> tuple[str, bool, str | None, str | None]:
@@ -441,12 +556,90 @@ def _pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]]:
     return df.filter(cond).select(*out_cols), vars_
 
 
+def _bind_expr(toks: list[str]) -> F.Column:
+    """Compile a BIND expression: vars, literals, + - * /, CONCAT, STR.
+    Arithmetic runs on ``try_cast double`` (SPARQL numeric evaluation over
+    string-typed binding columns)."""
+    pos = {"i": 0}
+
+    def peek():
+        return toks[pos["i"]] if pos["i"] < len(toks) else None
+
+    def nxt():
+        t = toks[pos["i"]]
+        pos["i"] += 1
+        return t
+
+    def num(c: F.Column) -> F.Column:
+        return c.try_cast("double")
+
+    def atom() -> F.Column:
+        t = nxt()
+        if t == "(":
+            e = additive()
+            assert nxt() == ")"
+            return e
+        up = t.upper()
+        if up == "CONCAT":
+            assert nxt() == "("
+            args = [additive()]
+            while peek() == ",":
+                nxt()
+                args.append(additive())
+            assert nxt() == ")"
+            return F.concat(*[a.cast("string") for a in args])
+        if up == "STR":
+            assert nxt() == "("
+            e = additive()
+            assert nxt() == ")"
+            return e.cast("string")
+        if t.startswith("?"):
+            return F.col(t[1:])
+        if t.startswith('"'):
+            return F.lit(_unquote(t))
+        if _NUM_RE.match(t):
+            return F.lit(float(t) if ("." in t or "e" in t.lower()) else int(t))
+        raise SparqlParseError(f"unsupported BIND token {t!r}")
+
+    def multiplicative() -> F.Column:
+        e = atom()
+        while peek() in ("*", "/"):
+            op = nxt()
+            r = atom()
+            e = num(e) * num(r) if op == "*" else num(e) / num(r)
+        return e
+
+    def additive() -> F.Column:
+        e = multiplicative()
+        while peek() in ("+", "-"):
+            op = nxt()
+            r = multiplicative()
+            e = num(e) + num(r) if op == "+" else num(e) - num(r)
+        return e
+
+    out = additive()
+    if pos["i"] != len(toks):
+        raise SparqlParseError(f"trailing BIND tokens {toks[pos['i']:]!r}")
+    return out
+
+
+def _values_df(
+    spark, vars_: list[str], rows: list[list[str | None]]
+) -> DataFrame:
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], ", ".join(f"{v} string" for v in vars_)
+    )
+
+
 def _join_patterns(df: DataFrame, pats: list[_Pattern]) -> DataFrame:
+    # NOTE: no per-pattern distinct — SPARQL BGP matching is bag-semantics
+    # over the (set-valued) merged model; deduping projected columns here
+    # would undercount aggregates when triples differ only in obj_kind /
+    # obj_lang / obj_datatype.
     acc: DataFrame | None = None
     acc_vars: set[str] = set()
     for pat in pats:
         pdf, pvars = _pattern_df(df, pat)
-        pdf = pdf.distinct()
         if acc is None:
             acc, acc_vars = pdf, set(pvars)
             continue
@@ -466,9 +659,22 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     Returns one column per selected variable (string-typed bindings, the
     JSON-bindings contract of ``DataQuery.scala:51-63``)."""
     q = parse_sparql(query_text)
+    if "doc_sha256" in triples.columns:
+        # per-doc triples → merged-model SET (MergedModels.scala:182-191);
+        # pre-merged views (no doc column) skip the extra shuffle.  BGP
+        # matching below is bag-semantics over this set — no per-pattern
+        # distinct, so aggregates count each model triple exactly once.
+        triples = triples.select(
+            "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+        ).distinct()
     acc = _join_patterns(triples, q.patterns) if q.patterns else None
     for blk in q.union_groups:
-        branch_dfs = [_join_patterns(triples, br) for br in blk]
+        branch_dfs = []
+        for br in blk:
+            b = _join_patterns(triples, br.patterns)
+            for ftoks in br.filters:  # branch-scoped filters
+                b = b.filter(_filter_expr(ftoks))
+            branch_dfs.append(b)
         # align branch columns: union over the block's full variable set,
         # absent variables become null bindings (SPARQL UNION semantics)
         all_vars = sorted({c for b in branch_dfs for c in b.columns})
@@ -489,12 +695,42 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         else:
             shared = sorted(set(acc.columns) & set(blk_df.columns))
             acc = acc.join(blk_df, on=shared, how="inner") if shared else acc.crossJoin(blk_df)
+    if acc is not None:
+        for vars_, rows in q.values_blocks:
+            vdf = F.broadcast(_values_df(triples.sparkSession, vars_, rows))
+            shared = [v for v in vars_ if v in acc.columns]
+            if not shared:
+                acc = acc.crossJoin(vdf)
+                continue
+            # UNDEF is a wildcard: join condition per shared var is
+            # (values side null OR equal); non-shared vars come from VALUES
+            v2 = vdf.select(*[F.col(v).alias(f"_v_{v}") for v in vars_])
+            cond = F.lit(True)
+            for v in shared:
+                cond = cond & (F.col(f"_v_{v}").isNull() | (F.col(f"_v_{v}") == F.col(v)))
+            acc = acc.join(v2, on=cond, how="inner")
+            keep = [c for c in acc.columns if not c.startswith("_v_")]
+            extra = [
+                F.col(f"_v_{v}").alias(v) for v in vars_ if v not in shared
+            ]
+            acc = acc.select(*keep, *extra)
+    elif q.values_blocks:
+        vars_, rows = q.values_blocks[0]
+        acc = _values_df(triples.sparkSession, vars_, rows)
+        for vars2, rows2 in q.values_blocks[1:]:
+            acc = acc.crossJoin(_values_df(triples.sparkSession, vars2, rows2))
     if acc is None:
         raise SparqlParseError("empty WHERE clause")
     for grp in q.optionals:
-        opt = _join_patterns(triples, grp)
+        opt = _join_patterns(triples, grp.patterns)
+        for ftoks in grp.filters:
+            # OPTIONAL-scoped filter: restrict the optional branch BEFORE
+            # the left join so unmatched rows keep null bindings
+            opt = opt.filter(_filter_expr(ftoks))
         shared = sorted(set(acc.columns) & set(opt.columns))
         acc = acc.join(opt, on=shared, how="left") if shared else acc.crossJoin(opt)
+    for toks, alias in q.binds:
+        acc = acc.withColumn(alias, _bind_expr(toks))
     for ftoks in q.filters:
         acc = acc.filter(_filter_expr(ftoks))
     if q.aggregates:
@@ -514,6 +750,8 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
                 aggs.append(fn(col).alias(alias))
         grouped = acc.groupBy(*q.group_by) if q.group_by else acc.groupBy()
         out = grouped.agg(*aggs)
+        for htoks in q.having:
+            out = out.filter(_filter_expr(htoks))
         proj = (q.select_vars or q.group_by) + [a for *_x, a in q.aggregates]
         out = out.select(*proj)
     else:

@@ -441,11 +441,34 @@ def validate(
     order, cyclic = _ref_order(schema, roots)
     all_subjects = triples.select("doc_sha256", F.col("subj").alias("node")).distinct()
 
-    # evaluate referenced shapes first, over all subjects (their conformant
-    # sets feed the referring constraints)
+    def _tcs(sh: Shape) -> list[TripleConstraint]:
+        return list(sh.constraints) + [tc for grp in (sh.alternatives or []) for tc in grp]
+
+    # every shape that appears on the right side of a reference needs a
+    # conformant set — including roots (a root may itself be referenced)
+    referenced = {
+        tc.ref_shape
+        for sh in schema.shapes.values()
+        for tc in _tcs(sh)
+        if tc.ref_shape is not None
+    }
+    # shapes that transitively depend on a cycle member must evaluate AFTER
+    # the fixpoint (their referenced conformant sets don't exist yet);
+    # `order` is topological over non-cycle edges, so one forward pass works
+    cycle_dep: set[str] = set(cyclic)
+    for sid in order:
+        if any(
+            tc.ref_shape in cycle_dep
+            for tc in _tcs(schema.shapes[sid])
+            if tc.ref_shape is not None
+        ):
+            cycle_dep.add(sid)
+
+    # evaluate referenced cycle-free shapes first, over all subjects (their
+    # conformant sets feed the referring constraints)
     conformant_refs: dict[str, DataFrame] = {}
     for sid in order:
-        if sid in cyclic or sid in roots:
+        if sid in cycle_dep or sid not in referenced:
             continue
         v = evaluate_shape(triples, schema, sid, all_subjects, conformant_refs)
         conformant_refs[sid] = v.filter(F.col("status") == STATUS_CONFORMANT).select(
@@ -486,6 +509,16 @@ def validate(
             raise ValueError(
                 f"shape-reference fixpoint did not converge in {max_fixpoint_iters} rounds"
             )
+
+    # acyclic shapes that depend on cycle members evaluate now, with the
+    # fixpoint's conformant sets available (still in topological order)
+    for sid in order:
+        if sid in cyclic or sid not in cycle_dep or sid not in referenced:
+            continue
+        v = evaluate_shape(triples, schema, sid, all_subjects, conformant_refs)
+        conformant_refs[sid] = v.filter(F.col("status") == STATUS_CONFORMANT).select(
+            "doc_sha256", "node"
+        )
 
     outs = []
     for sid, targets in work:

@@ -99,3 +99,40 @@ def test_apply_inference_owl_includes_rdfs(spark):
     facts = _facts(apply_inference(tri, "OWL"))
     assert (E + "x", RDF_TYPE, E + "Vehicle", "inferred") in facts  # rdfs9
     assert (E + "x", RDF_TYPE, E + "Automobile", "inferred") in facts  # cax-eqc
+
+
+def test_swap_preserves_bnode_kind(spark):
+    """Inverse/symmetric entailment on non-canonicalized input: a blank-node
+    subject moving to object position must keep obj_kind='bnode'."""
+    tri = _tri(
+        spark,
+        [
+            (E + "childOf", OWL_INVERSE_OF, "iri", E + "parentOf", None, None),
+            ("_:b0", E + "childOf", "iri", E + "x", None, None),
+        ],
+    )
+    out = owl_lite_closure(tri)
+    row = out.filter(
+        (F.col("pred") == E + "parentOf") & (F.col("obj_value") == "_:b0")
+    ).collect()
+    assert len(row) == 1 and row[0]["obj_kind"] == "bnode"
+
+
+def test_transitive_join_respects_full_base(spark):
+    """Transitive closure must not join across distinct repo/path/commit
+    rows that share a doc_sha256."""
+    cols = (
+        "repo string, path string, commit string, doc_sha256 string, subj string, "
+        "pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    )
+    rows = [
+        ("r1", "p", "c", "d", E + "part", RDF_TYPE, "iri", OWL_TRANSITIVE, None, None),
+        ("r1", "p", "c", "d", E + "a", E + "part", "iri", E + "b", None, None),
+        # same doc_sha256 but a different repo: must NOT chain with r1's a->b
+        ("r2", "p", "c", "d", E + "b", E + "part", "iri", E + "c", None, None),
+    ]
+    out = owl_lite_closure(spark.createDataFrame(rows, cols))
+    chained = out.filter(
+        (F.col("subj") == E + "a") & (F.col("obj_value") == E + "c")
+    ).collect()
+    assert chained == []

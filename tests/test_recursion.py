@@ -93,3 +93,63 @@ ex:B {{ ex:name . }}
         ).collect()
     }
     assert out == {"p": "conformant", "r": "nonconformant"}
+
+
+def test_acyclic_shape_depending_on_cycle(spark):
+    """Root R -> S -> C <-> D: S is acyclic but needs the cycle's fixpoint
+    results — must evaluate after the fixpoint, not crash with KeyError."""
+    schema = parse_shexc(
+        f"""PREFIX ex: <{EX}>
+ex:R {{ ex:via @ex:S }}
+ex:S {{ ex:member @ex:C }}
+ex:C {{ ex:name . ; ex:peer @ex:D ? }}
+ex:D {{ ex:name . ; ex:peer @ex:C ? }}
+"""
+    )
+    tri = _triples(
+        spark,
+        [
+            ("r", "via", "iri", "s"),
+            ("s", "member", "iri", "c"),
+            ("c", "name", "literal", "C"),
+            ("c", "peer", "iri", "d"),
+            ("d", "name", "literal", "D"),
+            ("d", "peer", "iri", "c"),
+            # failing branch: r2 -> s2 -> c2 where c2 has no name
+            ("r2", "via", "iri", "s2"),
+            ("s2", "member", "iri", "c2"),
+            ("c2", "peer", "iri", "d"),
+        ],
+    )
+    out = {
+        r["node"][len(EX):]: r["status"]
+        for r in validate(
+            tri, schema, shapemap=f"<{EX}r>@<{EX}R>, <{EX}r2>@<{EX}R>"
+        ).collect()
+    }
+    assert out == {"r": "conformant", "r2": "nonconformant"}
+
+
+def test_referenced_root_shape(spark):
+    """A root shape that is itself referenced by another root must still
+    land in conformant_refs (previously skipped because it was a root)."""
+    schema = parse_shexc(
+        f"""PREFIX ex: <{EX}>
+ex:A {{ ex:child @ex:B }}
+ex:B {{ ex:name . }}
+"""
+    )
+    tri = _triples(
+        spark,
+        [
+            ("p", "child", "iri", "q"),
+            ("q", "name", "literal", "Q"),
+        ],
+    )
+    out = {
+        r["node"][len(EX):]: r["status"]
+        for r in validate(
+            tri, schema, shapemap=f"<{EX}p>@<{EX}A>, <{EX}q>@<{EX}B>"
+        ).collect()
+    }
+    assert out == {"p": "conformant", "q": "conformant"}

@@ -235,3 +235,106 @@ def test_filter_logical_ops(spark, triples_001):
     )
     sts = {r["st"] for r in out.collect()}
     assert sts == {"OK", "RUNNING"}
+
+
+def test_bind_arithmetic(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?s ?t2 WHERE {
+              ?s ex:readingTemperature ?t .
+              BIND (?t * 2 AS ?t2)
+              FILTER (?t2 >= 39.0)
+            }""",
+    )
+    rows = out.collect()
+    assert rows and all(float(r["t2"]) >= 39.0 for r in rows)
+    # doubled value matches source
+    src = sparql_select(
+        triples_001,
+        PREFIX + "SELECT ?s ?t WHERE { ?s ex:readingTemperature ?t . FILTER (?t >= 19.5) }",
+    )
+    assert out.count() == src.count()
+
+
+def test_bind_concat(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?tag WHERE {
+              ?s ex:status ?st .
+              BIND (CONCAT("st=", ?st) AS ?tag)
+            } LIMIT 5""",
+    )
+    assert all(r["tag"].startswith("st=") for r in out.collect())
+
+
+def test_having(spark, triples_001):
+    with_having = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?st (COUNT(?s) AS ?n) WHERE { ?s ex:status ?st . }
+            GROUP BY ?st HAVING (?n > 5)""",
+    ).collect()
+    no_having = sparql_select(
+        triples_001,
+        PREFIX + "SELECT ?st (COUNT(?s) AS ?n) WHERE { ?s ex:status ?st . } GROUP BY ?st",
+    ).collect()
+    expect = {r["st"]: r["n"] for r in no_having if r["n"] > 5}
+    assert {r["st"]: r["n"] for r in with_having} == expect
+    assert len(with_having) < len(no_having) or all(r["n"] > 5 for r in no_having)
+
+
+def test_values_inline(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?s ?st WHERE {
+              ?s ex:status ?st .
+              VALUES ?st { "OK" "BROKEN" }
+            }""",
+    )
+    sts = {r["st"] for r in out.collect()}
+    assert sts <= {"OK", "BROKEN"} and sts
+
+
+def test_values_multi_var_with_undef(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?s ?st ?tag WHERE {
+              ?s ex:status ?st .
+              VALUES (?st ?tag) { ("OK" "fine") (UNDEF "any") }
+            }""",
+    )
+    rows = out.collect()
+    tags = {(r["st"], r["tag"]) for r in rows}
+    # "fine" rows only for OK; "any" rows for every status (UNDEF wildcard)
+    assert all(st == "OK" for st, tag in tags if tag == "fine")
+    assert {st for st, tag in tags if tag == "any"} == {r["st"] for r in rows}
+
+
+def test_optional_scoped_filter_keeps_unmatched(spark):
+    # FILTER inside OPTIONAL applies to the branch BEFORE the left join:
+    # subjects whose optional rows all fail the filter keep null bindings
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            (EX + "a", EX + "name", "literal", "A", None, None),
+            (EX + "a", EX + "score", "literal", "9", None, None),
+            (EX + "b", EX + "name", "literal", "B", None, None),
+            (EX + "b", EX + "score", "literal", "2", None, None),
+            (EX + "c", EX + "name", "literal", "C", None, None),
+        ],
+        cols,
+    )
+    out = sparql_select(
+        tri,
+        PREFIX
+        + """SELECT ?s ?sc WHERE {
+              ?s ex:name ?n .
+              OPTIONAL { ?s ex:score ?sc . FILTER (?sc > 5) }
+            }""",
+    )
+    got = {r["s"][len(EX):]: r["sc"] for r in out.collect()}
+    assert got == {"a": "9", "b": None, "c": None}
