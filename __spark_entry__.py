@@ -43,15 +43,41 @@ from rdfshape_api_spark.fixtures.social import (
 ensure_social("sf0.001")
 _SOC001 = ensure_social("sf0.01")
 
+from rdfshape_api_spark.fixtures.catalog import (
+    SHAPEMAP_ITEM,
+    SHEX_ITEM,
+    ensure_catalog,
+)
+
+ensure_catalog("sf0.001")
+_CAT001 = ensure_catalog("sf0.01")
+
 EX = "http://example.org/"
 _ORACLE_TRIPLES = _SF001["triples"]
 _ORACLE_VERDICTS = _SF001["verdicts"]
 _ORACLE_DOCS = _SF001["docs"]
 _SOC_TRIPLES = _SOC001["triples"]
 _SOC_VERDICTS = _SOC001["verdicts"]
+_CAT_TRIPLES = _CAT001["triples"]
+_CAT_VERDICTS = _CAT001["verdicts"]
 
 _triples_cache: dict[str, DataFrame] = {}
 _social_cache: dict[str, DataFrame] = {}
+_catalog_cache: dict[str, DataFrame] = {}
+
+
+def _catalog_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdfshape_api_spark.fixtures.generator import sf_tag_from_dir as _tagof
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    tag = _tagof(sf_dir)
+    if tag not in _catalog_cache:
+        paths = ensure_catalog(tag)
+        docs = spark.read.parquet(paths["docs"])
+        tri = dedup_triples(canonicalize(extract_triples(docs)), scope_doc=True)
+        _catalog_cache[tag] = tri.persist()
+    return _catalog_cache[tag]
 
 
 def _social_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,6 +278,16 @@ def _q_social_validate(spark, sf_dir):
     tri = _social_triples(spark, sf_dir)
     return validate(
         tri, parse_shexc(SHEX_PERSON), shapemap=SHAPEMAP_PERSON, shape_label="shex_person"
+    ).select("doc_sha256", "node", "status")
+
+
+def _q_catalog_validate(spark, sf_dir):
+    """Repeated-property EachOf (partition matching) under the golden gate."""
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = _catalog_triples(spark, sf_dir)
+    return validate(
+        tri, parse_shexc(SHEX_ITEM), shapemap=SHAPEMAP_ITEM, shape_label="shex_item"
     ).select("doc_sha256", "node", "status")
 
 
@@ -575,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_stream_validate": _q_stream_validate,       # T1 streaming validation
         "social_extract": _q_social_extract,             # S1 incl. N-Quads/TriG
         "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
+        "catalog_validate_item": _q_catalog_validate,    # §2.7 repeated-prop EachOf
         # training-data pipeline operators
         "text_features": _q_text_features,
         "dedup_exact": _q_dedup_exact,
@@ -786,6 +823,9 @@ def oracle_sql() -> dict[str, str]:
         "social_extract": f"SELECT DISTINCT * FROM '{_SOC_TRIPLES}'",
         "social_validate_person": (
             f"SELECT doc_sha256, node, status FROM '{_SOC_VERDICTS}'"
+        ),
+        "catalog_validate_item": (
+            f"SELECT doc_sha256, node, status FROM '{_CAT_VERDICTS}'"
         ),
         "text_features": """
             SELECT doc_id,

@@ -147,17 +147,18 @@ class _ShexParser:
                 groups.append([])
         self.expect("}")
         for g in groups:
-            # EachOf with a repeated property needs triple-partitioning
+            # EachOf with a repeated property uses triple-partitioning
             # semantics (each triple matched by exactly one constraint) —
-            # not expressible as per-predicate aggregation; reject instead
-            # of silently mis-evaluating (SURVEY §7.3 honesty rule)
+            # evaluated via transportation-feasibility over satisfaction
+            # profiles in plans/validate.py; cap the group fan-out so the
+            # 2^k profile aggregation stays codegen-friendly
             preds = [tc.pred for tc in g]
-            if len(preds) != len(set(preds)):
-                dup = next(p for p in preds if preds.count(p) > 1)
-                raise ValueError(
-                    f"ShExC: repeated property <{dup}> in one EachOf group "
-                    "requires partition-matching semantics (unsupported)"
-                )
+            for p in set(preds):
+                if preds.count(p) > 4:
+                    raise ValueError(
+                        f"ShExC: property <{p}> repeated more than 4 times in "
+                        "one EachOf group (profile blow-up; unsupported)"
+                    )
         if len(groups) == 1:
             shape.constraints = groups[0]
         else:

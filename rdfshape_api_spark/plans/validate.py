@@ -229,13 +229,44 @@ def evaluate_shape(
             ).withColumn(col, F.col("_r_node").isNotNull()).drop("_r_doc", "_r_node")
             ref_cols[i] = col
 
+    # constraints sharing (alternative, predicate) form a repeated-property
+    # EachOf group: ShEx partition-matching semantics (each triple matched
+    # by exactly one constraint).  Per group we aggregate counts of each
+    # "satisfaction profile" (the bitset of group constraints a triple's
+    # value satisfies) and decide feasibility of the induced transportation
+    # problem in the verdict expression — still one hash aggregation, all
+    # Column logic.  (Reference semantics live behind the shexs engine call
+    # at SchemaValidate.scala:97-99.)
+    group_of: dict[tuple[int, str], list[int]] = {}
+    for i, tc in enumerate(flat_constraints):
+        group_of.setdefault((alt_of[i], tc.pred), []).append(i)
+    rep_groups = {k: v for k, v in group_of.items() if len(v) > 1}
+    rep_indices = {i for idxs in rep_groups.values() for i in idxs}
+    rep_ids = {key: gi for gi, key in enumerate(sorted(rep_groups))}
+
     aggs = []
     for i, tc in enumerate(flat_constraints):
+        if i in rep_indices:
+            continue
         on_pred = F.col("pred") == tc.pred
         aggs.append(
             F.sum(F.when(on_pred & _value_ok(tc, ref_cols.get(i)), 1).otherwise(0)).alias(f"m{i}")
         )
         aggs.append(F.sum(F.when(on_pred, 1).otherwise(0)).alias(f"t{i}"))
+    for key, idxs in sorted(rep_groups.items()):
+        gi = rep_ids[key]
+        pred = key[1]
+        on_pred = F.col("pred") == pred
+        profile = F.lit(0)
+        for pos, i in enumerate(idxs):
+            ok = F.coalesce(
+                _value_ok(flat_constraints[i], ref_cols.get(i)), F.lit(False)
+            )
+            profile = profile + F.when(ok, F.lit(1 << pos)).otherwise(F.lit(0))
+        for s in range(1 << len(idxs)):
+            aggs.append(
+                F.sum(F.when(on_pred & (profile == s), 1).otherwise(0)).alias(f"g{gi}_n{s}")
+            )
     if shape.closed:
         aggs.append(
             F.sum(F.when(~F.col("pred").isin(*mentioned), 1).otherwise(0)).alias("unmentioned")
@@ -252,6 +283,8 @@ def evaluate_shape(
     alt_ok = [F.lit(True) for _ in range(n_alts)]
     reasons = []
     for i, tc in enumerate(flat_constraints):
+        if i in rep_indices:
+            continue
         m = F.coalesce(F.col(f"m{i}"), F.lit(0))
         t = F.coalesce(F.col(f"t{i}"), F.lit(0))
         c_ok = m >= tc.min_count
@@ -264,6 +297,56 @@ def evaluate_shape(
         if shape.alternatives is None:
             reasons.append(
                 F.when(~c_ok, F.lit(f"constraint on <{tc.pred}> {card} violated"))
+            )
+    for key, idxs in sorted(rep_groups.items()):
+        gi = rep_ids[key]
+        alt, pred = key
+        k = len(idxs)
+        tcs = [flat_constraints[i] for i in idxs]
+        extra = tcs[0].extra  # per-predicate flag, shared across the group
+
+        def n(s: int, gi=gi) -> Column:
+            return F.coalesce(F.col(f"g{gi}_n{s}"), F.lit(0))
+
+        # Hoffman circulation conditions for the bipartite transportation
+        # problem: sources = satisfaction profiles S (supply n_S, arcs to
+        # every constraint in S, plus a waste arc iff EXTRA), sinks =
+        # constraints with demand in [min_i, max_i].  Over every subset T
+        # of constraints:
+        #   demand: Σ_{i∈T} min_i ≤ Σ_{S∩T≠∅} n_S  (reachable supply
+        #           covers lower bounds)
+        #   supply (no EXTRA): Σ_{S⊆T} n_S ≤ Σ_{i∈T} max_i  (values that
+        #           can only go to T fit; T=∅ forces n_∅ = 0)
+        feas = F.lit(True)
+        full = (1 << k) - 1
+        for t_mask in range(1, full + 1):
+            min_sum = sum(tcs[pos].min_count for pos in range(k) if t_mask & (1 << pos))
+            if min_sum > 0:
+                reach = None
+                for s in range(1, full + 1):
+                    if s & t_mask:
+                        reach = n(s) if reach is None else reach + n(s)
+                feas = feas & (reach >= F.lit(min_sum))
+        if not extra:
+            for t_mask in range(0, full + 1):
+                maxes = [tcs[pos].max_count for pos in range(k) if t_mask & (1 << pos)]
+                if any(mx is None for mx in maxes):
+                    continue  # infinite capacity — condition trivially holds
+                only = None
+                for s in range(0, full + 1):
+                    if s & ~t_mask & full == 0:  # S ⊆ T (includes S = ∅)
+                        only = n(s) if only is None else only + n(s)
+                feas = feas & (only <= F.lit(sum(maxes)))
+        alt_ok[alt] = alt_ok[alt] & feas
+        if shape.alternatives is None:
+            reasons.append(
+                F.when(
+                    ~feas,
+                    F.lit(
+                        f"no valid partition of <{pred}> triples among "
+                        f"{k} repeated constraints"
+                    ),
+                )
             )
     if shape.alternatives is not None:
         # OneOf: conformant iff at least one alternative fully holds
@@ -308,6 +391,8 @@ def validate_batch(
             sh.closed
             or sh.alternatives is not None
             or any(tc.ref_shape for tc in sh.constraints)
+            # repeated-property EachOf needs the partition-matching path
+            or len({tc.pred for tc in sh.constraints}) != len(sh.constraints)
             for sh in schema.shapes.values()
         ) or len(schema.shapes) > 1
         if complex_:

@@ -68,10 +68,8 @@ def test_oneof_roundtrips_through_shexc():
     assert re2.shapes[E + "Contact"].alternatives is not None
 
 
-def test_repeated_predicate_in_eachof_rejected():
-    import pytest
-
-    with pytest.raises(ValueError, match="repeated property"):
-        parse_shexc(
-            f"PREFIX ex: <{E}>\nex:S {{ ex:p . ; ex:p . }}"
-        )
+def test_repeated_predicate_in_eachof_parses():
+    # repeated properties use partition-matching semantics now
+    # (tests/test_shex_repeated.py); the parser accepts them
+    schema = parse_shexc(f"PREFIX ex: <{E}>\nex:S {{ ex:p . ; ex:p . }}")
+    assert len(schema.shapes[E + "S"].constraints) == 2
