@@ -142,17 +142,37 @@ def ngram_shingles(text=None, n: int = 2):
     ).otherwise(F.array_distinct(ws))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, max_df: int | None = None
+) -> DataFrame:
     """Near-dup pairs by word-bigram Jaccard ≥ threshold.
 
     explode(shingles) → self-join on shingle → count shared → Jaccard via
     |A∩B| / (|A|+|B|−|A∩B|). Partial aggregation makes the pair-count
     shuffle proportional to shared shingles, not documents².
+
+    ``max_df`` is the 100TB hot-shingle guard (same role as
+    ``max_bucket`` in :func:`lsh_candidate_pairs`): a shingle shared by b
+    docs emits O(b²) join rows, and stop-word bigrams in a web corpus hit
+    b ≈ corpus size.  With ``max_df`` set, shingles whose document
+    frequency exceeds the cap are dropped from the JOIN side only —
+    |A|/|B| sizes keep every shingle, so Jaccard estimates only lose the
+    (uninformative) hot shingles' intersection contribution and the
+    output stays bounded.  Default None keeps exact semantics (the
+    oracle contract).
     """
     sh = docs.select("doc_id", F.explode(ngram_shingles()).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    bb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    join_sh = sh
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        join_sh = sh.join(
+            F.broadcast(dfreq.filter(F.col("_df") > max_df).select("shingle")),
+            on="shingle",
+            how="left_anti",
+        )
+    a = join_sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    bb = join_sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
     inter = (
         a.join(bb, on=[a["shingle"] == bb["shingle_b"], a["doc_a"] < bb["doc_b"]])
         .groupBy("doc_a", "doc_b")

@@ -45,3 +45,22 @@ def test_lsh_dedup_keep_one_survivor_per_family(docs):
     # distinct docs survive as their own representatives
     others = {r["doc_id"]: r for r in keep.filter(F.col("doc_id") >= 10).collect()}
     assert all(r["keep"] for r in others.values())
+
+
+def test_ngram_hot_shingle_guard(spark):
+    """A degenerate corpus where every doc shares one stop-word bigram:
+    unguarded output is O(n²) pairs; with max_df the hot shingle is
+    excluded and only genuinely-similar pairs survive."""
+    from rdfshape_api_spark.functions.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"of the unique{i} token{i} thing{i}") for i in range(40)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = ngram_jaccard_pairs(docs, threshold=0.01)
+    # every template doc shares 'of the' -> quadratic candidate pairs
+    assert unguarded.count() > 40 * 39 / 2
+
+    guarded = ngram_jaccard_pairs(docs, threshold=0.5, max_df=10)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in guarded.collect()}
+    assert pairs == {(100, 101)}
