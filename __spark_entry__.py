@@ -52,6 +52,11 @@ from rdfshape_api_spark.fixtures.catalog import (
 ensure_catalog("sf0.001")
 _CAT001 = ensure_catalog("sf0.01")
 
+from rdfshape_api_spark.fixtures.webdocs import ensure_webdocs
+
+ensure_webdocs("sf0.001")
+_WEB001 = ensure_webdocs("sf0.01")
+
 EX = "http://example.org/"
 _ORACLE_TRIPLES = _SF001["triples"]
 _ORACLE_VERDICTS = _SF001["verdicts"]
@@ -60,6 +65,7 @@ _SOC_TRIPLES = _SOC001["triples"]
 _SOC_VERDICTS = _SOC001["verdicts"]
 _CAT_TRIPLES = _CAT001["triples"]
 _CAT_VERDICTS = _CAT001["verdicts"]
+_WEB_TRIPLES = _WEB001["triples"]
 
 _triples_cache: dict[str, DataFrame] = {}
 _social_cache: dict[str, DataFrame] = {}
@@ -279,6 +285,21 @@ def _q_social_validate(spark, sf_dir):
     return validate(
         tri, parse_shexc(SHEX_PERSON), shapemap=SHAPEMAP_PERSON, shape_label="shex_person"
     ).select("doc_sha256", "node", "status")
+
+
+def _q_html_extract(spark, sf_dir):
+    """HTML→RDF (RDFa-lite + Microdata) through the standard extract →
+    canonicalize path (S2; reference HtmlToRdf.scala:50-122)."""
+    from rdfshape_api_spark.fixtures.generator import sf_tag_from_dir as _tagof
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    paths = ensure_webdocs(_tagof(sf_dir))
+    docs = spark.read.parquet(paths["docs"])
+    tri = dedup_triples(canonicalize(extract_triples(docs)), scope_doc=True)
+    return tri.select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+    ).distinct()
 
 
 def _q_catalog_validate(spark, sf_dir):
@@ -612,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_extract": _q_social_extract,             # S1 incl. N-Quads/TriG
         "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
         "catalog_validate_item": _q_catalog_validate,    # §2.7 repeated-prop EachOf
+        "rdf_html_extract": _q_html_extract,             # S2 HTML→RDF (RDFa/Microdata)
         # training-data pipeline operators
         "text_features": _q_text_features,
         "dedup_exact": _q_dedup_exact,
@@ -827,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "catalog_validate_item": (
             f"SELECT doc_sha256, node, status FROM '{_CAT_VERDICTS}'"
         ),
+        "rdf_html_extract": f"SELECT DISTINCT * FROM '{_WEB_TRIPLES}'",
         "text_features": """
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,

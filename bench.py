@@ -86,23 +86,15 @@ def _pipeline_run(spark, sf_tag: str, out_dir: str) -> dict:
     return m
 
 
-def _run_pipeline_once(master: str, sf_tag: str, out_dir: str) -> dict:
-    """Fresh-session pipeline run (shuffle partitioning fixed at 64 for all
-    levels — only executor parallelism varies)."""
-    from rdfshape_api_spark.session import get_spark
-
-    spark = get_spark("bench_pipeline", master=master, shuffle_partitions=64)
-    m = _pipeline_run(spark, sf_tag, out_dir)
-    m["master"] = master
-    spark.stop()
-    return m
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
 
+    if "--scaling-level" in sys.argv:
+        i = sys.argv.index("--scaling-level")
+        _scaling_level(*sys.argv[i + 1 : i + 5])
+        return
     if "--scaling" in sys.argv:
         _scaling(sf_dir)
         return
@@ -187,17 +179,14 @@ def _burn(secs: float) -> int:
     return x
 
 
-def _scaling_kernels(scaling_sf: str) -> dict:
-    """Per-operator compute scaling at the two parallelism levels.
+def _kernels_for_session(spark, scaling_sf: str) -> dict:
+    """Per-operator compute kernels in an existing session.
 
-    Input is persisted (DISK_ONLY) and each kernel runs once for JIT warm-up
-    before the measured run — this isolates the *operator compute* from the
-    constant driver cost (plan compile, scheduling, commit) and from the
-    single-local-disk shuffle artifacts that dominate short end-to-end walls
-    in a one-box sandbox but not on a real N-vs-4N-executor cluster."""
-    import tempfile
-
+    Input is persisted and each kernel runs once for JIT warm-up before
+    the measured run — this isolates the *operator compute* from the
+    constant driver cost (plan compile, scheduling, commit)."""
     import shutil
+    import tempfile
 
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -207,7 +196,6 @@ def _scaling_kernels(scaling_sf: str) -> dict:
     from rdfshape_api_spark.model import TRIPLE_COLUMNS
     from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
     from rdfshape_api_spark.plans import parse_shexc, validate
-    from rdfshape_api_spark.session import get_spark
     from rdfshape_api_spark.sources.extract import (
         extract_ntriples_columnar,
         extract_python_formats,
@@ -216,120 +204,152 @@ def _scaling_kernels(scaling_sf: str) -> dict:
     )
 
     out: dict = {}
-    for level, master in [("N", "local[4]"), ("4N", "local[16]")]:
-        spark = get_spark("bench_kernels", master=master, shuffle_partitions=64)
-        paths = ensure_fixtures(scaling_sf)
-        docs = (
-            with_doc_sha(spark.read.parquet(paths["docs"]))
-            .repartition(64)
-            .persist(StorageLevel.DISK_ONLY)
-        )
-        docs.count()
-        lang = F.lower(F.col("lang"))
-        tmp = tempfile.mkdtemp(prefix="kernels_")
-        extract_triples_raw(docs).write.mode("overwrite").parquet(tmp + "/raw")
-        raw = spark.read.parquet(tmp + "/raw").persist(StorageLevel.DISK_ONLY)
-        raw.count()
-        schema = parse_shexc(SHEX_SENSOR)
+    paths = ensure_fixtures(scaling_sf)
+    docs = (
+        with_doc_sha(spark.read.parquet(paths["docs"]))
+        .repartition(64)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    docs.count()
+    lang = F.lower(F.col("lang"))
+    tmp = tempfile.mkdtemp(prefix="kernels_", dir=_work_root())
+    extract_triples_raw(docs).write.mode("overwrite").parquet(tmp + "/raw")
+    raw = spark.read.parquet(tmp + "/raw").persist(StorageLevel.DISK_ONLY)
+    raw.count()
+    schema = parse_shexc(SHEX_SENSOR)
 
-        def measure(name: str, fn) -> None:
-            """warm-up once (JIT, python workers), then min of two reps."""
-            fn()
-            walls, rows = [], 0
-            for _ in range(2):
-                t0 = time.time()
-                rows = fn()
-                walls.append(time.time() - t0)
-            out.setdefault(name, {})[level] = {
-                "wall_s": round(min(walls), 3),
-                "rows": rows,
-            }
+    def measure(name: str, fn) -> None:
+        """warm-up once (JIT, python workers), then min of two reps."""
+        fn()
+        walls, rows = [], 0
+        for _ in range(2):
+            t0 = time.time()
+            rows = fn()
+            walls.append(time.time() - t0)
+        out[name] = {"wall_s": round(min(walls), 3), "rows": rows}
 
-        measure(
-            "parse_turtle_jsonld",
-            lambda: extract_python_formats(
-                docs.filter(~lang.isin("ntriples", "nt", "n-triples"))
-            ).count(),
+    measure(
+        "parse_turtle_jsonld",
+        lambda: extract_python_formats(
+            docs.filter(~lang.isin("ntriples", "nt", "n-triples"))
+        ).count(),
+    )
+    measure(
+        "extract_nt_columnar",
+        lambda: extract_ntriples_columnar(
+            docs.filter(lang.isin("ntriples", "nt", "n-triples"))
+        ).count(),
+    )
+    # measured BEFORE the identical plan below is persisted — otherwise
+    # Spark's plan-level cache lookup serves this from the cache and the
+    # "kernel" degenerates to a cache read
+    measure(
+        "canonicalize_dedup",
+        lambda: dedup_triples(
+            canonicalize(raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS)),
+            scope_doc=True,
+        ).count(),
+    )
+    triples = (
+        dedup_triples(
+            canonicalize(raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS)),
+            scope_doc=True,
         )
-        measure(
-            "extract_nt_columnar",
-            lambda: extract_ntriples_columnar(
-                docs.filter(lang.isin("ntriples", "nt", "n-triples"))
-            ).count(),
-        )
-        # measured BEFORE the identical plan below is persisted — otherwise
-        # Spark's plan-level cache lookup serves this from the cache and the
-        # "kernel" degenerates to a cache read
-        measure(
-            "canonicalize_dedup",
-            lambda: dedup_triples(
-                canonicalize(raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS)),
-                scope_doc=True,
-            ).count(),
-        )
-        triples = (
-            dedup_triples(
-                canonicalize(raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS)),
-                scope_doc=True,
-            )
-            .persist(StorageLevel.DISK_ONLY)
-        )
-        triples.count()
-        measure(
-            "validate_shex",
-            lambda: validate(
-                triples, schema, shapemap=SHAPEMAP_QUERY, shape_label="s"
-            ).count(),
-        )
-        docs.unpersist()
-        raw.unpersist()
-        triples.unpersist()
-        shutil.rmtree(tmp, ignore_errors=True)
-        spark.stop()
-    for name, r in out.items():
-        r["efficiency"] = round((r["N"]["wall_s"] / r["4N"]["wall_s"]) / 4.0, 3)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    triples.count()
+    measure(
+        "validate_shex",
+        lambda: validate(
+            triples, schema, shapemap=SHAPEMAP_QUERY, shape_label="s"
+        ).count(),
+    )
+    docs.unpersist()
+    raw.unpersist()
+    triples.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def _work_root() -> str:
+    """Scratch root for pipeline outputs during scaling runs: tmpfs when
+    available.  Rationale: every executor of a real fleet writes shuffle/
+    store bytes to its OWN local NVMe and to distributed storage whose
+    aggregate bandwidth scales with executor count — a single shared ext4
+    disk is the one-box artifact, not the model."""
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+
+
+def _scaling_level(label: str, master: str, scaling_sf: str, out_json: str) -> None:
+    """One parallelism level, run in a FRESH process (driver heap scales
+    with core count — the per-executor-resources-constant cluster analogy —
+    and spark.driver.memory only applies to a fresh JVM)."""
+    import shutil
+    import tempfile
+
+    from rdfshape_api_spark.session import get_spark
+
+    spark = get_spark("bench_scaling", master=master, shuffle_partitions=64)
+    warm = tempfile.mkdtemp(prefix="scaling_warm_", dir=_work_root())
+    best = None
+    try:
+        _pipeline_run(spark, "sf0.1", warm)  # warm-up, discarded
+        for _ in range(2):  # min-of-2: the shared host is noisy
+            meas = tempfile.mkdtemp(prefix="scaling_meas_", dir=_work_root())
+            try:
+                m = _pipeline_run(spark, scaling_sf, meas)
+            finally:
+                shutil.rmtree(meas, ignore_errors=True)
+            if best is None or m["total_wall_s"] < best["total_wall_s"]:
+                best = m
+        best["master"] = master
+        kernels = _kernels_for_session(spark, scaling_sf)
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
+        spark.stop()
+    with open(out_json, "w") as f:
+        json.dump({"label": label, "pipeline": best, "kernels": kernels}, f)
 
 
 def _scaling(sf_dir: str) -> None:
     """Two-parallelism-level protocol (BASELINE.md): same job, same input,
     local[4] (N) vs local[16] (4N), steady-state measurement.
 
-    Each level gets a fresh session; a warm-up pipeline run at sf0.1 is
-    executed first and DISCARDED (first-run walls are dominated by JIT /
-    codegen / Python-worker spawn — observed 3-5x inflation — which a real
-    long-running cluster never pays per job), then the measured run executes
-    at the scaling tier (default sf1, 1M docs, ~13M triples) where parallel
-    work dominates the constant driver-side cost (plan compilation, job
-    scheduling, parquet commits — identical at both levels)."""
-    import shutil
+    Each level runs in a FRESH subprocess (per-executor resources constant,
+    executor count varies: heap and Python workers scale with cores); a
+    warm-up pipeline run at sf0.1 is executed first and DISCARDED
+    (first-run walls are dominated by JIT / codegen / Python-worker spawn —
+    observed 3-5x inflation — which a real long-running cluster never pays
+    per job), then the measured run executes at the scaling tier (default
+    sf1, 1M docs, ~13M triples) where parallel work dominates the constant
+    driver-side cost (plan compilation, job scheduling, parquet commits —
+    identical at both levels)."""
+    import subprocess
     import tempfile
 
     scaling_sf = os.environ.get("SPARK_GRAFT_SCALING_SF", "sf1")
     from rdfshape_api_spark.fixtures import ensure_fixtures
-    from rdfshape_api_spark.session import get_spark
 
     ensure_fixtures(scaling_sf)  # generation excluded from timings
-    results = {}
+    ensure_fixtures("sf0.1")
+    results, kernels = {}, {}
     for label, master in [("N(4)", "local[4]"), ("4N(16)", "local[16]")]:
-        spark = get_spark("bench_scaling", master=master, shuffle_partitions=64)
-        warm = tempfile.mkdtemp(prefix="scaling_warm_")
-        try:
-            _pipeline_run(spark, "sf0.1", warm)  # warm-up, discarded
-            best = None
-            for _ in range(2):  # min-of-2: the shared host is noisy
-                meas = tempfile.mkdtemp(prefix=f"scaling_{label.split('(')[0]}_")
-                try:
-                    m = _pipeline_run(spark, scaling_sf, meas)
-                finally:
-                    shutil.rmtree(meas, ignore_errors=True)
-                if best is None or m["total_wall_s"] < best["total_wall_s"]:
-                    best = m
-            results[label] = best
-        finally:
-            shutil.rmtree(warm, ignore_errors=True)
-            spark.stop()
-    kernels = _scaling_kernels(scaling_sf)
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_json = tf.name
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-level",
+             label, master, scaling_sf, out_json],
+            check=True,
+            cwd=REPO,
+        )
+        with open(out_json) as f:
+            level_out = json.load(f)
+        os.unlink(out_json)
+        results[label] = level_out["pipeline"]
+        for name, r in level_out["kernels"].items():
+            kernels.setdefault(name, {})[label.split("(")[0]] = r
+    for name, r in kernels.items():
+        r["efficiency"] = round((r["N"]["wall_s"] / r["4N"]["wall_s"]) / 4.0, 3)
     ceiling = _cpu_ceiling(4, 16)
     t_n = results["N(4)"]["total_wall_s"]
     t_4n = results["4N(16)"]["total_wall_s"]

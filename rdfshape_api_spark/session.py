@@ -24,13 +24,19 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        cores = cpus if inner == "*" else int(inner)
+    else:
+        cores = cpus
     if shuffle_partitions is None:
-        # local[N] → N; local[*] → cpu count; real cluster masters keep 2×cores
-        if master.startswith("local["):
-            inner = master[len("local[") : -1]
-            shuffle_partitions = cpus if inner == "*" else int(inner)
-        else:
-            shuffle_partitions = 2 * cpus
+        # local[N] → N; real cluster masters keep 2×cores
+        shuffle_partitions = cores if master.startswith("local[") else 2 * cores
+    # Cluster analogy: per-executor resources are CONSTANT, executor COUNT
+    # varies — so the single-JVM stand-in scales its heap with core count
+    # (4N executors = 4x aggregate memory).  A fixed heap would make the
+    # higher parallelism level spill first and mis-measure scaling.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM") or f"{min(2 * cores, 48)}g"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -45,9 +51,18 @@ def get_spark(
         # repartition(pred_part, bucket) leaves only a handful of partition
         # dirs per task, and skipping the sort measured ~20-50% faster
         .config("spark.sql.maxConcurrentOutputFileWriters", "64")
+        # 32 MB scan splits: the fixture parquet is CPU-heavy per byte
+        # (parse + sha256), and 128 MB splits leave fewer tasks than cores
+        # at bench scale — on a real cluster this is the same tuning
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
     )
+    # Shuffle/spill files on tmpfs when available: every executor in a real
+    # fleet has its OWN local NVMe (aggregate bandwidth scales with N);
+    # a single shared ext4 disk is the one-box artifact, not the model.
+    if master.startswith("local") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -709,18 +709,20 @@ def parse_rdfxml(content: str) -> list[Triple]:
     return triples
 
 
-def parse_html(content: str, flavor: str = "rdfa11"):
-    """HTML→RDF extraction stub (SURVEY §2.1 S2 — Any23 RDFa 1.1/Microdata,
-    ``HtmlToRdf.extractFromString`` ``.../html2rdf/HtmlToRdf.scala:50-122``).
+def parse_html(content: str, flavor: str = "rdfa11") -> list[Triple]:
+    """HTML→RDF extraction (SURVEY §2.1 S2 — RDFa 1.1/Microdata; reference
+    delegates to Any23, ``HtmlToRdf.extractFromString``
+    ``.../html2rdf/HtmlToRdf.scala:50-122``; formats ``HtmlFormat.scala:
+    17-31``).  Pure-Python subset extractor in ``sources/html2rdf.py``
+    running in the same Arrow batch stage as the other non-columnar
+    formats."""
+    from rdfshape_api_spark.sources.html2rdf import extract_microdata, extract_rdfa
 
-    The extraction libraries (extruct/Any23-equivalents) are not in this
-    container and the format is outside the north-star set; the dispatch
-    plumbing (lang column, error channel, batch shape) is real, the kernel
-    is a marked stub."""
-    raise NotImplementedError(
-        f"HTML {flavor} extraction not implemented (plumbing stub; "
-        "see HtmlToRdf.scala:50-122 for the reference semantics)"
-    )
+    if flavor == "rdfa11":
+        return extract_rdfa(content)
+    if flavor == "microdata":
+        return extract_microdata(content)
+    raise ValueError(f"unknown HTML flavor {flavor!r} (rdfa11 | microdata)")
 
 
 PARSERS = {
