@@ -454,8 +454,8 @@ class _JsonLdParser:
 
     def parse_node(self, node: dict, ctx: dict) -> str:
         local_ctx = dict(ctx)
-        if "@context" in node and isinstance(node["@context"], dict):
-            local_ctx.update(node["@context"])
+        if "@context" in node:
+            local_ctx.update(_context_dict(node["@context"]))
         subj = self.node_id(node, local_ctx)
         s_kind_val = subj
         for key, val in node.items():
@@ -482,6 +482,26 @@ class _JsonLdParser:
 
     def emit_value(self, subj: str, pred: str, v, ctx: dict):
         if isinstance(v, dict):
+            if "@list" in v:
+                # RDF collection: first/rest chain of fresh bnodes,
+                # empty list → rdf:nil
+                items = v["@list"]
+                items = items if isinstance(items, list) else [items]
+                if not items:
+                    self.triples.append((subj, pred, "iri", RDF_NIL, None, None))
+                    return
+                head = self.fresh_bnode()
+                self.triples.append((subj, pred, "bnode", head, None, None))
+                cur = head
+                for i, item in enumerate(items):
+                    self.emit_value(cur, RDF_FIRST, item, ctx)
+                    if i == len(items) - 1:
+                        self.triples.append((cur, RDF_REST, "iri", RDF_NIL, None, None))
+                    else:
+                        nxt = self.fresh_bnode()
+                        self.triples.append((cur, RDF_REST, "bnode", nxt, None, None))
+                        cur = nxt
+                return
             if "@value" in v:
                 lex = v["@value"]
                 if isinstance(lex, bool):
@@ -525,14 +545,36 @@ class _JsonLdParser:
             self.triples.append((subj, pred, "literal", str(v), None, None))
 
 
+def _context_dict(raw) -> dict:
+    """Normalize a @context value: dict, or array of dicts (merged left to
+    right).  Remote contexts (URL strings) are REJECTED with a clear error
+    — no network access in the extraction kernel (honesty rule, SURVEY
+    §7.3); the reference resolves them via Jena (RdfFormat.scala:18-29)."""
+    if raw is None:
+        return {}
+    if isinstance(raw, dict):
+        return raw
+    if isinstance(raw, str):
+        raise ValueError(
+            f"remote @context {raw!r} not supported (no network in the "
+            "extraction kernel; inline the context)"
+        )
+    if isinstance(raw, list):
+        out: dict = {}
+        for part in raw:
+            out.update(_context_dict(part))
+        return out
+    raise ValueError(f"unsupported @context value {type(raw).__name__}")
+
+
 def parse_jsonld(content: str) -> list[Triple]:
     """Parse a JSON-LD document (subset per module docstring)."""
     doc = json.loads(content)
     p = _JsonLdParser()
     ctx: dict = {}
     if isinstance(doc, dict):
-        if "@context" in doc and isinstance(doc["@context"], dict):
-            ctx = doc["@context"]
+        if "@context" in doc:
+            ctx = _context_dict(doc["@context"])
         if "@graph" in doc:
             nodes = doc["@graph"]
             nodes = nodes if isinstance(nodes, list) else [nodes]

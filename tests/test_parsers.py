@@ -136,3 +136,50 @@ def test_generator_roundtrip_all_formats():
                 canon.add((s, p, k, v, lg, dt))
             golden = {tuple(r[1:]) for r in g._golden_triples(readings, sha)}
             assert canon == golden
+
+
+def test_jsonld_list():
+    from rdfshape_api_spark.sources.parsers import RDF_FIRST, RDF_NIL, RDF_REST, parse_jsonld
+
+    doc = """{"@context": {"ex": "http://e/"},
+      "@id": "http://e/a",
+      "ex:items": {"@list": [1, 2]},
+      "ex:empty": {"@list": []}}"""
+    t = parse_jsonld(doc)
+    firsts = [x for x in t if x[1] == RDF_FIRST]
+    rests = [x for x in t if x[1] == RDF_REST]
+    assert [f[3] for f in firsts] == ["1", "2"]
+    assert rests[0][3].startswith("_:") and rests[1][3] == RDF_NIL
+    assert ("http://e/a", "http://e/empty", "iri", RDF_NIL, None, None) in t
+
+
+def test_jsonld_context_array():
+    from rdfshape_api_spark.sources.parsers import parse_jsonld
+
+    doc = """{"@context": [{"ex": "http://e/"}, {"name": "http://e/name"}],
+      "@id": "http://e/a", "name": "Ann", "ex:age": 7}"""
+    t = set(parse_jsonld(doc))
+    assert ("http://e/a", "http://e/name", "literal", "Ann", None, None) in t
+    assert any(x[1] == "http://e/age" and x[3] == "7" for x in t)
+
+
+def test_jsonld_remote_context_rejected():
+    from rdfshape_api_spark.sources.parsers import parse_document
+
+    doc = '{"@context": "https://schema.org", "@id": "http://e/a", "name": "x"}'
+    triples, err = parse_document(doc, "jsonld")
+    assert triples == [] and "remote @context" in err
+
+
+def test_jsonld_nested_graph():
+    from rdfshape_api_spark.sources.parsers import RDF_TYPE, parse_jsonld
+
+    doc = """{"@context": {"ex": "http://e/"}, "@graph": [
+      {"@id": "http://e/a", "@type": "ex:T",
+       "ex:knows": {"@id": "http://e/b"}},
+      {"@id": "http://e/b", "ex:name": {"@value": "Bee", "@language": "EN"}}
+    ]}"""
+    t = set(parse_jsonld(doc))
+    assert ("http://e/a", RDF_TYPE, "iri", "http://e/T", None, None) in t
+    assert ("http://e/a", "http://e/knows", "iri", "http://e/b", None, None) in t
+    assert ("http://e/b", "http://e/name", "literal", "Bee", "en", None) in t
