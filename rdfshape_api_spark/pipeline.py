@@ -31,6 +31,34 @@ from rdfshape_api_spark.plans import parse_shacl, parse_shexc
 from rdfshape_api_spark.sources.extract import extract_triples_raw
 
 
+def _store_pruned_for_schemas(spark, store_dir: str, schemas) -> DataFrame:
+    """Validation-stage scan of the canonical store, DIRECTORY-PRUNED to
+    the predicates the schemas can observe (the store is partitioned by
+    predicate — the north rule's payoff: a validation job over a 100 TB
+    store reads only its schemas' predicate directories).  CLOSED shapes
+    must see every predicate → no pruning."""
+    from rdfshape_api_spark.model import RDF_TYPE
+    from rdfshape_api_spark.operators.canonicalize import pred_partition_value
+
+    preds: set[str] = {RDF_TYPE}  # shapemap selectors / sh:targetClass
+    for schema in schemas:
+        for sh in schema.shapes.values():
+            if sh.closed:
+                return spark.read.parquet(store_dir).select(*TRIPLE_COLUMNS)
+            for tc in list(sh.constraints) + [
+                t for grp in (sh.alternatives or []) for t in grp
+            ]:
+                preds.add(tc.pred)
+            preds.update(sh.target_subjects_of)
+            preds.update(sh.target_objects_of)
+    parts = sorted({pred_partition_value(p) for p in preds})
+    return (
+        spark.read.parquet(store_dir)
+        .filter(F.col("pred_part").isin(parts))
+        .select(*TRIPLE_COLUMNS)
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -135,7 +163,8 @@ def run_pipeline(
             if jobs:
                 from rdfshape_api_spark.plans.validate import validate_batch
 
-                validate_batch(triples, jobs).write.mode("overwrite").parquet(verdict_dir)
+                vt = _store_pruned_for_schemas(spark, store_dir, [s for s, *_ in jobs])
+                validate_batch(vt, jobs).write.mode("overwrite").parquet(verdict_dir)
 
     # -- metrics --------------------------------------------------------------
     lineage = spark.read.parquet(lineage_dir)

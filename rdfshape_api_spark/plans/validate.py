@@ -423,26 +423,28 @@ def validate_batch(
         tri = triples.select(
             "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
         ).filter(F.col("pred").isin(*all_preds))
-        f = tagged_focus.select(
-            F.col("doc_sha256").alias("_f_doc"), F.col("node").alias("_f_node"), "_tag"
-        )
-        nbr = tri.join(
-            f, on=[tri["doc_sha256"] == f["_f_doc"], tri["subj"] == f["_f_node"]]
-        ).select(tri["*"], f["_tag"])
 
+        # No focus pre-join: aggregate constraint counters for ALL subjects
+        # in one pass — map-side partial aggregation shrinks the shuffle to
+        # one pre-aggregated row per (doc, subj) (~|subjects|, not
+        # |triples|), and the big-table ⋈ focus join disappears entirely;
+        # the focus work-list left-joins onto the (small) aggregate output.
+        # (Wasted agg work for never-focused subjects is map-side-local and
+        # cheaper than shuffling + sorting the full triple set for a
+        # pre-join at every parallelism level.)
         aggs = []
         for i, _, shape, _, _ in simple:
             for j, tc in enumerate(shape.constraints):
-                on = (F.col("_tag") == i) & (F.col("pred") == tc.pred)
+                on = F.col("pred") == tc.pred
                 aggs.append(
                     F.sum(F.when(on & _value_ok(tc, None), 1).otherwise(0)).alias(f"m_{i}_{j}")
                 )
                 aggs.append(F.sum(F.when(on, 1).otherwise(0)).alias(f"t_{i}_{j}"))
-        grouped = nbr.groupBy(
-            "_tag", "doc_sha256", F.col("subj").alias("node")
+        grouped = tri.groupBy(
+            "doc_sha256", F.col("subj").alias("node")
         ).agg(*aggs)
         res = tagged_focus.join(
-            grouped, on=["_tag", "doc_sha256", "node"], how="left"
+            grouped, on=["doc_sha256", "node"], how="left"
         )
 
         # single projection dispatching on the tag — per-tag filter+union
