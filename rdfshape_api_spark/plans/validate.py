@@ -563,6 +563,19 @@ def validate(
         )
 
     if cyclic:
+        # Stratified negation: a negated reference whose BOTH ends sit in
+        # the reference-cycle set breaks the greatest-fixpoint monotonicity
+        # (not stratifiable) — reject with a clear error.  Negated refs TO
+        # a cycle from outside are fine: the referring shape evaluates
+        # post-fixpoint (cycle_dep ordering above), when the cycle's
+        # conformant sets are final.
+        for sid in sorted(cyclic):
+            for tc in _tcs(schema.shapes[sid]):
+                if tc.negated and tc.ref_shape in cyclic:
+                    raise ValueError(
+                        f"shape {sid!r}: negated reference to {tc.ref_shape!r} "
+                        "inside a reference cycle is not stratifiable (unsupported)"
+                    )
         # Recursive shape references (SURVEY §4 fixpoint row; the reference
         # recursion lives inside shexs at SchemaValidate.scala:97-99).
         # Greatest fixed point: start every cyclic shape optimistically

@@ -153,3 +153,49 @@ ex:B {{ ex:name . }}
         ).collect()
     }
     assert out == {"p": "conformant", "q": "conformant"}
+
+
+def test_negated_ref_to_cycle_from_outside(spark):
+    """NOT @ref pointing INTO a cycle from an acyclic shape: evaluated
+    post-fixpoint, so the negation sees the final conformant set."""
+    schema = parse_shexc(
+        f"""PREFIX ex: <{EX}>
+ex:R {{ ex:via NOT @ex:C }}
+ex:C {{ ex:name . ; ex:peer @ex:D ? }}
+ex:D {{ ex:name . ; ex:peer @ex:C ? }}
+"""
+    )
+    tri = _triples(
+        spark,
+        [
+            # c conforms to C (named, peers named) -> r1 via c FAILS (NOT)
+            ("r1", "via", "iri", "c"),
+            ("c", "name", "literal", "C"),
+            ("c", "peer", "iri", "d"),
+            ("d", "name", "literal", "D"),
+            # x has no name -> not C -> r2 via x conforms
+            ("r2", "via", "iri", "x"),
+            ("x", "peer", "iri", "c"),
+        ],
+    )
+    out = {
+        r["node"][len(EX):]: r["status"]
+        for r in validate(
+            tri, schema, shapemap=f"<{EX}r1>@<{EX}R>, <{EX}r2>@<{EX}R>"
+        ).collect()
+    }
+    assert out == {"r1": "nonconformant", "r2": "conformant"}
+
+
+def test_negated_ref_within_cycle_rejected(spark):
+    import pytest
+
+    schema = parse_shexc(
+        f"""PREFIX ex: <{EX}>
+ex:C {{ ex:peer NOT @ex:D }}
+ex:D {{ ex:peer @ex:C ? }}
+"""
+    )
+    tri = _triples(spark, [("a", "peer", "iri", "b")])
+    with pytest.raises(ValueError, match="not stratifiable"):
+        validate(tri, schema, shapemap=f"<{EX}a>@<{EX}C>").collect()
