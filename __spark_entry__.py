@@ -483,6 +483,28 @@ def _q_sparql_values(spark, sf_dir):
     return sparql_select(_merged_triples(spark, sf_dir), q)
 
 
+def _q_sparql_path_alt(spark, sf_dir):
+    """Property path: alternative (a|ex:status) over the merged model."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT ?s ?o WHERE {{ ?s (a|ex:status) ?o . }}
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
+def _q_sparql_knows_plus(spark, sf_dir):
+    """Transitive property path ex:knows+ (cyclic social graph)."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT DISTINCT ?a ?b WHERE {{ ?a ex:knows+ ?b . }}
+    """
+    return sparql_select(_social_triples(spark, sf_dir), q)
+
+
 def _q_infer_profile(spark, sf_dir):
     from rdfshape_api_spark.operators.infer_schema import (
         infer_shape_profile,
@@ -624,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_sparql_bind": _q_sparql_bind,               # Q1 BIND expressions
         "rdf_sparql_having": _q_sparql_having,           # Q1 HAVING post-agg
         "rdf_sparql_values": _q_sparql_values,           # Q1 VALUES inline data
+        "rdf_sparql_path_alt": _q_sparql_path_alt,       # Q1 property path (alt)
+        "social_sparql_knows_plus": _q_sparql_knows_plus,  # Q1 path + (fixpoint)
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
         "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint
@@ -782,6 +806,24 @@ def oracle_sql() -> dict[str, str]:
                               obj_datatype FROM {_T})
             SELECT subj AS s, obj_value AS st
             FROM m WHERE pred = '{ex}status' AND obj_value IN ('OK', 'BROKEN')
+        """,
+        "rdf_sparql_path_alt": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T})
+            SELECT subj AS s, obj_value AS o FROM m
+            WHERE pred IN ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                           '{ex}status')
+        """,
+        "social_sparql_knows_plus": f"""
+            WITH RECURSIVE m AS (
+              SELECT DISTINCT subj, obj_value FROM '{_SOC_TRIPLES}'
+              WHERE pred = '{ex}knows'
+            ), r AS (
+              SELECT subj AS a, obj_value AS b FROM m
+              UNION
+              SELECT r.a, m.obj_value FROM r JOIN m ON m.subj = r.b
+            )
+            SELECT DISTINCT a, b FROM r
         """,
         "rdf_infer_profile": f"""
             WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,

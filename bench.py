@@ -357,6 +357,14 @@ def _scaling(sf_dir: str) -> None:
     t_n = results["N(4)"]["total_wall_s"]
     t_4n = results["4N(16)"]["total_wall_s"]
     eff = round((t_n / t_4n) / 4.0, 3)
+    # N-wall-weighted kernel aggregate: each kernel's efficiency weighted
+    # by its share of N-level compute — the scaling of the work that grows
+    # with data, excluding the fixed per-job driver cost that dominates
+    # short sandbox walls but not hours-long cluster runs
+    wsum = sum(r["N"]["wall_s"] for r in kernels.values())
+    kernel_weighted_eff = round(
+        sum(r["efficiency"] * r["N"]["wall_s"] for r in kernels.values()) / wsum, 3
+    ) if wsum else None
     report = {
         "N_cores": 4,
         "4N_cores": 16,
@@ -370,6 +378,7 @@ def _scaling(sf_dir: str) -> None:
         "stage_walls_N": {k: v for k, v in results["N(4)"].items() if k.endswith("_wall_s")},
         "stage_walls_4N": {k: v for k, v in results["4N(16)"].items() if k.endswith("_wall_s")},
         "kernels": kernels,
+        "kernel_weighted_efficiency": kernel_weighted_eff,
         "cpu_ceiling_speedup": ceiling,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -421,6 +430,8 @@ def _scaling(sf_dir: str) -> None:
         ],
         "",
         f"End-to-end normalized efficiency: **{round(eff * 4.0 / ceiling, 3)}**.",
+        f"N-wall-weighted kernel aggregate efficiency: **{kernel_weighted_eff}**"
+        " (the scaling of the work that grows with data; see BENCH/ANALYSIS.md).",
         "",
         "```json",
         json.dumps(report, indent=2),

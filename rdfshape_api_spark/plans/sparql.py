@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|&&|\|\||[{}().;,=<>*!+/-])
+  | (?P<op><=|>=|!=|&&|\|\||[{}().;,=<>*!+/^|-])
     """,
     re.VERBOSE,
 )
@@ -61,6 +61,15 @@ def _tokenize(text: str) -> list[str]:
 
 
 @dataclass
+class _Path:
+    """Property-path AST node (SPARQL 1.1 subset: iri, ^, /, |, +)."""
+
+    op: str  # 'iri' | 'inv' | 'seq' | 'alt' | 'plus'
+    iri: str | None = None
+    children: list = field(default_factory=list)
+
+
+@dataclass
 class _Pattern:
     subj: str  # '?var' or absolute IRI
     pred: str  # '?var' or absolute IRI
@@ -68,6 +77,7 @@ class _Pattern:
     obj_is_literal: bool = False
     obj_lang: str | None = None
     obj_datatype: str | None = None
+    path: "_Path | None" = None  # non-None → pred position is a path expr
 
 
 @dataclass
@@ -401,16 +411,67 @@ def _parse_term(p: _Parser, prefixes: dict[str, str]) -> tuple[str, bool, str | 
     return _expand(t, prefixes), False, None, None
 
 
+def _parse_path(p: _Parser, prefixes: dict[str, str]) -> _Path:
+    """SPARQL 1.1 property-path subset: iri, 'a', ^inverse, /sequence,
+    |alternative, +oneOrMore, (grouping).  '*' and '?' modifiers are
+    rejected with a clear error (zero-length path semantics — every graph
+    term matches itself — are out of this subset)."""
+
+    def elt() -> _Path:
+        t = p.peek()
+        if t == "^":
+            p.next()
+            return _Path("inv", children=[elt()])
+        if t == "(":
+            p.next()
+            node = alt()
+            if p.next() != ")":
+                raise SparqlParseError("unclosed path group")
+        else:
+            tok = p.next()
+            node = _Path("iri", iri=RDF_TYPE if tok == "a" else _expand(tok, prefixes))
+        while p.peek() == "+":
+            p.next()
+            node = _Path("plus", children=[node])
+        if p.peek() == "*":
+            raise SparqlParseError(
+                "path modifier '*' not supported (zero-length paths; use '+')"
+            )
+        return node
+
+    def seq() -> _Path:
+        parts = [elt()]
+        while p.peek() == "/":
+            p.next()
+            parts.append(elt())
+        return parts[0] if len(parts) == 1 else _Path("seq", children=parts)
+
+    def alt() -> _Path:
+        parts = [seq()]
+        while p.peek() == "|":
+            p.next()
+            parts.append(seq())
+        return parts[0] if len(parts) == 1 else _Path("alt", children=parts)
+
+    return alt()
+
+
 def _parse_triples_block(p: _Parser, prefixes: dict[str, str], into: list[_Pattern]) -> None:
     subj, s_lit, _, _ = _parse_term(p, prefixes)
     if s_lit:
         raise SparqlParseError("literal subject")
     while True:
-        pred_tok = p.next()
-        pred = pred_tok if pred_tok.startswith("?") else _expand(pred_tok, prefixes)
+        if p.peek() is not None and p.peek().startswith("?"):
+            pred, path = p.next(), None
+        else:
+            path = _parse_path(p, prefixes)
+            if path.op == "iri":
+                pred, path = path.iri, None  # plain predicate — old fast path
+            else:
+                pred = ""
         while True:
             obj, is_lit, lang, dt = _parse_term(p, prefixes)
-            into.append(_Pattern(subj, pred, obj, is_lit, lang, dt))
+            into.append(_Pattern(subj, pred, obj, is_lit, lang, dt, path=path))
             if p.peek() == ",":
                 p.next()
                 continue
@@ -522,7 +583,77 @@ def _filter_expr(toks: list[str]) -> F.Column:
     return or_expr()
 
 
+def _path_pairs(df: DataFrame, path: _Path, max_iters: int = 25) -> DataFrame:
+    """Compile a path AST to its solution pairs ``(s, o)`` over the merged
+    triples.  'plus' is a bounded distinct-pairs fixpoint (SPARQL arbitrary-
+    length paths are set-semantics) with localCheckpoint per round to keep
+    the plan flat; at store scale the base pairs are predicate-pruned scans."""
+    if path.op == "iri":
+        return df.filter(F.col("pred") == path.iri).select(
+            F.col("subj").alias("s"), F.col("obj_value").alias("o")
+        )
+    if path.op == "inv":
+        c = _path_pairs(df, path.children[0], max_iters)
+        return c.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    if path.op == "seq":
+        acc = _path_pairs(df, path.children[0], max_iters)
+        for ch in path.children[1:]:
+            nxt = _path_pairs(df, ch, max_iters).select(
+                F.col("s").alias("_m"), F.col("o").alias("_o2")
+            )
+            acc = (
+                acc.join(nxt, acc["o"] == nxt["_m"])
+                .select(acc["s"].alias("s"), F.col("_o2").alias("o"))
+            )
+        return acc
+    if path.op == "alt":
+        parts = [_path_pairs(df, ch, max_iters) for ch in path.children]
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
+    if path.op == "plus":
+        base = _path_pairs(df, path.children[0], max_iters).distinct().localCheckpoint()
+        acc, frontier = base, base
+        for _ in range(max_iters):
+            step = base.select(F.col("s").alias("_m"), F.col("o").alias("_o2"))
+            nxt = (
+                frontier.join(step, frontier["o"] == step["_m"])
+                .select(frontier["s"].alias("s"), F.col("_o2").alias("o"))
+                .distinct()
+            )
+            new = nxt.subtract(acc).localCheckpoint()
+            if new.isEmpty():
+                return acc
+            acc = acc.unionByName(new).localCheckpoint()
+            frontier = new
+        raise SparqlParseError(f"path '+' fixpoint exceeded {max_iters} iterations")
+    raise SparqlParseError(f"unknown path op {path.op!r}")
+
+
+def _path_pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]]:
+    pairs = _path_pairs(df, pat.path)
+    out_cols: list[F.Column] = []
+    vars_: list[str] = []
+    cond = F.lit(True)
+    if pat.subj.startswith("?"):
+        vars_.append(pat.subj[1:])
+        out_cols.append(F.col("s").alias(pat.subj[1:]))
+    else:
+        cond = cond & (F.col("s") == pat.subj)
+    if pat.obj.startswith("?"):
+        vars_.append(pat.obj[1:])
+        out_cols.append(F.col("o").alias(pat.obj[1:]))
+    else:
+        cond = cond & (F.col("o") == pat.obj)
+    if not vars_:
+        out_cols.append(F.lit(1).alias("__exists"))
+    return pairs.filter(cond).select(*out_cols), vars_
+
+
 def _pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]]:
+    if pat.path is not None:
+        return _path_pattern_df(df, pat)
     out_cols: list[F.Column] = []
     vars_: list[str] = []
     cond = F.lit(True)

@@ -338,3 +338,62 @@ def test_optional_scoped_filter_keeps_unmatched(spark):
     )
     got = {r["s"][len(EX):]: r["sc"] for r in out.collect()}
     assert got == {"a": "9", "b": None, "c": None}
+
+
+def test_path_sequence_and_inverse(spark):
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            (EX + "r1", EX + "station", "iri", EX + "s1", None, None),
+            (EX + "r2", EX + "station", "iri", EX + "s1", None, None),
+            (EX + "r1", EX + "status", "literal", "OK", None, None),
+        ],
+        cols,
+    )
+    # readings co-located at the same station: ^station/station
+    out = sparql_select(
+        tri, PREFIX + "SELECT DISTINCT ?a ?b WHERE { ?a ^ex:station/ex:station ?b . }"
+    )
+    pairs = {(r["a"][len(EX):], r["b"][len(EX):]) for r in out.collect()}
+    assert pairs == {("s1", "s1")}
+    out2 = sparql_select(
+        tri, PREFIX + "SELECT DISTINCT ?a ?b WHERE { ?a ex:station/^ex:station ?b . }"
+    )
+    pairs2 = {(r["a"][len(EX):], r["b"][len(EX):]) for r in out2.collect()}
+    assert pairs2 == {("r1", "r1"), ("r1", "r2"), ("r2", "r1"), ("r2", "r2")}
+
+
+def test_path_alternative(spark):
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            (EX + "x", EX + "p", "literal", "1", None, None),
+            (EX + "x", EX + "q", "literal", "2", None, None),
+            (EX + "x", EX + "r", "literal", "3", None, None),
+        ],
+        cols,
+    )
+    out = sparql_select(tri, PREFIX + "SELECT ?o WHERE { ex:x (ex:p|ex:q) ?o . }")
+    assert {r["o"] for r in out.collect()} == {"1", "2"}
+
+
+def test_path_plus_transitive_with_cycle(spark):
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]  # 3-cycle + tail
+    tri = spark.createDataFrame(
+        [(EX + s, EX + "knows", "iri", EX + o, None, None) for s, o in edges], cols
+    )
+    out = sparql_select(
+        tri, PREFIX + "SELECT DISTINCT ?a ?b WHERE { ?a ex:knows+ ?b . }"
+    )
+    pairs = {(r["a"][len(EX):], r["b"][len(EX):]) for r in out.collect()}
+    cyc = {"a", "b", "c"}
+    expect = {(x, y) for x in cyc for y in cyc} | {("d", y) for y in cyc}
+    assert pairs == expect
+
+
+def test_path_star_rejected(spark):
+    import pytest
+
+    with pytest.raises(SparqlParseError, match="'\\*' not supported"):
+        parse_sparql(PREFIX + "SELECT ?a WHERE { ?a ex:knows* ?b . }")
