@@ -312,6 +312,13 @@ def _q_catalog_validate(spark, sf_dir):
     ).select("doc_sha256", "node", "status")
 
 
+def _q_text_redact(spark, sf_dir):
+    from rdfshape_api_spark.functions.textops import redact_pii
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return redact_pii(docs)
+
+
 def _q_text_features(spark, sf_dir):
     from rdfshape_api_spark.functions.textops import text_features
 
@@ -660,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_html_extract": _q_html_extract,             # S2 HTML→RDF (RDFa/Microdata)
         # training-data pipeline operators
         "text_features": _q_text_features,
+        "text_redact": _q_text_redact,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_pairs": _q_dedup_lsh,
         "dedup_lsh_keep": _q_dedup_lsh_keep,
@@ -950,6 +958,25 @@ def oracle_sql() -> dict[str, str]:
                    + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0), 4) AS quality,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "text_redact": """
+            -- identical RE2-safe patterns as functions/textops.py redact_pii
+            WITH s AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{3,6}', '<PHONE>', 'g'),
+                  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+                AS clean_text
+              FROM documents
+            )
+            SELECT doc_id, clean_text,
+                   (len(string_split(clean_text, '<EMAIL>')) - 1
+                    + len(string_split(clean_text, '<PHONE>')) - 1
+                    + len(string_split(clean_text, '<IP>')) - 1)::BIGINT AS n_redactions
+            FROM s
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

@@ -124,3 +124,35 @@ def text_features(docs: DataFrame) -> DataFrame:
         quality_score(t, F.col("n_chars")).alias("quality"),
         fingerprint(t).alias("fp"),
     )
+
+
+# PII patterns shared with the DuckDB oracle: RE2-compatible (no
+# backreferences/lookaround), identical semantics under Java regex
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{3,6}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data scrubbing: replace emails / phone numbers / IPv4
+    addresses with typed placeholders.  Map-only columnar pass (three
+    chained regexp_replace, whole-stage codegen, no UDF); patterns are
+    RE2-safe so the DuckDB oracle runs the identical expressions.
+
+    Returns (doc_id, clean_text, n_redactions) — the count is computed
+    from length deltas of tagged intermediates, keeping the pass single.
+    """
+    t = F.col(text_col)
+    step1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    step2 = F.regexp_replace(step1, PII_PHONE, "<PHONE>")
+    step3 = F.regexp_replace(step2, PII_IPV4, "<IP>")
+    n_red = (
+        (F.size(F.split(step3, "<EMAIL>", -1)) - 1)
+        + (F.size(F.split(step3, "<PHONE>", -1)) - 1)
+        + (F.size(F.split(step3, "<IP>", -1)) - 1)
+    )
+    return docs.select(
+        "doc_id",
+        step3.alias("clean_text"),
+        n_red.cast("bigint").alias("n_redactions"),
+    )

@@ -165,3 +165,20 @@ def test_extract_features_counts_mode(docs):
     assert sum(feats[0]) == 43  # counts sum to payload length
     assert all(f == int(f) for f in feats[0])
     assert feats[5] == [0.0] * 8
+
+
+def test_redact_pii(spark):
+    from rdfshape_api_spark.functions.textops import redact_pii
+
+    rows = [
+        (0, "mail me at alice.doe+x@example.org or call +32-468-123456"),
+        (1, "server at 192.168.0.1 responded"),
+        (2, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert "<EMAIL>" in out[0]["clean_text"] and "<PHONE>" in out[0]["clean_text"]
+    assert out[0]["n_redactions"] == 2
+    assert out[1]["clean_text"] == "server at <IP> responded"
+    assert out[1]["n_redactions"] == 1
+    assert out[2]["n_redactions"] == 0 and out[2]["clean_text"] == rows[2][1]
