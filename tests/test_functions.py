@@ -182,3 +182,29 @@ def test_redact_pii(spark):
     assert out[1]["clean_text"] == "server at <IP> responded"
     assert out[1]["n_redactions"] == 1
     assert out[2]["n_redactions"] == 0 and out[2]["clean_text"] == rows[2][1]
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF (k-means cells + n_probe search) recall@5 gate on a clustered
+    corpus — same harness as the LSH gate above."""
+    import random
+
+    from rdfshape_api_spark.functions.similarity import cosine_topk, ivf_ann_topk
+
+    rng = random.Random(11)
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for vid in range(80):
+        c = centers[vid % 4]
+        rows.append((vid, [float(x + rng.uniform(-0.05, 0.05)) for x in c], vid % 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, k=5, n_queries=8).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, k=5, n_queries=8, n_cells=4, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall@5 = {recall:.2f}"
