@@ -38,6 +38,10 @@ class TripleConstraint:
     ref_shape: str | None = None
     extra: bool = False  # ShEx EXTRA on this predicate
     negated: bool = False  # ShEx NOT on this value expression
+    # SHACL sh:path [ sh:inversePath p ]: the constraint ranges over the
+    # INVERSE neighbourhood (subjects pointing AT the focus node); the
+    # "value" is the pointing subject
+    inverse: bool = False
     # ShEx OR of value expressions: when set, the value predicate is the
     # disjunction of the members' predicates (each member is a value-only
     # TripleConstraint; pred/cardinality of members are ignored)

@@ -43,7 +43,6 @@ _UNSUPPORTED = {
         "sparql",
         "qualifiedValueShape",
         "alternativePath",
-        "inversePath",
         "zeroOrMorePath",
         "oneOrMorePath",
     )
@@ -152,9 +151,22 @@ def parse_shacl(text: str) -> CompiledSchema:
             if path is None:
                 raise ValueError(f"SHACL: property shape {pshape} has no sh:path")
             pk, pv = path[0], path[1]
-            if pk != "iri":
+            inverse = False
+            if pk == "bnode":
+                # sh:path [ sh:inversePath ex:p ]
+                inv = g.obj1(pv, SH + "inversePath")
+                if inv is not None and inv[0] == "iri":
+                    inverse, pv = True, inv[1]
+                else:
+                    raise ValueError(
+                        "SHACL: only direct-IRI or inversePath sh:path "
+                        "supported in this subset"
+                    )
+            elif pk != "iri":
                 raise ValueError("SHACL: only direct-IRI sh:path supported in this subset")
-            tc = TripleConstraint(pred=pv, min_count=0, max_count=None)
+            tc = TripleConstraint(pred=pv, min_count=0, max_count=None, inverse=inverse)
+            if inverse and g.obj1(pshape, SH + "node") is not None:
+                raise ValueError("SHACL: sh:node under an inversePath is not supported")
             if (v := g.obj1(pshape, SH + "minCount")) is not None:
                 tc.min_count = int(v[1])
             if (v := g.obj1(pshape, SH + "maxCount")) is not None:

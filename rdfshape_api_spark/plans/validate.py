@@ -194,9 +194,13 @@ def evaluate_shape(
     else:
         flat_constraints = list(shape.constraints)
         alt_of = [0] * len(flat_constraints)
-    mentioned = sorted({tc.pred for tc in flat_constraints})
+    # sh:closed and the forward neighbourhood consider OUTGOING arcs only;
+    # inversePath constraints range over a separate inverse neighbourhood
+    mentioned = sorted({tc.pred for tc in flat_constraints if not tc.inverse})
+    inv_preds = sorted({tc.pred for tc in flat_constraints if tc.inverse})
 
-    tri = triples.select("doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype")
+    full = triples.select("doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype")
+    tri = full
     if not shape.closed and mentioned:
         tri = tri.filter(F.col("pred").isin(*mentioned))
 
@@ -238,7 +242,20 @@ def evaluate_shape(
     # Column logic.  (Reference semantics live behind the shexs engine call
     # at SchemaValidate.scala:97-99.)
     group_of: dict[tuple[int, str], list[int]] = {}
+    inv_indices: set[int] = set()
+    inv_seen: set[tuple[int, str]] = set()
     for i, tc in enumerate(flat_constraints):
+        if tc.inverse:
+            if tc.ref_shape is not None:
+                raise ValueError("shape reference under an inverse path is not supported")
+            if (alt_of[i], tc.pred) in inv_seen:
+                raise ValueError(
+                    f"repeated inverse-path constraint on <{tc.pred}> "
+                    "(partition matching over inverse paths is unsupported)"
+                )
+            inv_seen.add((alt_of[i], tc.pred))
+            inv_indices.add(i)
+            continue  # inverse constraints aggregate over inv_nbr below
         group_of.setdefault((alt_of[i], tc.pred), []).append(i)
     rep_groups = {k: v for k, v in group_of.items() if len(v) > 1}
     rep_indices = {i for idxs in rep_groups.values() for i in idxs}
@@ -246,7 +263,7 @@ def evaluate_shape(
 
     aggs = []
     for i, tc in enumerate(flat_constraints):
-        if i in rep_indices:
+        if i in rep_indices or i in inv_indices:
             continue
         on_pred = F.col("pred") == tc.pred
         aggs.append(
@@ -272,12 +289,57 @@ def evaluate_shape(
             F.sum(F.when(~F.col("pred").isin(*mentioned), 1).otherwise(0)).alias("unmentioned")
         )
 
-    grouped = nbr.groupBy("doc_sha256", F.col("subj").alias("node")).agg(*aggs)
+    if aggs:
+        grouped = nbr.groupBy("doc_sha256", F.col("subj").alias("node")).agg(*aggs)
+        # left join so focus nodes with zero neighbourhood still get verdicts
+        res = focus.select("doc_sha256", "node").distinct().join(
+            grouped, on=["doc_sha256", "node"], how="left"
+        )
+    else:  # all constraints are inverse-path — no forward aggregation
+        res = focus.select("doc_sha256", "node").distinct()
 
-    # left join so focus nodes with zero neighbourhood still get verdicts
-    res = focus.select("doc_sha256", "node").distinct().join(
-        grouped, on=["doc_sha256", "node"], how="left"
-    )
+    if inv_indices:
+        # inverse neighbourhood: triples whose OBJECT is the focus node;
+        # the constraint's "value" is the pointing subject (iri/bnode —
+        # literals can never be subjects).  Columns renamed so the same
+        # compiled _value_ok expressions apply unchanged.
+        from rdfshape_api_spark.model import SKOLEM_PREFIX
+
+        inv = full.filter(F.col("pred").isin(*inv_preds))
+        f_i = focus.select(
+            F.col("doc_sha256").alias("_f_doc"), F.col("node").alias("_f_node")
+        ).distinct()
+        subj_kind = F.when(
+            F.col("subj").startswith("_:") | F.col("subj").startswith(SKOLEM_PREFIX),
+            F.lit("bnode"),
+        ).otherwise(F.lit("iri"))
+        inv_nbr = (
+            inv.join(
+                f_i,
+                on=[inv["doc_sha256"] == f_i["_f_doc"], inv["obj_value"] == f_i["_f_node"]],
+            )
+            .select(
+                inv["doc_sha256"],
+                inv["obj_value"].alias("_inode"),
+                inv["pred"],
+                subj_kind.alias("obj_kind"),
+                inv["subj"].alias("obj_value"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+            )
+        )
+        inv_aggs = []
+        for i in sorted(inv_indices):
+            tc = flat_constraints[i]
+            on_pred = F.col("pred") == tc.pred
+            inv_aggs.append(
+                F.sum(F.when(on_pred & _value_ok(tc, None), 1).otherwise(0)).alias(f"m{i}")
+            )
+            inv_aggs.append(F.sum(F.when(on_pred, 1).otherwise(0)).alias(f"t{i}"))
+        inv_grouped = inv_nbr.groupBy(
+            "doc_sha256", F.col("_inode").alias("node")
+        ).agg(*inv_aggs)
+        res = res.join(inv_grouped, on=["doc_sha256", "node"], how="left")
 
     n_alts = (max(alt_of) + 1) if alt_of else 1
     alt_ok = [F.lit(True) for _ in range(n_alts)]
@@ -390,7 +452,7 @@ def validate_batch(
         complex_ = any(
             sh.closed
             or sh.alternatives is not None
-            or any(tc.ref_shape for tc in sh.constraints)
+            or any(tc.ref_shape or tc.inverse for tc in sh.constraints)
             # repeated-property EachOf needs the partition-matching path
             or len({tc.pred for tc in sh.constraints}) != len(sh.constraints)
             for sh in schema.shapes.values()
