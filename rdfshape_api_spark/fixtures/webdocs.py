@@ -25,7 +25,7 @@ SEED = 13
 SCHEMA_ORG = "http://schema.org/"
 EX = "http://example.org/"
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
-WEBDOCS_VERSION = "v1"
+WEBDOCS_VERSION = "v2"  # v2: multi-term typeof/property lists (RDFa Core 1.1 §5)
 
 SF_DOCS = {"sf0.001": 200, "sf0.01": 2_000, "sf0.1": 20_000}
 
@@ -40,10 +40,14 @@ def _rdfa_page(j: int, rng: random.Random):
     city = rng.choice(_CITIES)
     with_address = rng.random() < 0.6
     with_url = rng.random() < 0.5
+    multi_type = rng.random() < 0.3  # typeof is a whitespace-separated list
+    multi_prop = rng.random() < 0.3  # so is property
+    typeof = "Person Agent" if multi_type else "Person"
+    name_prop = "name alternateName" if multi_prop else "name"
     parts = [
         '<html><body vocab="http://schema.org/">',
-        f'  <div about="{person}" typeof="Person">',
-        f'    <span property="name">{name}</span>',
+        f'  <div about="{person}" typeof="{typeof}">',
+        f'    <span property="{name_prop}">{name}</span>',
     ]
     if with_url:
         parts.append(f'    <a property="url" href="{EX}home/{j}">home</a>')
@@ -60,6 +64,12 @@ def _rdfa_page(j: int, rng: random.Random):
             (doc_sha, person, RDF_TYPE, "iri", SCHEMA_ORG + "Person", None, None),
             (doc_sha, person, SCHEMA_ORG + "name", "literal", name, None, None),
         ]
+        if multi_type:
+            rows.append((doc_sha, person, RDF_TYPE, "iri", SCHEMA_ORG + "Agent", None, None))
+        if multi_prop:
+            rows.append(
+                (doc_sha, person, SCHEMA_ORG + "alternateName", "literal", name, None, None)
+            )
         if with_url:
             rows.append((doc_sha, person, SCHEMA_ORG + "url", "iri", f"{EX}home/{j}", None, None))
         if with_address:

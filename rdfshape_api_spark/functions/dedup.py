@@ -32,10 +32,17 @@ def words(text=None):
     return F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
 
 
-def exact_duplicates(docs: DataFrame) -> DataFrame:
-    """Exact-dup groups: ``(fp, n_docs, min_doc_id)`` for groups >1."""
+def exact_duplicates(docs: DataFrame, fp=None) -> DataFrame:
+    """Exact-dup groups: ``(fp, n_docs, min_doc_id)`` for groups >1.
+
+    ``fp``: optional fingerprint Column; default is the full normalized-text
+    md5 (:func:`~rdfshape_api_spark.functions.textops.fingerprint`).  A
+    coarser key (e.g. a normalized prefix) gives prefix-dedup semantics
+    over the identical plan."""
+    if fp is None:
+        fp = fingerprint(F.col("text"))
     return (
-        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        docs.select("doc_id", fp.alias("fp"))
         .groupBy("fp")
         .agg(F.count("*").cast("bigint").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)

@@ -143,13 +143,19 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from length deltas of tagged intermediates, keeping the pass single.
     """
     t = F.col(text_col)
+    # order matters: IPv4 before phone — the phone pattern matches inside
+    # dotted IPs whose octets are digit-grouped ("10.20.100.5" would become
+    # "<PHONE>.5"); replacing IPs first removes those false positives.
     step1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
-    step2 = F.regexp_replace(step1, PII_PHONE, "<PHONE>")
-    step3 = F.regexp_replace(step2, PII_IPV4, "<IP>")
+    step2 = F.regexp_replace(step1, PII_IPV4, "<IP>")
+    step3 = F.regexp_replace(step2, PII_PHONE, "<PHONE>")
+    # count matches on each replacement's actual input (not by splitting on
+    # placeholder literals — source text containing a literal "<EMAIL>"
+    # would over-count)
     n_red = (
-        (F.size(F.split(step3, "<EMAIL>", -1)) - 1)
-        + (F.size(F.split(step3, "<PHONE>", -1)) - 1)
-        + (F.size(F.split(step3, "<IP>", -1)) - 1)
+        F.regexp_count(t, F.lit(PII_EMAIL))
+        + F.regexp_count(step1, F.lit(PII_IPV4))
+        + F.regexp_count(step2, F.lit(PII_PHONE))
     )
     return docs.select(
         "doc_id",

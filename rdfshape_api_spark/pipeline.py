@@ -164,7 +164,15 @@ def run_pipeline(
                 from rdfshape_api_spark.plans.validate import validate_batch
 
                 vt = _store_pruned_for_schemas(spark, store_dir, [s for s, *_ in jobs])
-                validate_batch(vt, jobs).write.mode("overwrite").parquet(verdict_dir)
+                # focus/target resolution and the all-subjects universe need
+                # the UNPRUNED store (a node whose triples all use
+                # out-of-schema predicates must still get its nonconformant
+                # verdict); Catalyst column-prunes this scan to the 2-4
+                # columns focus resolution touches, so at 100 TB it reads a
+                # narrow projection, not the full store.
+                validate_batch(
+                    vt, jobs, focus_triples=triples
+                ).write.mode("overwrite").parquet(verdict_dir)
 
     # -- metrics --------------------------------------------------------------
     lineage = spark.read.parquet(lineage_dir)

@@ -42,6 +42,19 @@ class TripleConstraint:
     # INVERSE neighbourhood (subjects pointing AT the focus node); the
     # "value" is the pointing subject
     inverse: bool = False
+    # SHACL sh:qualifiedValueShape: count-only semantics — the verdict is
+    # qualifiedMinCount ≤ |values satisfying the qualified shape| ≤
+    # qualifiedMaxCount; values NOT satisfying it are never violations
+    # (unlike plain value constraints, which require matched == total).
+    # Qualified constraints also never join repeated-property partition
+    # matching — each evaluates independently per SHACL semantics.
+    qualified: bool = False
+    # SHACL non-trivial sh:path (sequence list / sh:alternativePath /
+    # sh:zeroOrMorePath / sh:oneOrMorePath): a path AST from
+    # plans/paths.py; when set, `pred` holds a synthetic display name and
+    # the constraint's value rows come from the path-reachability join
+    # instead of a pred == filter
+    path: object | None = None
     # ShEx OR of value expressions: when set, the value predicate is the
     # disjunction of the members' predicates (each member is a value-only
     # TripleConstraint; pred/cardinality of members are ignored)

@@ -833,14 +833,25 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
             if not shared:
                 acc = acc.crossJoin(vdf)
                 continue
-            # UNDEF is a wildcard: join condition per shared var is
-            # (values side null OR equal); non-shared vars come from VALUES
+            # SPARQL join compatibility: unbound on EITHER side is a
+            # wildcard — UNDEF on the VALUES side, and a null binding on
+            # the solution side (padded UNION branch / unmatched OPTIONAL)
+            # are both compatible with anything; the merged binding is the
+            # bound one (coalesce).
             v2 = vdf.select(*[F.col(v).alias(f"_v_{v}") for v in vars_])
             cond = F.lit(True)
             for v in shared:
-                cond = cond & (F.col(f"_v_{v}").isNull() | (F.col(f"_v_{v}") == F.col(v)))
+                cond = cond & (
+                    F.col(f"_v_{v}").isNull()
+                    | F.col(v).isNull()
+                    | (F.col(f"_v_{v}") == F.col(v))
+                )
             acc = acc.join(v2, on=cond, how="inner")
-            keep = [c for c in acc.columns if not c.startswith("_v_")]
+            keep = [
+                F.coalesce(F.col(c), F.col(f"_v_{c}")).alias(c) if c in shared else F.col(c)
+                for c in acc.columns
+                if not c.startswith("_v_")
+            ]
             extra = [
                 F.col(f"_v_{v}").alias(v) for v in vars_ if v not in shared
             ]

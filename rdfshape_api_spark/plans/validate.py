@@ -434,6 +434,7 @@ def evaluate_shape(
 def validate_batch(
     triples: DataFrame,
     jobs: list[tuple[CompiledSchema, "str | list[Association] | None", str]],
+    focus_triples: DataFrame | None = None,
 ) -> DataFrame:
     """Validate several (schema, shapemap, label) jobs in ONE pass over the
     triples: the focus work-lists are unioned with a shape tag, joined once
@@ -445,7 +446,11 @@ def validate_batch(
     per-shape neighbourhoods).
 
     Returns the same verdict schema as :func:`validate`.
+
+    ``focus_triples``: subject-complete scan for focus/target resolution
+    when ``triples`` is predicate-pruned (see :func:`validate`).
     """
+    focus_src = focus_triples if focus_triples is not None else triples
     simple: list[tuple[int, CompiledSchema, Shape, DataFrame, str]] = []
     fallback_out: list[DataFrame] = []
     for schema, shapemap, label in jobs:
@@ -459,7 +464,13 @@ def validate_batch(
         ) or len(schema.shapes) > 1
         if complex_:
             fallback_out.append(
-                validate(triples, schema, shapemap=shapemap, shape_label=label)
+                validate(
+                    triples,
+                    schema,
+                    shapemap=shapemap,
+                    shape_label=label,
+                    focus_triples=focus_triples,
+                )
             )
             continue
         sid, shape = next(iter(schema.shapes.items()))
@@ -469,9 +480,9 @@ def validate_batch(
                 if isinstance(shapemap, str)
                 else shapemap
             )
-            focus = resolve_focus(triples, assocs).select("doc_sha256", "node")
+            focus = resolve_focus(focus_src, assocs).select("doc_sha256", "node")
         else:
-            focus = resolve_targets(triples, shape)
+            focus = resolve_targets(focus_src, shape)
         simple.append((len(simple), schema, shape, focus, label))
 
     outs = list(fallback_out)
@@ -559,6 +570,7 @@ def validate(
     shapemap: str | list[Association] | None = None,
     shape_label: str | None = None,
     max_fixpoint_iters: int = 25,
+    focus_triples: DataFrame | None = None,
 ) -> DataFrame:
     """Validate — the `/api/schema/validate` equivalent (SURVEY §3.1).
 
@@ -569,16 +581,24 @@ def validate(
     Returns the verdict DataFrame ``(doc_sha256, node, shape_id, status,
     reasons)``. ``shape_label`` overrides the reported shape_id (e.g. a
     fixture id) when a single shape is validated.
+
+    ``focus_triples``: when ``triples`` is a predicate-pruned store scan,
+    pass the UNPRUNED (subject-complete) scan here — focus resolution,
+    target resolution, and the all-subjects universe must see every
+    predicate, or a node whose triples all use out-of-schema predicates
+    (the archetypal nonconformant node) silently loses its verdict.
+    Constraint aggregation still runs over the pruned ``triples``.
     """
+    focus_src = focus_triples if focus_triples is not None else triples
     if shapemap is not None:
         assocs = (
             parse_shapemap(shapemap, schema.prefixes) if isinstance(shapemap, str) else shapemap
         )
         work = [(s, None) for s in dict.fromkeys(a.shape for a in assocs)]
-        focus_all = resolve_focus(triples, assocs)
+        focus_all = resolve_focus(focus_src, assocs)
     else:
         work = [
-            (sid, resolve_targets(triples, sh))
+            (sid, resolve_targets(focus_src, sh))
             for sid, sh in schema.shapes.items()
             if sh.target_class or sh.target_node or sh.target_subjects_of or sh.target_objects_of
         ]
@@ -588,7 +608,7 @@ def validate(
 
     roots = [sid for sid, _ in work]
     order, cyclic = _ref_order(schema, roots)
-    all_subjects = triples.select("doc_sha256", F.col("subj").alias("node")).distinct()
+    all_subjects = focus_src.select("doc_sha256", F.col("subj").alias("node")).distinct()
 
     def _tcs(sh: Shape) -> list[TripleConstraint]:
         return list(sh.constraints) + [tc for grp in (sh.alternatives or []) for tc in grp]

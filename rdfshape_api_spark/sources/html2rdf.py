@@ -127,6 +127,18 @@ def _rdfa_expand(term: str, vocab: str, prefixes: dict[str, str]) -> str | None:
     return vocab + term if vocab else None
 
 
+def _rdfa_expand_list(value: str, vocab: str, prefixes: dict[str, str]) -> list[str]:
+    """RDFa ``typeof``/``property`` values are whitespace-separated term
+    lists (RDFa Core 1.1 §5): expand each term separately — one triple per
+    term, never a single bogus IRI containing a space."""
+    out = []
+    for term in (value or "").split():
+        iri = _rdfa_expand(term, vocab, prefixes)
+        if iri is not None:
+            out.append(iri)
+    return out
+
+
 def extract_rdfa(content: str) -> list[tuple]:
     triples: list[tuple] = []
     bnode = _BnodeGen()
@@ -152,33 +164,35 @@ def extract_rdfa(content: str) -> list[tuple]:
 
         prop = a.get("property")
         if prop is not None:
-            pred = _rdfa_expand(prop, vocab, prefixes)
-            if pred is not None and subject is not None:
+            preds = _rdfa_expand_list(prop, vocab, prefixes)
+            if preds and subject is not None:
                 if "resource" in a or "href" in a or "src" in a:
                     obj = a.get("resource") or a.get("href") or a.get("src")
-                    triples.append((subject, pred, "iri", obj, None, None))
+                    for pred in preds:
+                        triples.append((subject, pred, "iri", obj, None, None))
                     if "typeof" in a:
-                        t = _rdfa_expand(a["typeof"], vocab, prefixes)
-                        if t:
+                        for t in _rdfa_expand_list(a["typeof"], vocab, prefixes):
                             triples.append((obj, RDF_TYPE, "iri", t, None, None))
                         new_subject = obj
                 elif "typeof" in a:
                     # nested node: this element starts a new subject that is
                     # the object of (subject, pred, ·)
                     nested = bnode()
-                    triples.append((subject, pred, "bnode", nested, None, None))
+                    for pred in preds:
+                        triples.append((subject, pred, "bnode", nested, None, None))
                     new_subject = nested
                 elif "content" in a:
-                    triples.append((subject, pred, "literal", a["content"], None, None))
+                    for pred in preds:
+                        triples.append((subject, pred, "literal", a["content"], None, None))
                 else:
-                    triples.append(
-                        (subject, pred, "literal", _norm_ws(el.text()), None, None)
-                    )
+                    lit = _norm_ws(el.text())
+                    for pred in preds:
+                        triples.append((subject, pred, "literal", lit, None, None))
 
         cur = new_subject if new_subject is not None else subject
         if "typeof" in a and new_subject is not None:
-            t = _rdfa_expand(a["typeof"], vocab, prefixes)
-            if t:  # type object is always an IRI (class term)
+            # type object is always an IRI (class term); one triple per term
+            for t in _rdfa_expand_list(a["typeof"], vocab, prefixes):
                 triples.append((new_subject, RDF_TYPE, "iri", t, None, None))
         for c in el.children:
             if isinstance(c, _El):

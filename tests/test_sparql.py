@@ -397,3 +397,28 @@ def test_path_star_rejected(spark):
 
     with pytest.raises(SparqlParseError, match="'\\*' not supported"):
         parse_sparql(PREFIX + "SELECT ?a WHERE { ?a ex:knows* ?b . }")
+
+
+def test_values_joins_unbound_solution_var(spark):
+    """A null binding on the solution side (padded UNION branch) is
+    compatible with any VALUES row; the merged binding is the bound one."""
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            (EX + "a", EX + "status", "literal", "OK", None, None),
+            (EX + "b", EX + "name", "literal", "B", None, None),
+        ],
+        cols,
+    )
+    out = sparql_select(
+        tri,
+        PREFIX
+        + """SELECT ?s ?st WHERE {
+              { ?s ex:status ?st . } UNION { ?s ex:name ?n . }
+              VALUES ?st { "OK" }
+            }""",
+    ).collect()
+    got = {(r["s"][len(EX):], r["st"]) for r in out}
+    # branch 1: a bound OK passes the filter; branch 2: ?st unbound for b,
+    # compatible with VALUES → coalesced to "OK"
+    assert got == {("a", "OK"), ("b", "OK")}

@@ -57,3 +57,58 @@ def test_batch_falls_back_for_complex_schemas(spark, triples_001):
         [(ref_schema, "{FOCUS a <http://example.org/Reading>}@<http://example.org/A>", "refjob")],
     )
     assert out.filter(F.col("shape_id") == "refjob").count() > 0
+
+
+def test_pruned_store_keeps_focus_and_verdicts(spark):
+    """A node whose triples all use out-of-schema predicates must still get
+    its (nonconformant) verdict when the constraint scan is predicate-pruned:
+    focus/target resolution runs over the unpruned ``focus_triples``."""
+    cols = (
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string"
+    )
+    EX = "http://example.org/"
+    full = spark.createDataFrame(
+        [
+            ("d1", EX + "good", EX + "status", "literal", "OK", None, None),
+            # n1 has ONLY out-of-schema predicates → must be nonconformant
+            ("d1", EX + "n1", EX + "unrelated", "literal", "x", None, None),
+        ],
+        cols,
+    )
+    pruned = full.filter(F.col("pred") == EX + "status")
+    schema = parse_shexc(f"PREFIX ex: <{EX}>\nex:S {{ ex:status . }}")
+    jobs = [(schema, f"<{EX}good>@<{EX}S>, <{EX}n1>@<{EX}S>", "s")]
+    out = validate_batch(pruned, jobs, focus_triples=full).collect()
+    by_node = {r["node"].split("/")[-1]: r["status"] for r in out}
+    assert by_node == {"good": "conformant", "n1": "nonconformant"}
+
+
+def test_pruned_store_shacl_targets_from_focus_triples(spark):
+    """sh:targetClass resolution must see rdf:type rows even when the
+    constraint scan was pruned to the shape's constraint predicates."""
+    cols = (
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string"
+    )
+    EX = "http://example.org/"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    full = spark.createDataFrame(
+        [
+            ("d1", EX + "t1", RDF_TYPE, "iri", EX + "Thing", None, None),
+            ("d1", EX + "t1", EX + "name", "literal", "a", None, None),
+            ("d1", EX + "t2", RDF_TYPE, "iri", EX + "Thing", None, None),
+        ],
+        cols,
+    )
+    shacl = f"""
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <{EX}> .
+        ex:TS a sh:NodeShape ; sh:targetClass ex:Thing ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    """
+    schema = parse_shacl(shacl)
+    pruned = full.filter(F.col("pred") == EX + "name")  # rdf:type pruned away
+    out = validate_batch(pruned, [(schema, None, "ts")], focus_triples=full).collect()
+    by_node = {r["node"].split("/")[-1]: r["status"] for r in out}
+    assert by_node == {"t1": "conformant", "t2": "nonconformant"}
