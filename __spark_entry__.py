@@ -521,6 +521,66 @@ def _q_sparql_knows_plus(spark, sf_dir):
     return sparql_select(_social_triples(spark, sf_dir), q)
 
 
+def _q_sparql_knows_star(spark, sf_dir):
+    """ex:knows* — zero-length path semantics (every graph term reflexive)
+    unioned with the + closure (SPARQL 1.1 §18.4 ZeroLengthPath)."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT DISTINCT ?a ?b WHERE {{ ?a ex:knows* ?b . }}
+    """
+    return sparql_select(_social_triples(spark, sf_dir), q)
+
+
+# SHACL sh:qualifiedValueShape over the sensor model: a well-sampled
+# reading has ≥ 2 temperatures inside [18, 20] — out-of-range temps are
+# NOT violations, only the count of in-range ones is bounds-checked
+SHACL_QUALIFIED_SENSOR = f"""\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{EX}> .
+
+ex:WellSampledReading a sh:NodeShape ;
+  sh:targetClass ex:Reading ;
+  sh:property [
+    sh:path ex:readingTemperature ;
+    sh:qualifiedValueShape [ sh:minInclusive 18 ; sh:maxInclusive 20 ] ;
+    sh:qualifiedMinCount 2 ;
+  ] .
+"""
+
+
+def _q_shacl_qualified(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _rdf_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_QUALIFIED_SENSOR)).select(
+        "doc_sha256", "node", "status"
+    )
+
+
+# SHACL sequence path over the social graph: every Person must know
+# somebody with an email (path ex:knows/ex:email, focus-seeded
+# reachability join — plans/paths.py)
+SHACL_SEQPATH_SOCIAL = f"""\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{EX}> .
+
+ex:ConnectedShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ( ex:knows ex:email ) ; sh:minCount 1 ] .
+"""
+
+
+def _q_shacl_seqpath(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_SEQPATH_SOCIAL)).select(
+        "doc_sha256", "node", "status"
+    )
+
+
 def _q_infer_profile(spark, sf_dir):
     from rdfshape_api_spark.operators.infer_schema import (
         infer_shape_profile,
@@ -664,6 +724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_sparql_values": _q_sparql_values,           # Q1 VALUES inline data
         "rdf_sparql_path_alt": _q_sparql_path_alt,       # Q1 property path (alt)
         "social_sparql_knows_plus": _q_sparql_knows_plus,  # Q1 path + (fixpoint)
+        "social_sparql_knows_star": _q_sparql_knows_star,  # Q1 path * (zero-length)
+        "rdf_shacl_qualified": _q_shacl_qualified,         # §2.7 sh:qualifiedValueShape
+        "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
         "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint
@@ -841,6 +904,71 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, m.obj_value FROM r JOIN m ON m.subj = r.b
             )
             SELECT DISTINCT a, b FROM r
+        """,
+        "social_sparql_knows_star": f"""
+            -- knows* = zero-length (every graph term reflexive, literals
+            -- included, SPARQL 1.1 §18.4) ∪ knows+
+            WITH RECURSIVE m AS (
+              SELECT DISTINCT subj, obj_value FROM '{_SOC_TRIPLES}'
+              WHERE pred = '{ex}knows'
+            ), r AS (
+              SELECT subj AS a, obj_value AS b FROM m
+              UNION
+              SELECT r.a, m.obj_value FROM r JOIN m ON m.subj = r.b
+            ), terms AS (
+              SELECT DISTINCT subj AS t FROM '{_SOC_TRIPLES}'
+              UNION SELECT DISTINCT obj_value FROM '{_SOC_TRIPLES}'
+            )
+            SELECT DISTINCT a, b FROM (
+              SELECT t AS a, t AS b FROM terms
+              UNION ALL SELECT a, b FROM r
+            )
+        """,
+        "rdf_shacl_qualified": f"""
+            -- sh:qualifiedValueShape: count values inside [18,20]; verdict
+            -- is count >= qualifiedMinCount(2); other values never violate
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_value FROM {_T}
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{ex}Reading'
+            ), q AS (
+              SELECT doc_sha256, subj AS node, count(*) AS nq FROM m
+              WHERE pred = '{ex}readingTemperature'
+                AND TRY_CAST(obj_value AS DOUBLE) >= 18
+                AND TRY_CAST(obj_value AS DOUBLE) <= 20
+              GROUP BY 1, 2
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN coalesce(q.nq, 0) >= 2
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f LEFT JOIN q ON q.doc_sha256 = f.doc_sha256 AND q.node = f.node
+        """,
+        "social_shacl_seqpath": f"""
+            -- sequence path ex:knows/ex:email with sh:minCount 1: ≥ 1
+            -- DISTINCT path value (set semantics over value tuples)
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value,
+                     obj_lang, obj_datatype FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{ex}Person'
+            ), vals AS (
+              SELECT DISTINCT k.doc_sha256, k.subj AS node, e.obj_kind,
+                     e.obj_value, e.obj_lang, e.obj_datatype
+              FROM m k JOIN m e
+                ON e.doc_sha256 = k.doc_sha256 AND e.subj = k.obj_value
+               AND e.pred = '{ex}email'
+              WHERE k.pred = '{ex}knows'
+            ), q AS (
+              SELECT doc_sha256, node, count(*) AS n FROM vals GROUP BY 1, 2
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN coalesce(q.n, 0) >= 1
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f LEFT JOIN q ON q.doc_sha256 = f.doc_sha256 AND q.node = f.node
         """,
         "rdf_infer_profile": f"""
             WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,

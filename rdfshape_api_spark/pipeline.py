@@ -48,7 +48,12 @@ def _store_pruned_for_schemas(spark, store_dir: str, schemas) -> DataFrame:
             for tc in list(sh.constraints) + [
                 t for grp in (sh.alternatives or []) for t in grp
             ]:
-                preds.add(tc.pred)
+                if tc.path is not None:
+                    from rdfshape_api_spark.plans.paths import path_preds
+
+                    preds.update(path_preds(tc.path))
+                else:
+                    preds.add(tc.pred)
             preds.update(sh.target_subjects_of)
             preds.update(sh.target_objects_of)
     parts = sorted({pred_partition_value(p) for p in preds})

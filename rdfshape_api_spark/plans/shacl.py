@@ -16,9 +16,15 @@ SHACL core vocabulary is lifted into the same constraint records as ShEx:
 
 Logical constraint components ``sh:or`` / ``sh:and`` / ``sh:not`` over
 value-level members map to the IR's disjuncts/negated fields (same
-evaluator as ShEx OR/AND/NOT).  Unsupported core features (property paths
-beyond a direct predicate, sh:xone, sparql constraints,
-qualifiedValueShape) raise with a clear message.
+evaluator as ShEx OR/AND/NOT); ``sh:node`` nests inside all three.
+``sh:qualifiedValueShape`` + ``sh:qualifiedMin/MaxCount`` compile to
+count-only constraints (``TripleConstraint.qualified``).  Non-trivial
+``sh:path`` objects — sequence lists, ``sh:alternativePath``,
+``sh:zeroOrMorePath`` / ``sh:oneOrMorePath`` / ``sh:zeroOrOnePath``, and
+nested ``sh:inversePath`` — compile to a path AST (plans/paths.py)
+evaluated by a focus-seeded reachability join.  Unsupported core features
+(sh:xone, sparql constraints, sh:closed with path constraints,
+qualifiedValueShapesDisjoint) raise with a clear message.
 """
 
 from __future__ import annotations
@@ -27,6 +33,15 @@ from collections import defaultdict
 
 from rdfshape_api_spark.model import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE, SH
 from rdfshape_api_spark.plans.ir import CompiledSchema, Shape, TripleConstraint
+from rdfshape_api_spark.plans.paths import (
+    PathAlt,
+    PathClosure,
+    PathInverse,
+    PathNode,
+    PathPred,
+    PathSeq,
+    path_display,
+)
 from rdfshape_api_spark.sources.parsers import parse_turtle, turtle_prefixes
 
 _NODEKIND = {
@@ -41,10 +56,6 @@ _UNSUPPORTED = {
     for p in (
         "xone",
         "sparql",
-        "qualifiedValueShape",
-        "alternativePath",
-        "zeroOrMorePath",
-        "oneOrMorePath",
     )
 }
 
@@ -120,6 +131,46 @@ def _has_value_fields(tc: TripleConstraint) -> bool:
     return any(getattr(tc, f) is not None for f in _VALUE_FIELDS)
 
 
+def _path_ast(g: "_Graph", k: str, v: str) -> PathNode:
+    """sh:path object (beyond a direct IRI) → path AST."""
+    if k == "iri":
+        return PathPred(v)
+    if (alt := g.obj1(v, SH + "alternativePath")) is not None:
+        members = g.rdf_list(alt[1])
+        if not members:
+            raise ValueError("SHACL: empty sh:alternativePath list")
+        return PathAlt(tuple(_path_ast(g, mk, mv) for mk, mv, _, _ in members))
+    if (z := g.obj1(v, SH + "zeroOrMorePath")) is not None:
+        return PathClosure(_path_ast(g, z[0], z[1]), 0, None)
+    if (o := g.obj1(v, SH + "oneOrMorePath")) is not None:
+        return PathClosure(_path_ast(g, o[0], o[1]), 1, None)
+    if (zo := g.obj1(v, SH + "zeroOrOnePath")) is not None:
+        return PathClosure(_path_ast(g, zo[0], zo[1]), 0, 1)
+    if (inv := g.obj1(v, SH + "inversePath")) is not None:
+        return PathInverse(_path_ast(g, inv[0], inv[1]))
+    members = g.rdf_list(v)
+    if members:  # sequence path: sh:path ( ex:a ex:b … )
+        if len(members) < 2:
+            raise ValueError("SHACL: sequence path needs ≥ 2 members")
+        return PathSeq(tuple(_path_ast(g, mk, mv) for mk, mv, _, _ in members))
+    raise ValueError(f"SHACL: unrecognized sh:path object {v}")
+
+
+def _parse_path(g: "_Graph", pk: str, pv: str) -> tuple[str | None, bool, PathNode | None]:
+    """sh:path object → (pred, inverse, path_ast).  Direct IRIs and plain
+    single-predicate inverses keep the fast pred== evaluator paths;
+    everything else compiles to an AST."""
+    if pk == "iri":
+        return pv, False, None
+    if pk != "bnode":
+        raise ValueError("SHACL: sh:path must be an IRI or blank node")
+    inv = g.obj1(pv, SH + "inversePath")
+    if inv is not None and inv[0] == "iri":
+        return inv[1], True, None
+    ast = _path_ast(g, pk, pv)
+    return None, False, ast
+
+
 def parse_shacl(text: str) -> CompiledSchema:
     """Parse a SHACL shapes graph (Turtle) into the shared constraint IR."""
     triples = parse_turtle(text)
@@ -150,28 +201,55 @@ def parse_shacl(text: str) -> CompiledSchema:
             path = g.obj1(pshape, SH + "path")
             if path is None:
                 raise ValueError(f"SHACL: property shape {pshape} has no sh:path")
-            pk, pv = path[0], path[1]
-            inverse = False
-            if pk == "bnode":
-                # sh:path [ sh:inversePath ex:p ]
-                inv = g.obj1(pv, SH + "inversePath")
-                if inv is not None and inv[0] == "iri":
-                    inverse, pv = True, inv[1]
-                else:
-                    raise ValueError(
-                        "SHACL: only direct-IRI or inversePath sh:path "
-                        "supported in this subset"
-                    )
-            elif pk != "iri":
-                raise ValueError("SHACL: only direct-IRI sh:path supported in this subset")
-            tc = TripleConstraint(pred=pv, min_count=0, max_count=None, inverse=inverse)
-            if inverse and g.obj1(pshape, SH + "node") is not None:
-                raise ValueError("SHACL: sh:node under an inversePath is not supported")
+            pred, inverse, past = _parse_path(g, path[0], path[1])
+            if past is not None and shape.closed:
+                raise ValueError(
+                    "SHACL: sh:closed with non-trivial sh:path constraints "
+                    "is not supported in this subset"
+                )
+            tc = TripleConstraint(
+                pred=pred if past is None else path_display(past),
+                min_count=0,
+                max_count=None,
+                inverse=inverse,
+                path=past,
+            )
             if (v := g.obj1(pshape, SH + "minCount")) is not None:
                 tc.min_count = int(v[1])
             if (v := g.obj1(pshape, SH + "maxCount")) is not None:
                 tc.max_count = int(v[1])
             _read_value_constraints(g, pshape, tc)
+
+            # sh:qualifiedValueShape [ … ] + sh:qualifiedMin/MaxCount:
+            # a SEPARATE count-only constraint on the same path — values
+            # failing the qualified shape are not violations, only the
+            # count of satisfying values is bounds-checked
+            qvs = g.obj1(pshape, SH + "qualifiedValueShape")
+            qtc = None
+            if qvs is not None:
+                dis = g.obj1(pshape, SH + "qualifiedValueShapesDisjoint")
+                if dis is not None and dis[1] == "true":
+                    raise ValueError(
+                        "SHACL: sh:qualifiedValueShapesDisjoint is not supported"
+                    )
+                qtc = TripleConstraint(
+                    pred=tc.pred,
+                    min_count=0,
+                    max_count=None,
+                    inverse=inverse,
+                    path=past,
+                    qualified=True,
+                )
+                _read_value_constraints(g, qvs[1], qtc)
+                if (v := g.obj1(pshape, SH + "qualifiedMinCount")) is not None:
+                    qtc.min_count = int(v[1])
+                if (v := g.obj1(pshape, SH + "qualifiedMaxCount")) is not None:
+                    qtc.max_count = int(v[1])
+                if qtc.min_count == 0 and qtc.max_count is None:
+                    raise ValueError(
+                        "SHACL: sh:qualifiedValueShape requires "
+                        "sh:qualifiedMinCount and/or sh:qualifiedMaxCount"
+                    )
 
             # sh:or ( m1 m2 … ): value disjunction — each member is a
             # value-only blank node lifted into a disjunct TC
@@ -183,10 +261,8 @@ def parse_shacl(text: str) -> CompiledSchema:
                     )
                 members = []
                 for _, mnode, _, _ in g.rdf_list(v[1]):
-                    m = TripleConstraint(pred=pv)
+                    m = TripleConstraint(pred=tc.pred)
                     _read_value_constraints(g, mnode, m)
-                    if m.ref_shape is not None:
-                        raise ValueError("SHACL: sh:node inside sh:or is not supported")
                     members.append(m)
                 tc.disjuncts = members
 
@@ -194,7 +270,7 @@ def parse_shacl(text: str) -> CompiledSchema:
             # merge onto the property shape (conflicting fields rejected)
             if (v := g.obj1(pshape, SH + "and")) is not None:
                 for _, mnode, _, _ in g.rdf_list(v[1]):
-                    m = TripleConstraint(pred=pv)
+                    m = TripleConstraint(pred=tc.pred)
                     _read_value_constraints(g, mnode, m)
                     for f in _VALUE_FIELDS:
                         mv = getattr(m, f)
@@ -215,10 +291,21 @@ def parse_shacl(text: str) -> CompiledSchema:
                         "is not supported in this subset"
                     )
                 _read_value_constraints(g, v[1], tc)
-                if tc.ref_shape is not None:
-                    raise ValueError("SHACL: sh:node inside sh:not is not supported")
                 tc.negated = True
-            shape.constraints.append(tc)
+            # a pshape carrying ONLY a qualified constraint leaves the
+            # plain tc trivial ({0,*}, no value components) — skip the
+            # useless aggregate
+            trivial = (
+                tc.min_count == 0
+                and tc.max_count is None
+                and not _has_value_fields(tc)
+                and not tc.disjuncts
+                and not tc.negated
+            )
+            if not (trivial and qtc is not None):
+                shape.constraints.append(tc)
+            if qtc is not None:
+                shape.constraints.append(qtc)
         shapes[s] = shape
 
     return CompiledSchema(engine="shacl", shapes=shapes, prefixes=prefixes)

@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(
   | (?P<number>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]*)
   | (?P<keyword>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op><=|>=|!=|&&|\|\||[{}().;,=<>*!+/^|-])
+  | (?P<op><=|>=|!=|&&|\|\||[{}().;,=<>*!+/^|?-])
     """,
     re.VERBOSE,
 )
@@ -62,9 +62,9 @@ def _tokenize(text: str) -> list[str]:
 
 @dataclass
 class _Path:
-    """Property-path AST node (SPARQL 1.1 subset: iri, ^, /, |, +)."""
+    """Property-path AST node (SPARQL 1.1: iri, ^, /, |, +, *, ?)."""
 
-    op: str  # 'iri' | 'inv' | 'seq' | 'alt' | 'plus'
+    op: str  # 'iri' | 'inv' | 'seq' | 'alt' | 'plus' | 'star' | 'opt'
     iri: str | None = None
     children: list = field(default_factory=list)
 
@@ -430,13 +430,9 @@ def _parse_path(p: _Parser, prefixes: dict[str, str]) -> _Path:
         else:
             tok = p.next()
             node = _Path("iri", iri=RDF_TYPE if tok == "a" else _expand(tok, prefixes))
-        while p.peek() == "+":
-            p.next()
-            node = _Path("plus", children=[node])
-        if p.peek() == "*":
-            raise SparqlParseError(
-                "path modifier '*' not supported (zero-length paths; use '+')"
-            )
+        mods = {"+": "plus", "*": "star", "?": "opt"}
+        while p.peek() in mods:
+            node = _Path(mods[p.next()], children=[node])
         return node
 
     def seq() -> _Path:
@@ -613,22 +609,43 @@ def _path_pairs(df: DataFrame, path: _Path, max_iters: int = 25) -> DataFrame:
             out = out.unionByName(q)
         return out
     if path.op == "plus":
-        base = _path_pairs(df, path.children[0], max_iters).distinct().localCheckpoint()
-        acc, frontier = base, base
-        for _ in range(max_iters):
-            step = base.select(F.col("s").alias("_m"), F.col("o").alias("_o2"))
-            nxt = (
-                frontier.join(step, frontier["o"] == step["_m"])
-                .select(frontier["s"].alias("s"), F.col("_o2").alias("o"))
-                .distinct()
-            )
-            new = nxt.subtract(acc).localCheckpoint()
-            if new.isEmpty():
-                return acc
-            acc = acc.unionByName(new).localCheckpoint()
-            frontier = new
-        raise SparqlParseError(f"path '+' fixpoint exceeded {max_iters} iterations")
+        return _plus_pairs(df, path.children[0], max_iters)
+    if path.op in ("star", "opt"):
+        # zero-length path semantics (SPARQL 1.1 §18.4 ZeroLengthPath):
+        # every term of the graph — subjects AND objects, literals included
+        # — is connected to itself
+        terms = (
+            df.select(F.col("subj").alias("t"))
+            .unionByName(df.select(F.col("obj_value").alias("t")))
+            .distinct()
+        )
+        zero = terms.select(F.col("t").alias("s"), F.col("t").alias("o"))
+        one_or_more = (
+            _plus_pairs(df, path.children[0], max_iters)
+            if path.op == "star"
+            else _path_pairs(df, path.children[0], max_iters)
+        )
+        return zero.unionByName(one_or_more).distinct()
     raise SparqlParseError(f"unknown path op {path.op!r}")
+
+
+def _plus_pairs(df: DataFrame, child: _Path, max_iters: int) -> DataFrame:
+    """OneOrMore fixpoint: bounded semi-naive distinct-pairs expansion."""
+    base = _path_pairs(df, child, max_iters).distinct().localCheckpoint()
+    acc, frontier = base, base
+    for _ in range(max_iters):
+        step = base.select(F.col("s").alias("_m"), F.col("o").alias("_o2"))
+        nxt = (
+            frontier.join(step, frontier["o"] == step["_m"])
+            .select(frontier["s"].alias("s"), F.col("_o2").alias("o"))
+            .distinct()
+        )
+        new = nxt.subtract(acc).localCheckpoint()
+        if new.isEmpty():
+            return acc
+        acc = acc.unionByName(new).localCheckpoint()
+        frontier = new
+    raise SparqlParseError(f"path '+' fixpoint exceeded {max_iters} iterations")
 
 
 def _path_pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]]:
@@ -642,8 +659,12 @@ def _path_pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]
     else:
         cond = cond & (F.col("s") == pat.subj)
     if pat.obj.startswith("?"):
-        vars_.append(pat.obj[1:])
-        out_cols.append(F.col("o").alias(pat.obj[1:]))
+        if pat.obj == pat.subj:
+            # same var both ends (?x p* ?x): constrain s == o, bind once
+            cond = cond & (F.col("o") == F.col("s"))
+        else:
+            vars_.append(pat.obj[1:])
+            out_cols.append(F.col("o").alias(pat.obj[1:]))
     else:
         cond = cond & (F.col("o") == pat.obj)
     if not vars_:

@@ -77,17 +77,24 @@ def datatype_ok(datatype: str) -> Column:
     return ok
 
 
-def _value_ok(tc: TripleConstraint, ref_ok_col: str | None) -> Column:
+def _value_ok(
+    tc: TripleConstraint,
+    ref_ok_col: str | None,
+    disjunct_ref_cols: dict[int, str] | None = None,
+) -> Column:
     """The compiled value expression: conjunction of the constraint's
     primitives (OR-of-disjuncts / NOT when present), all pure Column
-    logic."""
+    logic.  ``disjunct_ref_cols`` maps disjunct index → the boolean column
+    carrying that member's ``sh:node`` conformance (sh:node inside sh:or)."""
     if tc.disjuncts:
         member = F.lit(False)
-        for d in tc.disjuncts:
+        for j, d in enumerate(tc.disjuncts):
             # coalesce: SQL three-valued logic would poison the OR with
             # nulls from e.g. `obj_datatype == X` on a null datatype
-            member = member | F.coalesce(_value_ok(d, None), F.lit(False))
-        return member
+            member = member | F.coalesce(
+                _value_ok(d, (disjunct_ref_cols or {}).get(j)), F.lit(False)
+            )
+        return ~member if tc.negated else member
     ok = F.lit(True)
     if tc.datatype:
         ok = ok & datatype_ok(tc.datatype)
@@ -136,6 +143,16 @@ def _value_ok(tc: TripleConstraint, ref_ok_col: str | None) -> Column:
     return ~F.coalesce(ok, F.lit(False)) if tc.negated else ok
 
 
+def _refs_of(tc: TripleConstraint) -> list[str]:
+    """Shape references this constraint evaluates: its own ``ref_shape``
+    plus any ``sh:node`` nested in OR disjuncts."""
+    out = [tc.ref_shape] if tc.ref_shape is not None else []
+    for d in tc.disjuncts or []:
+        if d.ref_shape is not None:
+            out.append(d.ref_shape)
+    return out
+
+
 def _ref_order(schema: CompiledSchema, roots: list[str]) -> tuple[list[str], set[str]]:
     """(topological-ish order of reachable shapes, shapes involved in
     reference cycles).  Cyclic shapes are evaluated by the fixpoint loop in
@@ -158,10 +175,10 @@ def _ref_order(schema: CompiledSchema, roots: list[str]) -> tuple[list[str], set
             tc for grp in (sh.alternatives or []) for tc in grp
         ]
         for tc in all_tcs:
-            if tc.ref_shape is not None:
-                if tc.ref_shape not in schema.shapes:
-                    raise ValueError(f"unknown shape reference {tc.ref_shape}")
-                visit(tc.ref_shape, stack + (sid,))
+            for ref in _refs_of(tc):
+                if ref not in schema.shapes:
+                    raise ValueError(f"unknown shape reference {ref}")
+                visit(ref, stack + (sid,))
         state[sid] = 2
         order.append(sid)
 
@@ -195,9 +212,15 @@ def evaluate_shape(
         flat_constraints = list(shape.constraints)
         alt_of = [0] * len(flat_constraints)
     # sh:closed and the forward neighbourhood consider OUTGOING arcs only;
-    # inversePath constraints range over a separate inverse neighbourhood
-    mentioned = sorted({tc.pred for tc in flat_constraints if not tc.inverse})
-    inv_preds = sorted({tc.pred for tc in flat_constraints if tc.inverse})
+    # inversePath constraints range over a separate inverse neighbourhood;
+    # non-trivial sh:path constraints each get a focus-seeded reachability
+    # neighbourhood of their own (plans/paths.py)
+    mentioned = sorted(
+        {tc.pred for tc in flat_constraints if not tc.inverse and tc.path is None}
+    )
+    inv_preds = sorted(
+        {tc.pred for tc in flat_constraints if tc.inverse and tc.path is None}
+    )
 
     full = triples.select("doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype")
     tri = full
@@ -218,20 +241,48 @@ def evaluate_shape(
     ).select(tri["*"])
 
     # shape-reference columns: left-join the referenced shapes' conformant
-    # sets onto the value rows (SURVEY §2.5 J3)
-    ref_cols: dict[int, str] = {}
-    for i, tc in enumerate(flat_constraints):
-        if tc.ref_shape is not None:
-            col = f"_ref_ok_{i}"
-            conf = conformant_refs[tc.ref_shape].select(
+    # sets onto the value rows (SURVEY §2.5 J3).  Works on any value-row
+    # neighbourhood — forward, inverse, or path — since all expose
+    # (doc_sha256, obj_value).
+    def _attach_refs(rows: DataFrame, reqs: list[tuple[str, str]]) -> DataFrame:
+        for col, ref in reqs:
+            conf = conformant_refs[ref].select(
                 F.col("doc_sha256").alias("_r_doc"), F.col("node").alias("_r_node")
             )
-            nbr = nbr.join(
-                conf,
-                on=[nbr.doc_sha256 == conf._r_doc, nbr.obj_value == conf._r_node],
-                how="left",
-            ).withColumn(col, F.col("_r_node").isNotNull()).drop("_r_doc", "_r_node")
-            ref_cols[i] = col
+            rows = (
+                rows.join(
+                    conf,
+                    on=[
+                        rows["doc_sha256"] == conf["_r_doc"],
+                        rows["obj_value"] == conf["_r_node"],
+                    ],
+                    how="left",
+                )
+                .withColumn(col, F.col("_r_node").isNotNull())
+                .drop("_r_doc", "_r_node")
+            )
+        return rows
+
+    def _ref_reqs(i: int, tc: TripleConstraint) -> list[tuple[str, str]]:
+        """(column, ref_shape) requirements for constraint i, filling
+        ref_cols / disj_ref_cols as a side effect."""
+        reqs = []
+        if tc.ref_shape is not None:
+            ref_cols[i] = f"_ref_ok_{i}"
+            reqs.append((ref_cols[i], tc.ref_shape))
+        for j, d in enumerate(tc.disjuncts or []):
+            if d.ref_shape is not None:
+                disj_ref_cols.setdefault(i, {})[j] = f"_ref_ok_{i}_d{j}"
+                reqs.append((disj_ref_cols[i][j], d.ref_shape))
+        return reqs
+
+    ref_cols: dict[int, str] = {}
+    disj_ref_cols: dict[int, dict[int, str]] = {}
+    fwd_reqs: list[tuple[str, str]] = []
+    for i, tc in enumerate(flat_constraints):
+        if not tc.inverse and tc.path is None:
+            fwd_reqs.extend(_ref_reqs(i, tc))
+    nbr = _attach_refs(nbr, fwd_reqs)
 
     # constraints sharing (alternative, predicate) form a repeated-property
     # EachOf group: ShEx partition-matching semantics (each triple matched
@@ -243,19 +294,25 @@ def evaluate_shape(
     # at SchemaValidate.scala:97-99.)
     group_of: dict[tuple[int, str], list[int]] = {}
     inv_indices: set[int] = set()
+    path_indices: set[int] = set()
     inv_seen: set[tuple[int, str]] = set()
     for i, tc in enumerate(flat_constraints):
+        if tc.path is not None:
+            path_indices.add(i)
+            continue  # own focus-seeded neighbourhood below
         if tc.inverse:
-            if tc.ref_shape is not None:
-                raise ValueError("shape reference under an inverse path is not supported")
-            if (alt_of[i], tc.pred) in inv_seen:
+            if not tc.qualified and (alt_of[i], tc.pred) in inv_seen:
                 raise ValueError(
                     f"repeated inverse-path constraint on <{tc.pred}> "
                     "(partition matching over inverse paths is unsupported)"
                 )
-            inv_seen.add((alt_of[i], tc.pred))
+            if not tc.qualified:
+                inv_seen.add((alt_of[i], tc.pred))
             inv_indices.add(i)
             continue  # inverse constraints aggregate over inv_nbr below
+        if tc.qualified:
+            continue  # SHACL qualified constraints evaluate independently —
+            # they never join repeated-property partition matching
         group_of.setdefault((alt_of[i], tc.pred), []).append(i)
     rep_groups = {k: v for k, v in group_of.items() if len(v) > 1}
     rep_indices = {i for idxs in rep_groups.values() for i in idxs}
@@ -263,11 +320,15 @@ def evaluate_shape(
 
     aggs = []
     for i, tc in enumerate(flat_constraints):
-        if i in rep_indices or i in inv_indices:
+        if i in rep_indices or i in inv_indices or i in path_indices:
             continue
         on_pred = F.col("pred") == tc.pred
         aggs.append(
-            F.sum(F.when(on_pred & _value_ok(tc, ref_cols.get(i)), 1).otherwise(0)).alias(f"m{i}")
+            F.sum(
+                F.when(
+                    on_pred & _value_ok(tc, ref_cols.get(i), disj_ref_cols.get(i)), 1
+                ).otherwise(0)
+            ).alias(f"m{i}")
         )
         aggs.append(F.sum(F.when(on_pred, 1).otherwise(0)).alias(f"t{i}"))
     for key, idxs in sorted(rep_groups.items()):
@@ -277,7 +338,8 @@ def evaluate_shape(
         profile = F.lit(0)
         for pos, i in enumerate(idxs):
             ok = F.coalesce(
-                _value_ok(flat_constraints[i], ref_cols.get(i)), F.lit(False)
+                _value_ok(flat_constraints[i], ref_cols.get(i), disj_ref_cols.get(i)),
+                F.lit(False),
             )
             profile = profile + F.when(ok, F.lit(1 << pos)).otherwise(F.lit(0))
         for s in range(1 << len(idxs)):
@@ -328,18 +390,42 @@ def evaluate_shape(
                 F.lit(None).cast("string").alias("obj_datatype"),
             )
         )
+        inv_reqs: list[tuple[str, str]] = []
+        for i in sorted(inv_indices):
+            inv_reqs.extend(_ref_reqs(i, flat_constraints[i]))
+        inv_nbr = _attach_refs(inv_nbr, inv_reqs)
         inv_aggs = []
         for i in sorted(inv_indices):
             tc = flat_constraints[i]
             on_pred = F.col("pred") == tc.pred
             inv_aggs.append(
-                F.sum(F.when(on_pred & _value_ok(tc, None), 1).otherwise(0)).alias(f"m{i}")
+                F.sum(
+                    F.when(
+                        on_pred & _value_ok(tc, ref_cols.get(i), disj_ref_cols.get(i)), 1
+                    ).otherwise(0)
+                ).alias(f"m{i}")
             )
             inv_aggs.append(F.sum(F.when(on_pred, 1).otherwise(0)).alias(f"t{i}"))
         inv_grouped = inv_nbr.groupBy(
             "doc_sha256", F.col("_inode").alias("node")
         ).agg(*inv_aggs)
         res = res.join(inv_grouped, on=["doc_sha256", "node"], how="left")
+
+    for i in sorted(path_indices):
+        # non-trivial sh:path: value rows from the focus-seeded path
+        # reachability join (plans/paths.py), then the same m/t aggregation
+        from rdfshape_api_spark.plans.paths import path_value_rows
+
+        tc = flat_constraints[i]
+        rows = path_value_rows(full, tc.path, focus.select("doc_sha256", "node"))
+        rows = _attach_refs(rows, _ref_reqs(i, tc))
+        p_grouped = rows.groupBy("doc_sha256", "node").agg(
+            F.sum(
+                F.when(_value_ok(tc, ref_cols.get(i), disj_ref_cols.get(i)), 1).otherwise(0)
+            ).alias(f"m{i}"),
+            F.count("*").alias(f"t{i}"),
+        )
+        res = res.join(p_grouped, on=["doc_sha256", "node"], how="left")
 
     n_alts = (max(alt_of) + 1) if alt_of else 1
     alt_ok = [F.lit(True) for _ in range(n_alts)]
@@ -352,13 +438,17 @@ def evaluate_shape(
         c_ok = m >= tc.min_count
         if tc.max_count is not None:
             c_ok = c_ok & (m <= tc.max_count)
-        if not tc.extra:
+        # qualified (sh:qualifiedValueShape): only the COUNT of satisfying
+        # values is checked — non-satisfying values are not violations
+        if not tc.extra and not tc.qualified:
             c_ok = c_ok & (m == t)
         alt_ok[alt_of[i]] = alt_ok[alt_of[i]] & c_ok
         card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
+        kind = "qualified constraint" if tc.qualified else "constraint"
+        pred_disp = tc.pred if tc.path is not None else f"<{tc.pred}>"
         if shape.alternatives is None:
             reasons.append(
-                F.when(~c_ok, F.lit(f"constraint on <{tc.pred}> {card} violated"))
+                F.when(~c_ok, F.lit(f"{kind} on {pred_disp} {card} violated"))
             )
     for key, idxs in sorted(rep_groups.items()):
         gi = rep_ids[key]
@@ -457,7 +547,13 @@ def validate_batch(
         complex_ = any(
             sh.closed
             or sh.alternatives is not None
-            or any(tc.ref_shape or tc.inverse for tc in sh.constraints)
+            or any(
+                tc.ref_shape
+                or tc.inverse
+                or tc.path is not None
+                or any(d.ref_shape for d in tc.disjuncts or [])
+                for tc in sh.constraints
+            )
             # repeated-property EachOf needs the partition-matching path
             or len({tc.pred for tc in sh.constraints}) != len(sh.constraints)
             for sh in schema.shapes.values()
@@ -534,7 +630,7 @@ def validate_batch(
                 c_ok = m >= tc.min_count
                 if tc.max_count is not None:
                     c_ok = c_ok & (m <= tc.max_count)
-                if not tc.extra:
+                if not tc.extra and not tc.qualified:
                     c_ok = c_ok & (m == t)
                 ok = ok & c_ok
                 card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
@@ -616,10 +712,10 @@ def validate(
     # every shape that appears on the right side of a reference needs a
     # conformant set — including roots (a root may itself be referenced)
     referenced = {
-        tc.ref_shape
+        ref
         for sh in schema.shapes.values()
         for tc in _tcs(sh)
-        if tc.ref_shape is not None
+        for ref in _refs_of(tc)
     }
     # shapes that transitively depend on a cycle member must evaluate AFTER
     # the fixpoint (their referenced conformant sets don't exist yet);
@@ -627,9 +723,9 @@ def validate(
     cycle_dep: set[str] = set(cyclic)
     for sid in order:
         if any(
-            tc.ref_shape in cycle_dep
+            ref in cycle_dep
             for tc in _tcs(schema.shapes[sid])
-            if tc.ref_shape is not None
+            for ref in _refs_of(tc)
         ):
             cycle_dep.add(sid)
 
@@ -653,9 +749,9 @@ def validate(
         # conformant sets are final.
         for sid in sorted(cyclic):
             for tc in _tcs(schema.shapes[sid]):
-                if tc.negated and tc.ref_shape in cyclic:
+                if tc.negated and any(ref in cyclic for ref in _refs_of(tc)):
                     raise ValueError(
-                        f"shape {sid!r}: negated reference to {tc.ref_shape!r} "
+                        f"shape {sid!r}: negated reference "
                         "inside a reference cycle is not stratifiable (unsupported)"
                     )
         # Recursive shape references (SURVEY §4 fixpoint row; the reference

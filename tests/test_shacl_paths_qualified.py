@@ -1,0 +1,324 @@
+"""SHACL sh:qualifiedValueShape, non-trivial sh:path, and nested sh:node.
+
+Reference surface: shaclex/TopBraid behind ``SchemaService.scala:80-84``
+(qualified cardinality + full SHACL property paths are core features of
+both engines).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdfshape_api_spark.plans import parse_shacl, validate
+
+EX = "http://example.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+COLS = (
+    "doc_sha256 string, subj string, pred string, obj_kind string, "
+    "obj_value string, obj_lang string, obj_datatype string"
+)
+PFX = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{EX}> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+"""
+
+
+def _tri(spark, rows):
+    return spark.createDataFrame(
+        [("d1", EX + s, (RDF_TYPE if p == "a" else EX + p), k, (EX + v if k != "literal" else v), None, dt)
+         for s, p, k, v, dt in rows],
+        COLS,
+    )
+
+
+def _verdicts(df):
+    return {r["node"][len(EX):]: r["status"] for r in df.collect()}
+
+
+def test_qualified_min_count(spark):
+    # every Team needs ≥ 2 members that are Leads (but non-Lead members OK)
+    schema = parse_shacl(PFX + """
+        ex:TeamShape a sh:NodeShape ; sh:targetClass ex:Team ;
+          sh:property [
+            sh:path ex:member ;
+            sh:qualifiedValueShape [ sh:pattern "lead" ] ;
+            sh:qualifiedMinCount 2 ;
+          ] .
+    """)
+    tri = _tri(spark, [
+        ("t1", "a", "iri", "Team", None),
+        ("t1", "member", "iri", "lead_a", None),
+        ("t1", "member", "iri", "lead_b", None),
+        ("t1", "member", "iri", "dev_c", None),   # non-lead: NOT a violation
+        ("t2", "a", "iri", "Team", None),
+        ("t2", "member", "iri", "lead_a", None),
+        ("t2", "member", "iri", "dev_c", None),
+    ])
+    assert _verdicts(validate(tri, schema)) == {"t1": "conformant", "t2": "nonconformant"}
+
+
+def test_qualified_max_count(spark):
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Team ;
+          sh:property [
+            sh:path ex:member ;
+            sh:qualifiedValueShape [ sh:pattern "lead" ] ;
+            sh:qualifiedMaxCount 1 ;
+          ] .
+    """)
+    tri = _tri(spark, [
+        ("t1", "a", "iri", "Team", None),
+        ("t1", "member", "iri", "lead_a", None),
+        ("t1", "member", "iri", "lead_b", None),
+        ("t2", "a", "iri", "Team", None),
+        ("t2", "member", "iri", "lead_a", None),
+        ("t2", "member", "iri", "dev_c", None),
+    ])
+    assert _verdicts(validate(tri, schema)) == {"t1": "nonconformant", "t2": "conformant"}
+
+
+def test_qualified_alongside_plain_mincount(spark):
+    # plain sh:minCount on ALL values + qualified count on lead values
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Team ;
+          sh:property [
+            sh:path ex:member ; sh:minCount 3 ;
+            sh:qualifiedValueShape [ sh:pattern "lead" ] ;
+            sh:qualifiedMinCount 1 ;
+          ] .
+    """)
+    tri = _tri(spark, [
+        ("t1", "a", "iri", "Team", None),  # 3 members, 1 lead → ok
+        ("t1", "member", "iri", "lead_a", None),
+        ("t1", "member", "iri", "dev_b", None),
+        ("t1", "member", "iri", "dev_c", None),
+        ("t2", "a", "iri", "Team", None),  # 2 members → minCount fails
+        ("t2", "member", "iri", "lead_a", None),
+        ("t2", "member", "iri", "dev_b", None),
+        ("t3", "a", "iri", "Team", None),  # 3 members, 0 leads → qualified fails
+        ("t3", "member", "iri", "dev_a", None),
+        ("t3", "member", "iri", "dev_b", None),
+        ("t3", "member", "iri", "dev_c", None),
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "t1": "conformant", "t2": "nonconformant", "t3": "nonconformant"
+    }
+
+
+def test_qualified_node_reference(spark):
+    # qualified shape IS a shape reference: ≥1 address must conform to ex:DE
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:property [
+            sh:path ex:address ;
+            sh:qualifiedValueShape [ sh:node ex:DE ] ;
+            sh:qualifiedMinCount 1 ;
+          ] .
+        ex:DE a sh:NodeShape ;
+          sh:property [ sh:path ex:country ; sh:minCount 1 ; sh:pattern "germany" ] .
+    """)
+    tri = _tri(spark, [
+        ("p1", "a", "iri", "Person", None),
+        ("p1", "address", "iri", "a1", None),
+        ("p1", "address", "iri", "a2", None),
+        ("a1", "country", "literal", "germany", None),
+        ("a2", "country", "literal", "france", None),
+        ("p2", "a", "iri", "Person", None),
+        ("p2", "address", "iri", "a2", None),
+    ])
+    v = _verdicts(validate(tri, schema))
+    assert v["p1"] == "conformant" and v["p2"] == "nonconformant"
+
+
+def test_sequence_path(spark):
+    # value of ex:address/ex:city must match "berlin"
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:property [ sh:path ( ex:address ex:city ) ;
+                        sh:minCount 1 ; sh:pattern "berlin" ] .
+    """)
+    tri = _tri(spark, [
+        ("p1", "a", "iri", "Person", None),
+        ("p1", "address", "iri", "a1", None),
+        ("a1", "city", "literal", "berlin", None),
+        ("p2", "a", "iri", "Person", None),
+        ("p2", "address", "iri", "a2", None),
+        ("a2", "city", "literal", "paris", None),
+        ("p3", "a", "iri", "Person", None),   # no address at all → minCount
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "p1": "conformant", "p2": "nonconformant", "p3": "nonconformant"
+    }
+
+
+def test_alternative_path(spark):
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Doc ;
+          sh:property [ sh:path [ sh:alternativePath ( ex:author ex:editor ) ] ;
+                        sh:minCount 1 ] .
+    """)
+    tri = _tri(spark, [
+        ("d_a", "a", "iri", "Doc", None),
+        ("d_a", "author", "iri", "x", None),
+        ("d_b", "a", "iri", "Doc", None),
+        ("d_b", "editor", "iri", "y", None),
+        ("d_c", "a", "iri", "Doc", None),
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "d_a": "conformant", "d_b": "conformant", "d_c": "nonconformant"
+    }
+
+
+def test_zero_or_more_path(spark):
+    # every node reachable via ex:part* (including the focus itself) must
+    # match the pattern — focus f_bad itself fails the zero-length check
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Asm ;
+          sh:property [ sh:path [ sh:zeroOrMorePath ex:part ] ;
+                        sh:pattern "good|Asm|asm" ] .
+    """)
+    tri = _tri(spark, [
+        ("good_asm", "a", "iri", "Asm", None),
+        ("good_asm", "part", "iri", "good_1", None),
+        ("good_1", "part", "iri", "good_2", None),
+        ("bad_asm", "a", "iri", "Asm", None),
+        ("bad_asm", "part", "iri", "good_1", None),
+        ("bad_asm", "part", "iri", "evil_1", None),
+    ])
+    v = _verdicts(validate(tri, schema))
+    assert v["good_asm"] == "conformant" and v["bad_asm"] == "nonconformant"
+
+
+def test_one_or_more_path_mincount(spark):
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Asm ;
+          sh:property [ sh:path [ sh:oneOrMorePath ex:part ] ; sh:minCount 2 ] .
+    """)
+    tri = _tri(spark, [
+        ("a1", "a", "iri", "Asm", None),
+        ("a1", "part", "iri", "p1", None),
+        ("p1", "part", "iri", "p2", None),   # a1 reaches p1, p2 → 2 ok
+        ("a2", "a", "iri", "Asm", None),
+        ("a2", "part", "iri", "p9", None),   # reaches only p9 → fail
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "a1": "conformant", "a2": "nonconformant"
+    }
+
+
+def test_nested_inverse_in_sequence(spark):
+    # path ( ex:worksFor [ sh:inversePath ex:worksFor ] ): colleagues —
+    # people sharing an employer with the focus; all must match "emp"
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:property [
+            sh:path ( ex:worksFor [ sh:inversePath ex:worksFor ] ) ;
+            sh:minCount 1 ; sh:pattern "emp" ;
+          ] .
+    """)
+    tri = _tri(spark, [
+        ("emp_a", "a", "iri", "Person", None),
+        ("emp_a", "worksFor", "iri", "acme", None),
+        ("emp_b", "worksFor", "iri", "acme", None),
+        ("spy_c", "a", "iri", "Person", None),
+        ("spy_c", "worksFor", "iri", "octan", None),
+        ("spy_d", "worksFor", "iri", "octan", None),
+    ])
+    v = _verdicts(validate(tri, schema))
+    # emp_a's colleagues: emp_a, emp_b — all match "emp" → conformant
+    # spy_c's colleagues: spy_c, spy_d — no "emp" → nonconformant
+    assert v["emp_a"] == "conformant" and v["spy_c"] == "nonconformant"
+
+
+def test_node_inside_or(spark):
+    # each contact must be EITHER a literal email OR a node conforming to
+    # ex:AddrShape
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:property [
+            sh:path ex:contact ; sh:minCount 1 ;
+            sh:or ( [ sh:nodeKind sh:Literal ] [ sh:node ex:AddrShape ] ) ;
+          ] .
+        ex:AddrShape a sh:NodeShape ;
+          sh:property [ sh:path ex:city ; sh:minCount 1 ] .
+    """)
+    tri = _tri(spark, [
+        ("p1", "a", "iri", "Person", None),
+        ("p1", "contact", "literal", "a@b.c", None),
+        ("p2", "a", "iri", "Person", None),
+        ("p2", "contact", "iri", "addr1", None),
+        ("addr1", "city", "literal", "x", None),
+        ("p3", "a", "iri", "Person", None),
+        ("p3", "contact", "iri", "addr2", None),   # addr2 has no city
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "p1": "conformant", "p2": "conformant", "p3": "nonconformant"
+    }
+
+
+def test_node_inside_not(spark):
+    # no contact may conform to ex:Blacklisted
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:property [
+            sh:path ex:contact ;
+            sh:not [ sh:node ex:Black ] ;
+          ] .
+        ex:Black a sh:NodeShape ;
+          sh:property [ sh:path ex:banned ; sh:minCount 1 ] .
+    """)
+    tri = _tri(spark, [
+        ("p1", "a", "iri", "Person", None),
+        ("p1", "contact", "iri", "c_ok", None),
+        ("p2", "a", "iri", "Person", None),
+        ("p2", "contact", "iri", "c_bad", None),
+        ("c_bad", "banned", "literal", "yes", None),
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "p1": "conformant", "p2": "nonconformant"
+    }
+
+
+def test_node_under_inverse_path(spark):
+    # everything POINTING AT the focus via ex:owns must conform to ex:Emp
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Car ;
+          sh:property [
+            sh:path [ sh:inversePath ex:owns ] ;
+            sh:minCount 1 ; sh:node ex:Emp ;
+          ] .
+        ex:Emp a sh:NodeShape ;
+          sh:property [ sh:path ex:badge ; sh:minCount 1 ] .
+    """)
+    tri = _tri(spark, [
+        ("car1", "a", "iri", "Car", None),
+        ("u1", "owns", "iri", "car1", None),
+        ("u1", "badge", "literal", "b1", None),
+        ("car2", "a", "iri", "Car", None),
+        ("u2", "owns", "iri", "car2", None),   # u2 has no badge
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "car1": "conformant", "car2": "nonconformant"
+    }
+
+
+def test_qualified_requires_bounds(spark):
+    with pytest.raises(ValueError, match="qualifiedMinCount"):
+        parse_shacl(PFX + """
+            ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+              sh:property [ sh:path ex:p ;
+                            sh:qualifiedValueShape [ sh:pattern "x" ] ] .
+        """)
+
+
+def test_disjoint_rejected(spark):
+    with pytest.raises(ValueError, match="qualifiedValueShapesDisjoint"):
+        parse_shacl(PFX + """
+            ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+              sh:property [ sh:path ex:p ;
+                            sh:qualifiedValueShape [ sh:pattern "x" ] ;
+                            sh:qualifiedMinCount 1 ;
+                            sh:qualifiedValueShapesDisjoint true ] .
+        """)

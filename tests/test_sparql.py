@@ -392,11 +392,53 @@ def test_path_plus_transitive_with_cycle(spark):
     assert pairs == expect
 
 
-def test_path_star_rejected(spark):
-    import pytest
+def test_path_star_zero_length(spark):
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    edges = [("a", "b"), ("b", "c")]
+    tri = spark.createDataFrame(
+        [(EX + s, EX + "knows", "iri", EX + o, None, None) for s, o in edges], cols
+    )
+    out = sparql_select(
+        tri, PREFIX + "SELECT DISTINCT ?a ?b WHERE { ?a ex:knows* ?b . }"
+    )
+    pairs = {(r["a"][len(EX):], r["b"][len(EX):]) for r in out.collect()}
+    # zero-length: every graph term reflexively; plus the + closure
+    assert pairs == {
+        ("a", "a"), ("b", "b"), ("c", "c"),
+        ("a", "b"), ("b", "c"), ("a", "c"),
+    }
 
-    with pytest.raises(SparqlParseError, match="'\\*' not supported"):
-        parse_sparql(PREFIX + "SELECT ?a WHERE { ?a ex:knows* ?b . }")
+
+def test_path_opt_zero_or_one(spark):
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    edges = [("a", "b"), ("b", "c")]
+    tri = spark.createDataFrame(
+        [(EX + s, EX + "knows", "iri", EX + o, None, None) for s, o in edges], cols
+    )
+    out = sparql_select(
+        tri, PREFIX + "SELECT DISTINCT ?a ?b WHERE { ?a ex:knows? ?b . }"
+    )
+    pairs = {(r["a"][len(EX):], r["b"][len(EX):]) for r in out.collect()}
+    # single hops + reflexive terms, but NOT the 2-hop (a, c)
+    assert pairs == {
+        ("a", "a"), ("b", "b"), ("c", "c"),
+        ("a", "b"), ("b", "c"),
+    }
+
+
+def test_path_star_with_literal_terms(spark):
+    # literals are graph terms: zero-length connects them to themselves
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            (EX + "a", EX + "knows", "iri", EX + "b", None, None),
+            (EX + "a", EX + "name", "literal", "Alice", None, None),
+        ],
+        cols,
+    )
+    out = sparql_select(tri, PREFIX + "SELECT DISTINCT ?x WHERE { ?x ex:knows* ?x . }")
+    vals = {r["x"] for r in out.collect()}
+    assert vals == {EX + "a", EX + "b", "Alice"}
 
 
 def test_values_joins_unbound_solution_var(spark):
