@@ -193,10 +193,19 @@ def evaluate_shape(
     shape_id: str,
     focus: DataFrame,
     conformant_refs: dict[str, DataFrame],
+    broad_focus: bool = False,
 ) -> DataFrame:
     """Evaluate one shape over a focus work-list ``(doc_sha256, node)``.
 
     Returns ``(doc_sha256, node, status, reasons)``.
+
+    ``broad_focus``: hint that the focus set scales with the data (query
+    selectors, SHACL targets, fixpoint all-subjects) — skip the
+    neighbourhood ⋈ focus pre-join and aggregate ALL subjects instead:
+    map-side combine shrinks the shuffle to ~1 row/subject and the big
+    side is never shuffled for the join; the focus work-list left-joins
+    onto the (small) aggregate output.  For narrow focus sets (fixed-node
+    shapemaps) the pre-join prunes the aggregation input and wins.
     """
     shape: Shape = schema.shapes[shape_id]
     # OneOf alternatives flatten into one constraint vector; the verdict
@@ -227,18 +236,23 @@ def evaluate_shape(
     if not shape.closed and mentioned:
         tri = tri.filter(F.col("pred").isin(*mentioned))
 
-    # focus neighbourhood: inner join on (doc, subj) — same key as the
-    # downstream aggregation, so the exchange is reused.  Focus usually
-    # derives from the same triples lineage (self-join): rename its join
-    # keys so Catalyst can't collapse the condition to trivially-true.
-    f = focus.select(
-        F.col("doc_sha256").alias("_f_doc"), F.col("node").alias("_f_node")
-    ).distinct()
-    nbr = tri.join(
-        f,
-        on=[tri["doc_sha256"] == f["_f_doc"], tri["subj"] == f["_f_node"]],
-        how="inner",
-    ).select(tri["*"])
+    if broad_focus:
+        # focus ≈ all subjects: aggregating everything map-side is cheaper
+        # than shuffling the big side for a pre-join (see docstring)
+        nbr = tri
+    else:
+        # focus neighbourhood: inner join on (doc, subj) — same key as the
+        # downstream aggregation, so the exchange is reused.  Focus usually
+        # derives from the same triples lineage (self-join): rename its join
+        # keys so Catalyst can't collapse the condition to trivially-true.
+        f = focus.select(
+            F.col("doc_sha256").alias("_f_doc"), F.col("node").alias("_f_node")
+        ).distinct()
+        nbr = tri.join(
+            f,
+            on=[tri["doc_sha256"] == f["_f_doc"], tri["subj"] == f["_f_node"]],
+            how="inner",
+        ).select(tri["*"])
 
     # shape-reference columns: left-join the referenced shapes' conformant
     # sets onto the value rows (SURVEY §2.5 J3).  Works on any value-row
@@ -368,19 +382,12 @@ def evaluate_shape(
         from rdfshape_api_spark.model import SKOLEM_PREFIX
 
         inv = full.filter(F.col("pred").isin(*inv_preds))
-        f_i = focus.select(
-            F.col("doc_sha256").alias("_f_doc"), F.col("node").alias("_f_node")
-        ).distinct()
         subj_kind = F.when(
             F.col("subj").startswith("_:") | F.col("subj").startswith(SKOLEM_PREFIX),
             F.lit("bnode"),
         ).otherwise(F.lit("iri"))
-        inv_nbr = (
-            inv.join(
-                f_i,
-                on=[inv["doc_sha256"] == f_i["_f_doc"], inv["obj_value"] == f_i["_f_node"]],
-            )
-            .select(
+        if broad_focus:
+            inv_nbr = inv.select(
                 inv["doc_sha256"],
                 inv["obj_value"].alias("_inode"),
                 inv["pred"],
@@ -389,7 +396,25 @@ def evaluate_shape(
                 F.lit(None).cast("string").alias("obj_lang"),
                 F.lit(None).cast("string").alias("obj_datatype"),
             )
-        )
+        else:
+            f_i = focus.select(
+                F.col("doc_sha256").alias("_f_doc"), F.col("node").alias("_f_node")
+            ).distinct()
+            inv_nbr = (
+                inv.join(
+                    f_i,
+                    on=[inv["doc_sha256"] == f_i["_f_doc"], inv["obj_value"] == f_i["_f_node"]],
+                )
+                .select(
+                    inv["doc_sha256"],
+                    inv["obj_value"].alias("_inode"),
+                    inv["pred"],
+                    subj_kind.alias("obj_kind"),
+                    inv["subj"].alias("obj_value"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                )
+            )
         inv_reqs: list[tuple[str, str]] = []
         for i in sorted(inv_indices):
             inv_reqs.extend(_ref_reqs(i, flat_constraints[i]))
@@ -735,7 +760,9 @@ def validate(
     for sid in order:
         if sid in cycle_dep or sid not in referenced:
             continue
-        v = evaluate_shape(triples, schema, sid, all_subjects, conformant_refs)
+        v = evaluate_shape(
+            triples, schema, sid, all_subjects, conformant_refs, broad_focus=True
+        )
         conformant_refs[sid] = v.filter(F.col("status") == STATUS_CONFORMANT).select(
             "doc_sha256", "node"
         )
@@ -770,7 +797,9 @@ def validate(
         for _ in range(max_fixpoint_iters):
             changed = False
             for sid in sorted(cyclic):
-                v = evaluate_shape(triples, schema, sid, all_ck, conformant_refs)
+                v = evaluate_shape(
+                    triples, schema, sid, all_ck, conformant_refs, broad_focus=True
+                )
                 nxt = (
                     v.filter(F.col("status") == STATUS_CONFORMANT)
                     .select("doc_sha256", "node")
@@ -793,19 +822,23 @@ def validate(
     for sid in order:
         if sid in cyclic or sid not in cycle_dep or sid not in referenced:
             continue
-        v = evaluate_shape(triples, schema, sid, all_subjects, conformant_refs)
+        v = evaluate_shape(
+            triples, schema, sid, all_subjects, conformant_refs, broad_focus=True
+        )
         conformant_refs[sid] = v.filter(F.col("status") == STATUS_CONFORMANT).select(
             "doc_sha256", "node"
         )
 
     outs = []
     for sid, targets in work:
-        focus = (
-            targets
-            if targets is not None
-            else focus_all.filter(F.col("shape_id") == sid).select("doc_sha256", "node")
-        )
-        v = evaluate_shape(triples, schema, sid, focus, conformant_refs)
+        if targets is not None:
+            focus, broad = targets, True  # SHACL targets scale with data
+        else:
+            focus = focus_all.filter(F.col("shape_id") == sid).select("doc_sha256", "node")
+            # query selectors ({FOCUS p o}) scale with data → aggregate-all;
+            # fixed-node shapemaps stay on the pruning pre-join
+            broad = any(a.kind == "query" for a in assocs if a.shape == sid)
+        v = evaluate_shape(triples, schema, sid, focus, conformant_refs, broad_focus=broad)
         label = shape_label if (shape_label and len(work) == 1) else sid
         outs.append(v.withColumn("shape_id", F.lit(label)))
     out = outs[0]

@@ -426,14 +426,21 @@ class _JsonLdParser:
         self.genid += 1
         return f"_:genid{self.genid}"
 
-    def expand(self, key: str, ctx: dict) -> str | None:
-        if key.startswith("@"):
+    def expand(self, key: str, ctx: dict, _seen: frozenset = frozenset()) -> str | None:
+        if key.startswith("@") or key in _seen:
             return None
+        seen = _seen | {key}
         if key in ctx and isinstance(ctx[key], str):
+            # term definition values are themselves IRI-expanded: a CURIE
+            # like "ex:name" resolves through the prefix map FIRST — the
+            # absolute-IRI shortcut would mistake "ex" for a URI scheme
             v = ctx[key]
-            return v if _ABS_IRI.match(v) else self.expand(v, ctx)
+            ex = self.expand(v, ctx, seen) if v != key else None
+            if ex is not None:
+                return ex
+            return v if _ABS_IRI.match(v) else None
         if key in ctx and isinstance(ctx[key], dict) and "@id" in ctx[key]:
-            return self.expand(ctx[key]["@id"], ctx)
+            return self.expand(ctx[key]["@id"], ctx, seen)
         if ":" in key:
             pref, _, local = key.partition(":")
             if pref in ctx and isinstance(ctx[pref], str):
@@ -664,11 +671,14 @@ _XML_NS = "http://www.w3.org/XML/1998/namespace"
 def parse_rdfxml(content: str) -> list[Triple]:
     """RDF/XML subset: the striped-syntax profile that covers typical
     serializer output — ``rdf:Description``/typed node elements with
-    ``rdf:about``/``rdf:nodeID``/anonymous, property elements with
-    ``rdf:resource``/``rdf:nodeID``/``rdf:datatype``/``xml:lang``, nested
-    node elements, and ``rdf:parseType="Resource"``.  Reification,
-    containers, rdf:li, and xml:base resolution are out of subset."""
+    ``rdf:about``/``rdf:ID``/``rdf:nodeID``/anonymous, property elements
+    with ``rdf:resource``/``rdf:nodeID``/``rdf:datatype``/``xml:lang``,
+    nested node elements, ``rdf:parseType="Resource"``, and ``xml:base``
+    resolution (document-level and element-scoped; ``rdf:ID`` → base +
+    ``#id``, relative ``rdf:about``/``rdf:resource`` resolved per RDF/XML
+    §5.1.4).  Reification, containers, and rdf:li are out of subset."""
     import xml.etree.ElementTree as ET
+    from urllib.parse import urljoin
 
     root = ET.fromstring(content)
     triples: list[Triple] = []
@@ -685,17 +695,28 @@ def parse_rdfxml(content: str) -> list[Triple]:
             return ns + local
         return tag
 
-    def node_id(el) -> str:
+    def resolve(iri: str, base: str | None) -> str:
+        if base is None or _ABS_IRI.match(iri):
+            return iri
+        return urljoin(base, iri)
+
+    def node_id(el, base: str | None) -> str:
         about = el.get(f"{{{_RDF_NS}}}about")
         if about is not None:
-            return about
+            return resolve(about, base)
+        rid = el.get(f"{{{_RDF_NS}}}ID")
+        if rid is not None:
+            # rdf:ID names a fragment of the in-scope base document
+            doc = (base or "").split("#", 1)[0]
+            return f"{doc}#{rid}"
         nid = el.get(f"{{{_RDF_NS}}}nodeID")
         if nid is not None:
             return f"_:{nid}"
         return fresh()
 
-    def walk_node(el) -> str:
-        subj = node_id(el)
+    def walk_node(el, base: str | None) -> str:
+        base = el.get(f"{{{_XML_NS}}}base", base)
+        subj = node_id(el, base)
         tag_iri = expand(el.tag)
         if tag_iri != _RDF_NS + "Description":
             triples.append((subj, _RDF_NS + "type", "iri", tag_iri, None, None))
@@ -706,6 +727,7 @@ def parse_rdfxml(content: str) -> list[Triple]:
                 continue
             triples.append((subj, k_iri, "literal", v, None, None))
         for prop in el:
+            pbase = prop.get(f"{{{_XML_NS}}}base", base)
             pred = expand(prop.tag)
             res = prop.get(f"{{{_RDF_NS}}}resource")
             nid = prop.get(f"{{{_RDF_NS}}}nodeID")
@@ -714,7 +736,7 @@ def parse_rdfxml(content: str) -> list[Triple]:
             ptype = prop.get(f"{{{_RDF_NS}}}parseType")
             children = list(prop)
             if res is not None:
-                triples.append((subj, pred, "iri", res, None, None))
+                triples.append((subj, pred, "iri", resolve(res, pbase), None, None))
             elif nid is not None:
                 triples.append((subj, pred, "bnode", f"_:{nid}", None, None))
             elif ptype == "Resource":
@@ -725,7 +747,7 @@ def parse_rdfxml(content: str) -> list[Triple]:
                     sp = expand(sub.tag)
                     sres = sub.get(f"{{{_RDF_NS}}}resource")
                     if sres is not None:
-                        triples.append((b, sp, "iri", sres, None, None))
+                        triples.append((b, sp, "iri", resolve(sres, pbase), None, None))
                     else:
                         triples.append(
                             (b, sp, "literal", sub.text or "",
@@ -733,7 +755,7 @@ def parse_rdfxml(content: str) -> list[Triple]:
                         )
             elif children:
                 child = children[0]
-                obj = walk_node(child)
+                obj = walk_node(child, pbase)
                 kind = "bnode" if obj.startswith("_:") else "iri"
                 triples.append((subj, pred, kind, obj, None, None))
             else:
@@ -743,11 +765,12 @@ def parse_rdfxml(content: str) -> list[Triple]:
                 )
         return subj
 
+    doc_base = root.get(f"{{{_XML_NS}}}base")
     if expand(root.tag) == _RDF_NS + "RDF":
         for el in root:
-            walk_node(el)
+            walk_node(el, doc_base)
     else:
-        walk_node(root)
+        walk_node(root, doc_base)
     return triples
 
 

@@ -75,9 +75,18 @@ class StreamConfig:
     timeout_s: float = 40.0  # T3 default, Server.scala:164
     max_files_per_trigger: int | None = None
     extra: dict = field(default_factory=dict)
-    # the reference's stream block (server/port/topic/groupId) — consumed by
-    # a Kafka source in production; informational for the file-stream stand-in
+    # the reference's stream block (server/port/topic/groupId,
+    # CometTransformations.scala:115-141): when server+topic are set the
+    # source is a real Kafka readStream (requires the spark-sql-kafka
+    # connector on the classpath and a reachable broker); otherwise the
+    # file-stream stand-in reads docs-table parquet from input_dir
     stream_info: dict = field(default_factory=dict)
+    # extractor{data{format}} — the RDF syntax of incoming Kafka message
+    # values (file-stream rows carry their own lang column)
+    extractor_format: str = "turtle"
+
+    def uses_kafka(self) -> bool:
+        return bool(self.stream_info.get("server") and self.stream_info.get("topic"))
 
     @classmethod
     def from_reference_json(cls, cfg: dict) -> "StreamConfig":
@@ -95,6 +104,7 @@ class StreamConfig:
         content = schema.get("content")
         trigger = validator.get("triggerMode", {})
         shapemap = trigger.get("shape-map", trigger.get("shapeMap"))
+        extractor = cfg.get("extractor", {}).get("data", {})
         return cls(
             shex_schema=content if engine == "shex" else None,
             shex_shapemap=shapemap,
@@ -102,6 +112,7 @@ class StreamConfig:
             halt_on_invalid=bool(validator.get("haltOnInvalid", False)),
             halt_on_errored=bool(validator.get("haltOnErrored", False)),
             stream_info=dict(cfg.get("stream", {})),
+            extractor_format=str(extractor.get("format", "turtle")).lower(),
         )
 
 
@@ -136,6 +147,48 @@ def _batch_validate(batch: DataFrame, cfg: StreamConfig) -> tuple[DataFrame, Dat
     for v in verdicts[1:]:
         out = out.unionByName(v)
     return out, errors
+
+
+def _source_stream(spark: SparkSession, input_dir: str, cfg: StreamConfig) -> DataFrame:
+    """Streaming source → docs-table rows.
+
+    Kafka (``CometTransformations.scala:115-141``): each message value is
+    one raw RDF document; topic/partition/offset become the synthetic
+    repo/path/commit identity and ``extractor_format`` supplies the
+    syntax.  Requires the spark-sql-kafka connector JAR and a reachable
+    broker — the downstream foreachBatch pipeline is identical, so CI
+    exercises it through the file-stream stand-in.
+    """
+    if cfg.uses_kafka():
+        info = cfg.stream_info
+        server = str(info["server"]).replace("kafka://", "").rstrip("/")
+        bootstrap = server if ":" in server else f"{server}:{info.get('port', 9092)}"
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", info["topic"])
+        )
+        if info.get("groupId"):
+            reader = reader.option("kafka.group.id", info["groupId"])
+        for k, v in cfg.extra.items():
+            reader = reader.option(k, v)
+        content = F.col("value").cast("string")
+        return reader.load().select(
+            F.concat(F.lit("kafka:"), F.col("topic")).alias("repo"),
+            F.concat_ws(
+                "/", F.col("partition").cast("string"), F.col("offset").cast("string")
+            ).alias("path"),
+            F.col("offset").cast("string").alias("commit"),
+            F.lit(cfg.extractor_format).alias("lang"),
+            content.alias("content"),
+            F.sha2(content, 256).alias("content_sha256"),
+        )
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if cfg.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    for k, v in cfg.extra.items():
+        reader = reader.option(k, v)
+    return reader.parquet(input_dir)
 
 
 def stream_validate(
@@ -184,12 +237,7 @@ def stream_validate(
         verdicts.unpersist()
         errors.unpersist()
 
-    reader = spark.readStream.schema(DOCS_SCHEMA)
-    if cfg.max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    for k, v in cfg.extra.items():
-        reader = reader.option(k, v)
-    stream = reader.parquet(input_dir)
+    stream = _source_stream(spark, input_dir, cfg)
 
     writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", ckpt_dir)
     if available_now:

@@ -85,3 +85,49 @@ def test_no_schema_is_configuration_error(spark, stream_input, tmp_path):
     status = stream_validate(spark, stream_input, out, StreamConfig())
     assert status["kind"] == "CONFIGURATION_ERROR"
     assert status["code"] == 3002
+
+
+def test_kafka_source_config_selection():
+    """stream block with server+topic selects the Kafka source path
+    (CometTransformations.scala:115-141); without it, file-stream."""
+    from rdfshape_api_spark.streaming.validate_stream import StreamConfig
+
+    cfg = StreamConfig.from_reference_json(
+        {
+            "validator": {"schema": {"content": "x", "engine": "shex"},
+                           "triggerMode": {"shape-map": "{FOCUS a ex:T}@ex:S"}},
+            "extractor": {"data": {"format": "Turtle"}},
+            "stream": {"server": "kafka://broker", "port": 9092,
+                        "topic": "rdf-docs", "groupId": "g1"},
+        }
+    )
+    assert cfg.uses_kafka()
+    assert cfg.extractor_format == "turtle"
+    nofk = StreamConfig.from_reference_json(
+        {"validator": {"schema": {"content": "x", "engine": "shex"},
+                        "triggerMode": {"shape-map": "m"}}}
+    )
+    assert not nofk.uses_kafka()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"),
+    reason="no Kafka broker configured (set SPARK_GRAFT_KAFKA_BOOTSTRAP host:port)",
+)
+def test_kafka_source_integration(spark, tmp_path):
+    """Real-broker integration: requires the spark-sql-kafka connector and
+    a topic with RDF document values."""
+    from rdfshape_api_spark.streaming.validate_stream import (
+        StreamConfig,
+        stream_validate,
+    )
+
+    host, port = os.environ["SPARK_GRAFT_KAFKA_BOOTSTRAP"].rsplit(":", 1)
+    cfg = StreamConfig(
+        shex_schema="PREFIX ex: <http://example.org/>\nex:S { ex:p . }",
+        shex_shapemap="{FOCUS a <http://example.org/T>}@<http://example.org/S>",
+        stream_info={"server": host, "port": int(port),
+                     "topic": os.environ.get("SPARK_GRAFT_KAFKA_TOPIC", "rdf-docs")},
+    )
+    status = stream_validate(spark, str(tmp_path / "in"), str(tmp_path / "out"), cfg)
+    assert status["code"] in (3000, 3003, 3005)
