@@ -521,6 +521,20 @@ def _q_sparql_knows_plus(spark, sf_dir):
     return sparql_select(_social_triples(spark, sf_dir), q)
 
 
+def _q_sparql_not_exists(spark, sf_dir):
+    """FILTER NOT EXISTS — anti-join semantics (readings with no label)."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT DISTINCT ?s WHERE {{
+      ?s a ex:Reading .
+      FILTER NOT EXISTS {{ ?s ex:label ?l . }}
+    }}
+    """
+    return sparql_select(_rdf_triples(spark, sf_dir), q)
+
+
 def _q_sparql_knows_star(spark, sf_dir):
     """ex:knows* — zero-length path semantics (every graph term reflexive)
     unioned with the + closure (SPARQL 1.1 §18.4 ZeroLengthPath)."""
@@ -570,6 +584,28 @@ ex:ConnectedShape a sh:NodeShape ;
   sh:targetClass ex:Person ;
   sh:property [ sh:path ( ex:knows ex:email ) ; sh:minCount 1 ] .
 """
+
+
+# sh:hasValue over the sensor model: the status value set must include
+# "OK" — compiled to a count-only (qualified) one-member value-set
+# constraint, so RUNNING/BROKEN siblings are never violations
+SHACL_HASVALUE_SENSOR = f"""\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{EX}> .
+
+ex:HasOkStatus a sh:NodeShape ;
+  sh:targetClass ex:Reading ;
+  sh:property [ sh:path ex:status ; sh:hasValue "OK" ] .
+"""
+
+
+def _q_shacl_hasvalue(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _rdf_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_HASVALUE_SENSOR)).select(
+        "doc_sha256", "node", "status"
+    )
 
 
 def _q_shacl_seqpath(spark, sf_dir):
@@ -725,7 +761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_sparql_path_alt": _q_sparql_path_alt,       # Q1 property path (alt)
         "social_sparql_knows_plus": _q_sparql_knows_plus,  # Q1 path + (fixpoint)
         "social_sparql_knows_star": _q_sparql_knows_star,  # Q1 path * (zero-length)
+        "rdf_sparql_not_exists": _q_sparql_not_exists,     # Q1 FILTER NOT EXISTS
         "rdf_shacl_qualified": _q_shacl_qualified,         # §2.7 sh:qualifiedValueShape
+        "rdf_shacl_hasvalue": _q_shacl_hasvalue,           # §2.7 sh:hasValue
         "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
@@ -905,6 +943,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT a, b FROM r
         """,
+        "rdf_sparql_not_exists": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_value FROM {_T})
+            SELECT DISTINCT subj AS s FROM m
+            WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              AND obj_value = '{ex}Reading'
+              AND subj NOT IN (SELECT subj FROM m WHERE pred = '{ex}label')
+        """,
         "social_sparql_knows_star": f"""
             -- knows* = zero-length (every graph term reflexive, literals
             -- included, SPARQL 1.1 §18.4) ∪ knows+
@@ -942,6 +987,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT f.doc_sha256, f.node,
                    CASE WHEN coalesce(q.nq, 0) >= 2
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f LEFT JOIN q ON q.doc_sha256 = f.doc_sha256 AND q.node = f.node
+        """,
+        "rdf_shacl_hasvalue": f"""
+            -- sh:hasValue "OK": conformant iff the status value set
+            -- includes the plain literal "OK" (value-set literal match:
+            -- no lang tag; string-family datatype)
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value,
+                     obj_lang, obj_datatype FROM {_T}
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{ex}Reading'
+            ), q AS (
+              SELECT doc_sha256, subj AS node, count(*) AS nq FROM m
+              WHERE pred = '{ex}status' AND obj_kind = 'literal'
+                AND obj_value = 'OK' AND obj_lang IS NULL
+                AND (obj_datatype IS NULL
+                     OR obj_datatype = 'http://www.w3.org/2001/XMLSchema#string'
+                     OR obj_datatype = 'http://www.w3.org/2001/XMLSchema#integer'
+                     OR obj_datatype = 'http://www.w3.org/2001/XMLSchema#decimal')
+              GROUP BY 1, 2
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN coalesce(q.nq, 0) >= 1
                         THEN 'conformant' ELSE 'nonconformant' END AS status
             FROM focus f LEFT JOIN q ON q.doc_sha256 = f.doc_sha256 AND q.node = f.node
         """,

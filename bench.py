@@ -46,15 +46,37 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "mm_features",
         "events_hourly",
     ]
+    # queries whose cost IS the shared extraction: the entry module caches
+    # the canonical triples across queries (contract-friendly), but a warm
+    # rep over that cache would time a cache read, not extraction — drop
+    # the cache before every rep so the measured wall is the real work
+    rebuild = {"rdf_extract_canonical"}
+
+    def _clear_entry_caches() -> None:
+        for cname in ("_triples_cache", "_social_cache", "_catalog_cache"):
+            cache = getattr(entrymod, cname, None)
+            if not cache:
+                continue
+            for df in cache.values():
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 — best-effort cache drop
+                    pass
+            cache.clear()
+
     timings, rows = {}, {}
     for name in headline:
         # warm-up once (JVM JIT, codegen compile, Python-worker spawn —
         # observed 3-5x first-run inflation), then min-of-2: the shared
         # host shows intermittent 2-3x contention windows, and min is the
         # steady-state estimator (same protocol as the --scaling path)
+        if name in rebuild:
+            _clear_entry_caches()
         qs[name](spark, sf_dir).count()
         walls, n = [], 0
         for _ in range(2):
+            if name in rebuild:
+                _clear_entry_caches()
             t0 = time.time()
             n = qs[name](spark, sf_dir).count()
             walls.append(time.time() - t0)

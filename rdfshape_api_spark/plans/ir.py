@@ -36,6 +36,15 @@ class TripleConstraint:
     min_length: int | None = None
     max_length: int | None = None
     ref_shape: str | None = None
+    # SHACL sh:class: every value must be a SHACL instance of this class
+    # (rdf:type + rdfs:subClassOf closure) — evaluated like a shape
+    # reference, with the instance set as the conformant side
+    class_iri: str | None = None
+    # SHACL sh:languageIn ( "en" "de" … ): literal language tag matches one
+    # of the basic language ranges (tag or tag-prefixed per BCP47)
+    language_in: list[str] | None = None
+    # SHACL sh:uniqueLang true: no two values share a language tag
+    unique_lang: bool = False
     extra: bool = False  # ShEx EXTRA on this predicate
     negated: bool = False  # ShEx NOT on this value expression
     # SHACL sh:path [ sh:inversePath p ]: the constraint ranges over the

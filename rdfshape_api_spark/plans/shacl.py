@@ -94,7 +94,7 @@ def _num(v: str) -> float:
 _VALUE_FIELDS = (
     "datatype", "node_kind", "value_set", "min_inclusive", "max_inclusive",
     "min_exclusive", "max_exclusive", "pattern", "min_length", "max_length",
-    "ref_shape",
+    "ref_shape", "class_iri", "language_in",
 )
 
 
@@ -125,6 +125,10 @@ def _read_value_constraints(g: "_Graph", node: str, tc: TripleConstraint) -> Non
         tc.max_length = int(v[1])
     if (v := g.obj1(node, SH + "node")) is not None:
         tc.ref_shape = v[1]
+    if (v := g.obj1(node, SH + "class")) is not None:
+        tc.class_iri = v[1]
+    if (v := g.obj1(node, SH + "languageIn")) is not None:
+        tc.language_in = [val for _, val, _, _ in g.rdf_list(v[1])]
 
 
 def _has_value_fields(tc: TripleConstraint) -> bool:
@@ -219,6 +223,25 @@ def parse_shacl(text: str) -> CompiledSchema:
             if (v := g.obj1(pshape, SH + "maxCount")) is not None:
                 tc.max_count = int(v[1])
             _read_value_constraints(g, pshape, tc)
+            if (v := g.obj1(pshape, SH + "uniqueLang")) is not None and v[1] == "true":
+                tc.unique_lang = True
+
+            # sh:hasValue: the value set must INCLUDE the term — count-only
+            # semantics over a one-member value set (other values are never
+            # violations), i.e. a qualified constraint with min 1
+            if (hv := g.obj1(pshape, SH + "hasValue")) is not None:
+                hk, hval = hv[0], hv[1]
+                shape.constraints.append(
+                    TripleConstraint(
+                        pred=tc.pred,
+                        min_count=1,
+                        max_count=None,
+                        inverse=inverse,
+                        path=past,
+                        qualified=True,
+                        value_set=[("literal" if hk == "literal" else "iri", hval)],
+                    )
+                )
 
             # sh:qualifiedValueShape [ … ] + sh:qualifiedMin/MaxCount:
             # a SEPARATE count-only constraint on the same path — values
@@ -292,8 +315,8 @@ def parse_shacl(text: str) -> CompiledSchema:
                     )
                 _read_value_constraints(g, v[1], tc)
                 tc.negated = True
-            # a pshape carrying ONLY a qualified constraint leaves the
-            # plain tc trivial ({0,*}, no value components) — skip the
+            # a pshape carrying ONLY qualified/hasValue constraints leaves
+            # the plain tc trivial ({0,*}, no value components) — skip the
             # useless aggregate
             trivial = (
                 tc.min_count == 0
@@ -301,8 +324,9 @@ def parse_shacl(text: str) -> CompiledSchema:
                 and not _has_value_fields(tc)
                 and not tc.disjuncts
                 and not tc.negated
+                and not tc.unique_lang
             )
-            if not (trivial and qtc is not None):
+            if not (trivial and (qtc is not None or hv is not None)):
                 shape.constraints.append(tc)
             if qtc is not None:
                 shape.constraints.append(qtc)

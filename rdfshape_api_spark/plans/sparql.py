@@ -114,6 +114,9 @@ class SparqlQuery:
     values_blocks: list[tuple[list[str], list[list[str | None]]]] = field(
         default_factory=list
     )
+    # FILTER (NOT) EXISTS { … }: (negated, group) — semi/anti joins on the
+    # shared variables
+    exists_groups: list[tuple[bool, "_Group"]] = field(default_factory=list)
 
 
 class SparqlParseError(ValueError):
@@ -278,6 +281,17 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQue
             return
         if t.upper() == "FILTER":
             p.next()
+            nxt = p.peek()
+            if nxt is not None and nxt.upper() in ("EXISTS", "NOT"):
+                # FILTER [NOT] EXISTS { … } — pattern-valued filter
+                neg = nxt.upper() == "NOT"
+                p.next()
+                if neg:
+                    p.expect("EXISTS")
+                eg = _Group()
+                _parse_group(p, prefixes, eg, q)
+                q.exists_groups.append((neg, eg))
+                continue
             # group-scoped: an OPTIONAL's filter applies to its branch
             # BEFORE the left join (null-binding rows survive)
             grp.filters.append(_parse_filter_tokens(p, prefixes))
@@ -894,6 +908,26 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         acc = acc.join(opt, on=shared, how="left") if shared else acc.crossJoin(opt)
     for toks, alias in q.binds:
         acc = acc.withColumn(alias, _bind_expr(toks))
+    for neg, eg in q.exists_groups:
+        # FILTER [NOT] EXISTS { … } → semi/anti join on the shared vars
+        # (SPARQL substitution semantics for BOUND correlated variables;
+        # rows with a null shared binding never match a semi join, which
+        # matches EXISTS over solutions where the variable is bound)
+        sub = _join_patterns(triples, eg.patterns)
+        for ftoks in eg.filters:
+            sub = sub.filter(_filter_expr(ftoks))
+        shared = sorted(set(acc.columns) & set(sub.columns))
+        if shared:
+            acc = acc.join(
+                sub.select(*shared).distinct(),
+                on=shared,
+                how="left_anti" if neg else "left_semi",
+            )
+        else:
+            # uncorrelated EXISTS: a global boolean gate
+            nonempty = not sub.limit(1).isEmpty()
+            if neg == nonempty:
+                acc = acc.limit(0)
     for ftoks in q.filters:
         acc = acc.filter(_filter_expr(ftoks))
     if q.aggregates:

@@ -81,18 +81,26 @@ def _value_ok(
     tc: TripleConstraint,
     ref_ok_col: str | None,
     disjunct_ref_cols: dict[int, str] | None = None,
+    class_ok_col: str | None = None,
+    disjunct_class_cols: dict[int, str] | None = None,
 ) -> Column:
     """The compiled value expression: conjunction of the constraint's
     primitives (OR-of-disjuncts / NOT when present), all pure Column
-    logic.  ``disjunct_ref_cols`` maps disjunct index → the boolean column
-    carrying that member's ``sh:node`` conformance (sh:node inside sh:or)."""
+    logic.  ``disjunct_ref_cols`` / ``disjunct_class_cols`` map disjunct
+    index → the boolean column carrying that member's ``sh:node`` /
+    ``sh:class`` conformance (nested inside sh:or)."""
     if tc.disjuncts:
         member = F.lit(False)
         for j, d in enumerate(tc.disjuncts):
             # coalesce: SQL three-valued logic would poison the OR with
             # nulls from e.g. `obj_datatype == X` on a null datatype
             member = member | F.coalesce(
-                _value_ok(d, (disjunct_ref_cols or {}).get(j)), F.lit(False)
+                _value_ok(
+                    d,
+                    (disjunct_ref_cols or {}).get(j),
+                    class_ok_col=(disjunct_class_cols or {}).get(j),
+                ),
+                F.lit(False),
             )
         return ~member if tc.negated else member
     ok = F.lit(True)
@@ -136,8 +144,18 @@ def _value_ok(
         ok = ok & (F.length("obj_value") >= tc.min_length)
     if tc.max_length is not None:
         ok = ok & (F.length("obj_value") <= tc.max_length)
+    if tc.language_in is not None:
+        lang = F.col("obj_lang")
+        lmatch = F.lit(False)
+        for tag in tc.language_in:
+            t = tag.lower()
+            # basic language range: exact tag or extended subtag (BCP47)
+            lmatch = lmatch | (lang == t) | lang.startswith(t + "-")
+        ok = ok & (F.col("obj_kind") == KIND_LITERAL) & F.coalesce(lmatch, F.lit(False))
     if tc.ref_shape is not None:
         ok = ok & F.col(ref_ok_col)
+    if tc.class_iri is not None:
+        ok = ok & F.col(class_ok_col)
     # NOT under three-valued logic: null (e.g. datatype mismatch on a null
     # column) must negate to TRUE, so ground to false first
     return ~F.coalesce(ok, F.lit(False)) if tc.negated else ok
@@ -258,9 +276,9 @@ def evaluate_shape(
     # sets onto the value rows (SURVEY §2.5 J3).  Works on any value-row
     # neighbourhood — forward, inverse, or path — since all expose
     # (doc_sha256, obj_value).
-    def _attach_refs(rows: DataFrame, reqs: list[tuple[str, str]]) -> DataFrame:
-        for col, ref in reqs:
-            conf = conformant_refs[ref].select(
+    def _attach_refs(rows: DataFrame, reqs: list[tuple[str, DataFrame]]) -> DataFrame:
+        for col, conf_df in reqs:
+            conf = conf_df.select(
                 F.col("doc_sha256").alias("_r_doc"), F.col("node").alias("_r_node")
             )
             rows = (
@@ -277,22 +295,50 @@ def evaluate_shape(
             )
         return rows
 
-    def _ref_reqs(i: int, tc: TripleConstraint) -> list[tuple[str, str]]:
-        """(column, ref_shape) requirements for constraint i, filling
-        ref_cols / disj_ref_cols as a side effect."""
+    # sh:class: per-document SHACL instance sets (rdf:type through the
+    # rdfs:subClassOf closure) — cached per class, evaluated exactly like a
+    # shape reference with the instance set as the conformant side
+    class_inst_cache: dict[str, DataFrame] = {}
+
+    def _class_inst(class_iri: str) -> DataFrame:
+        if class_iri not in class_inst_cache:
+            from rdfshape_api_spark.model import RDF_TYPE
+            from rdfshape_api_spark.operators.algebra import subclass_closure
+
+            classes = subclass_closure(full, class_iri)
+            class_inst_cache[class_iri] = (
+                full.filter(
+                    (F.col("pred") == RDF_TYPE) & F.col("obj_value").isin(*classes)
+                )
+                .select("doc_sha256", F.col("subj").alias("node"))
+                .distinct()
+            )
+        return class_inst_cache[class_iri]
+
+    def _ref_reqs(i: int, tc: TripleConstraint) -> list[tuple[str, DataFrame]]:
+        """(column, conformant DF) requirements for constraint i, filling
+        ref_cols / class_cols / disjunct variants as a side effect."""
         reqs = []
         if tc.ref_shape is not None:
             ref_cols[i] = f"_ref_ok_{i}"
-            reqs.append((ref_cols[i], tc.ref_shape))
+            reqs.append((ref_cols[i], conformant_refs[tc.ref_shape]))
+        if tc.class_iri is not None:
+            class_cols[i] = f"_cls_ok_{i}"
+            reqs.append((class_cols[i], _class_inst(tc.class_iri)))
         for j, d in enumerate(tc.disjuncts or []):
             if d.ref_shape is not None:
                 disj_ref_cols.setdefault(i, {})[j] = f"_ref_ok_{i}_d{j}"
-                reqs.append((disj_ref_cols[i][j], d.ref_shape))
+                reqs.append((disj_ref_cols[i][j], conformant_refs[d.ref_shape]))
+            if d.class_iri is not None:
+                disj_class_cols.setdefault(i, {})[j] = f"_cls_ok_{i}_d{j}"
+                reqs.append((disj_class_cols[i][j], _class_inst(d.class_iri)))
         return reqs
 
     ref_cols: dict[int, str] = {}
+    class_cols: dict[int, str] = {}
     disj_ref_cols: dict[int, dict[int, str]] = {}
-    fwd_reqs: list[tuple[str, str]] = []
+    disj_class_cols: dict[int, dict[int, str]] = {}
+    fwd_reqs: list[tuple[str, DataFrame]] = []
     for i, tc in enumerate(flat_constraints):
         if not tc.inverse and tc.path is None:
             fwd_reqs.extend(_ref_reqs(i, tc))
@@ -340,11 +386,29 @@ def evaluate_shape(
         aggs.append(
             F.sum(
                 F.when(
-                    on_pred & _value_ok(tc, ref_cols.get(i), disj_ref_cols.get(i)), 1
+                    on_pred
+                    & _value_ok(
+                        tc,
+                        ref_cols.get(i),
+                        disj_ref_cols.get(i),
+                        class_cols.get(i),
+                        disj_class_cols.get(i),
+                    ),
+                    1,
                 ).otherwise(0)
             ).alias(f"m{i}")
         )
         aggs.append(F.sum(F.when(on_pred, 1).otherwise(0)).alias(f"t{i}"))
+        if tc.unique_lang:
+            # sh:uniqueLang: no two values share a language tag — distinct
+            # tag count must equal the tagged-value count
+            lang_on = on_pred & F.col("obj_lang").isNotNull()
+            aggs.append(
+                F.count_distinct(
+                    F.when(lang_on, F.col("obj_lang"))
+                ).alias(f"u{i}")
+            )
+            aggs.append(F.sum(F.when(lang_on, 1).otherwise(0)).alias(f"ul{i}"))
     for key, idxs in sorted(rep_groups.items()):
         gi = rep_ids[key]
         pred = key[1]
@@ -352,7 +416,13 @@ def evaluate_shape(
         profile = F.lit(0)
         for pos, i in enumerate(idxs):
             ok = F.coalesce(
-                _value_ok(flat_constraints[i], ref_cols.get(i), disj_ref_cols.get(i)),
+                _value_ok(
+                    flat_constraints[i],
+                    ref_cols.get(i),
+                    disj_ref_cols.get(i),
+                    class_cols.get(i),
+                    disj_class_cols.get(i),
+                ),
                 F.lit(False),
             )
             profile = profile + F.when(ok, F.lit(1 << pos)).otherwise(F.lit(0))
@@ -426,7 +496,15 @@ def evaluate_shape(
             inv_aggs.append(
                 F.sum(
                     F.when(
-                        on_pred & _value_ok(tc, ref_cols.get(i), disj_ref_cols.get(i)), 1
+                        on_pred
+                        & _value_ok(
+                            tc,
+                            ref_cols.get(i),
+                            disj_ref_cols.get(i),
+                            class_cols.get(i),
+                            disj_class_cols.get(i),
+                        ),
+                        1,
                     ).otherwise(0)
                 ).alias(f"m{i}")
             )
@@ -446,7 +524,16 @@ def evaluate_shape(
         rows = _attach_refs(rows, _ref_reqs(i, tc))
         p_grouped = rows.groupBy("doc_sha256", "node").agg(
             F.sum(
-                F.when(_value_ok(tc, ref_cols.get(i), disj_ref_cols.get(i)), 1).otherwise(0)
+                F.when(
+                    _value_ok(
+                        tc,
+                        ref_cols.get(i),
+                        disj_ref_cols.get(i),
+                        class_cols.get(i),
+                        disj_class_cols.get(i),
+                    ),
+                    1,
+                ).otherwise(0)
             ).alias(f"m{i}"),
             F.count("*").alias(f"t{i}"),
         )
@@ -467,6 +554,11 @@ def evaluate_shape(
         # values is checked — non-satisfying values are not violations
         if not tc.extra and not tc.qualified:
             c_ok = c_ok & (m == t)
+        if tc.unique_lang:
+            c_ok = c_ok & (
+                F.coalesce(F.col(f"u{i}"), F.lit(0))
+                == F.coalesce(F.col(f"ul{i}"), F.lit(0))
+            )
         alt_ok[alt_of[i]] = alt_ok[alt_of[i]] & c_ok
         card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
         kind = "qualified constraint" if tc.qualified else "constraint"
@@ -574,9 +666,11 @@ def validate_batch(
             or sh.alternatives is not None
             or any(
                 tc.ref_shape
+                or tc.class_iri
                 or tc.inverse
+                or tc.unique_lang
                 or tc.path is not None
-                or any(d.ref_shape for d in tc.disjuncts or [])
+                or any(d.ref_shape or d.class_iri for d in tc.disjuncts or [])
                 for tc in sh.constraints
             )
             # repeated-property EachOf needs the partition-matching path

@@ -322,3 +322,115 @@ def test_disjoint_rejected(spark):
                             sh:qualifiedMinCount 1 ;
                             sh:qualifiedValueShapesDisjoint true ] .
         """)
+
+
+RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def test_sh_class(spark):
+    # every ex:pet value must be a SHACL instance of ex:Animal (subclass
+    # closure: ex:Dog ⊑ ex:Animal)
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:property [ sh:path ex:pet ; sh:class ex:Animal ] .
+    """)
+    rows = [
+        ("d1", EX + "p1", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("d1", EX + "p1", EX + "pet", "iri", EX + "rex", None, None),
+        ("d1", EX + "rex", RDF_TYPE, "iri", EX + "Dog", None, None),
+        ("d1", EX + "Dog", RDFS_SUBCLASSOF, "iri", EX + "Animal", None, None),
+        ("d1", EX + "p2", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("d1", EX + "p2", EX + "pet", "iri", EX + "rock1", None, None),
+        ("d1", EX + "rock1", RDF_TYPE, "iri", EX + "Mineral", None, None),
+    ]
+    tri = spark.createDataFrame(rows, COLS)
+    assert _verdicts(validate(tri, schema)) == {
+        "p1": "conformant", "p2": "nonconformant"
+    }
+
+
+def test_sh_class_inside_or(spark):
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+          sh:property [ sh:path ex:pet ;
+                        sh:or ( [ sh:class ex:Animal ] [ sh:nodeKind sh:Literal ] ) ] .
+    """)
+    rows = [
+        ("d1", EX + "p1", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("d1", EX + "p1", EX + "pet", "literal", "imaginary", None, None),
+        ("d1", EX + "p2", RDF_TYPE, "iri", EX + "Person", None, None),
+        ("d1", EX + "p2", EX + "pet", "iri", EX + "thing", None, None),
+    ]
+    tri = spark.createDataFrame(rows, COLS)
+    assert _verdicts(validate(tri, schema)) == {
+        "p1": "conformant", "p2": "nonconformant"
+    }
+
+
+def test_sh_has_value(spark):
+    # the value set must INCLUDE ex:admin — other values never violate
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Acl ;
+          sh:property [ sh:path ex:grants ; sh:hasValue ex:admin ] .
+    """)
+    rows = [
+        ("d1", EX + "a1", RDF_TYPE, "iri", EX + "Acl", None, None),
+        ("d1", EX + "a1", EX + "grants", "iri", EX + "admin", None, None),
+        ("d1", EX + "a1", EX + "grants", "iri", EX + "guest", None, None),
+        ("d1", EX + "a2", RDF_TYPE, "iri", EX + "Acl", None, None),
+        ("d1", EX + "a2", EX + "grants", "iri", EX + "guest", None, None),
+    ]
+    tri = spark.createDataFrame(rows, COLS)
+    assert _verdicts(validate(tri, schema)) == {
+        "a1": "conformant", "a2": "nonconformant"
+    }
+
+
+def test_sh_language_in(spark):
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Doc ;
+          sh:property [ sh:path ex:label ; sh:languageIn ( "en" "de" ) ] .
+    """)
+    cols = COLS
+    rows = [
+        ("d1", EX + "doc_ok", RDF_TYPE, "iri", EX + "Doc", None, None),
+        ("d1", EX + "doc_bad", RDF_TYPE, "iri", EX + "Doc", None, None),
+    ]
+    tri = spark.createDataFrame(rows, cols).unionByName(
+        spark.createDataFrame(
+            [
+                ("d1", EX + "doc_ok", EX + "label", "literal", "hello", "en", None),
+                ("d1", EX + "doc_ok", EX + "label", "literal", "servus", "de-AT".lower(), None),
+                ("d1", EX + "doc_bad", EX + "label", "literal", "bonjour", "fr", None),
+            ],
+            cols,
+        )
+    )
+    assert _verdicts(validate(tri, schema)) == {
+        "doc_ok": "conformant", "doc_bad": "nonconformant"
+    }
+
+
+def test_sh_unique_lang(spark):
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Doc ;
+          sh:property [ sh:path ex:label ; sh:uniqueLang true ] .
+    """)
+    rows = [
+        ("d1", EX + "doc_ok", RDF_TYPE, "iri", EX + "Doc", None, None),
+        ("d1", EX + "doc_dup", RDF_TYPE, "iri", EX + "Doc", None, None),
+    ]
+    tri = spark.createDataFrame(rows, COLS).unionByName(
+        spark.createDataFrame(
+            [
+                ("d1", EX + "doc_ok", EX + "label", "literal", "hi", "en", None),
+                ("d1", EX + "doc_ok", EX + "label", "literal", "hallo", "de", None),
+                ("d1", EX + "doc_dup", EX + "label", "literal", "hi", "en", None),
+                ("d1", EX + "doc_dup", EX + "label", "literal", "hey", "en", None),
+            ],
+            COLS,
+        )
+    )
+    assert _verdicts(validate(tri, schema)) == {
+        "doc_ok": "conformant", "doc_dup": "nonconformant"
+    }

@@ -464,3 +464,72 @@ def test_values_joins_unbound_solution_var(spark):
     # branch 1: a bound OK passes the filter; branch 2: ?st unbound for b,
     # compatible with VALUES → coalesced to "OK"
     assert got == {("a", "OK"), ("b", "OK")}
+
+
+def _mk_tri(spark, rows):
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    return spark.createDataFrame(rows, cols)
+
+
+def test_filter_exists(spark):
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "a", EX + "email", "literal", "a@x", None, None),
+        (EX + "b", EX + "name", "literal", "B", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s WHERE {
+            ?s ex:name ?n .
+            FILTER EXISTS { ?s ex:email ?e . }
+        }""",
+    )
+    assert {r["s"] for r in out.collect()} == {EX + "a"}
+
+
+def test_filter_not_exists(spark):
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "a", EX + "email", "literal", "a@x", None, None),
+        (EX + "b", EX + "name", "literal", "B", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s WHERE {
+            ?s ex:name ?n .
+            FILTER NOT EXISTS { ?s ex:email ?e . }
+        }""",
+    )
+    assert {r["s"] for r in out.collect()} == {EX + "b"}
+
+
+def test_filter_exists_with_inner_filter(spark):
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "a", EX + "score", "literal", "9", None, None),
+        (EX + "b", EX + "name", "literal", "B", None, None),
+        (EX + "b", EX + "score", "literal", "2", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s WHERE {
+            ?s ex:name ?n .
+            FILTER EXISTS { ?s ex:score ?v . FILTER (?v > 5) }
+        }""",
+    )
+    assert {r["s"] for r in out.collect()} == {EX + "a"}
+
+
+def test_uncorrelated_not_exists_gates_globally(spark):
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "x", EX + "poison", "literal", "1", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s WHERE {
+            ?s ex:name ?n .
+            FILTER NOT EXISTS { ?z ex:poison ?p . }
+        }""",
+    )
+    assert out.count() == 0
