@@ -535,6 +535,17 @@ def _q_sparql_not_exists(spark, sf_dir):
     return sparql_select(_rdf_triples(spark, sf_dir), q)
 
 
+def _q_sparql_construct(spark, sf_dir):
+    """CONSTRUCT: template instantiation into a triple set."""
+    from rdfshape_api_spark.plans.sparql import sparql_construct
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    CONSTRUCT {{ ?s ex:hasState ?st . }} WHERE {{ ?s ex:status ?st . }}
+    """
+    return sparql_construct(_rdf_triples(spark, sf_dir), q)
+
+
 def _q_sparql_knows_star(spark, sf_dir):
     """ex:knows* — zero-length path semantics (every graph term reflexive)
     unioned with the + closure (SPARQL 1.1 §18.4 ZeroLengthPath)."""
@@ -762,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_sparql_knows_plus": _q_sparql_knows_plus,  # Q1 path + (fixpoint)
         "social_sparql_knows_star": _q_sparql_knows_star,  # Q1 path * (zero-length)
         "rdf_sparql_not_exists": _q_sparql_not_exists,     # Q1 FILTER NOT EXISTS
+        "rdf_sparql_construct": _q_sparql_construct,       # Q1 CONSTRUCT form
         "rdf_shacl_qualified": _q_shacl_qualified,         # §2.7 sh:qualifiedValueShape
         "rdf_shacl_hasvalue": _q_shacl_hasvalue,           # §2.7 sh:hasValue
         "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
@@ -942,6 +954,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, m.obj_value FROM r JOIN m ON m.subj = r.b
             )
             SELECT DISTINCT a, b FROM r
+        """,
+        "rdf_sparql_construct": f"""
+            -- CONSTRUCT {{ ?s ex:hasState ?st }} over the merged model:
+            -- one row per distinct (s, st); status values are plain
+            -- literals (the engine's term-kind heuristic agrees)
+            WITH m AS (SELECT DISTINCT subj, pred, obj_value FROM {_T})
+            SELECT DISTINCT subj, '{ex}hasState' AS pred,
+                   'literal' AS obj_kind, obj_value,
+                   NULL AS obj_lang, NULL AS obj_datatype
+            FROM m WHERE pred = '{ex}status'
         """,
         "rdf_sparql_not_exists": f"""
             WITH m AS (SELECT DISTINCT subj, pred, obj_value FROM {_T})

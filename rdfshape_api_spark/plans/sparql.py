@@ -117,6 +117,10 @@ class SparqlQuery:
     # FILTER (NOT) EXISTS { … }: (negated, group) — semi/anti joins on the
     # shared variables
     exists_groups: list[tuple[bool, "_Group"]] = field(default_factory=list)
+    # query form: 'select' | 'construct' | 'ask'
+    query_form: str = "select"
+    # CONSTRUCT template triples (vars and constants)
+    template: list[_Pattern] = field(default_factory=list)
 
 
 class SparqlParseError(ValueError):
@@ -180,14 +184,43 @@ def parse_sparql(text: str) -> SparqlQuery:
         iri = p.next()
         prefixes[pname[:-1]] = iri[1:-1]
 
-    p.expect("SELECT")
+    form = p.next().upper()
+    if form not in ("SELECT", "CONSTRUCT", "ASK"):
+        raise SparqlParseError(f"unsupported query form {form!r}")
     distinct = False
-    if p.peek() and p.peek().upper() == "DISTINCT":
-        distinct = True
-        p.next()
+    template: list[_Pattern] = []
     select_vars: list[str] = []
     aggregates: list[tuple[str, str, bool, str]] = []
+    if form == "CONSTRUCT":
+        p.expect("{")
+        while p.peek() != "}":
+            _parse_triples_block(p, prefixes, template)
+        p.expect("}")
+    if form == "SELECT" and p.peek() and p.peek().upper() == "DISTINCT":
+        distinct = True
+        p.next()
     _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+    if form != "SELECT":
+        # skip the SELECT-projection loop; WHERE group follows (the WHERE
+        # keyword itself is optional for ASK per the grammar)
+        if p.peek() and p.peek().upper() == "WHERE":
+            p.next()
+        q = SparqlQuery(
+            select_vars=[], distinct=False, patterns=[],
+            query_form=form.lower(), template=template,
+        )
+        top = _Group()
+        _parse_group(p, prefixes, top, q)
+        q.patterns = top.patterns
+        q.filters = top.filters
+        # variables the solution must carry: every template var
+        seen: list[str] = []
+        for pat in q.patterns + [x for grp in q.optionals for x in grp.patterns]:
+            for t in (pat.subj, pat.pred, pat.obj):
+                if t.startswith("?") and t[1:] not in seen:
+                    seen.append(t[1:])
+        q.select_vars = seen
+        return q
     while p.peek() and (p.peek().startswith("?") or p.peek() in ("*", "(")):
         t = p.next()
         if t == "(":
@@ -820,11 +853,7 @@ def _join_patterns(df: DataFrame, pats: list[_Pattern]) -> DataFrame:
     return acc.drop("__exists") if "__exists" in acc.columns else acc
 
 
-def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
-    """Execute a SPARQL-SELECT subset query over the triples DataFrame.
-    Returns one column per selected variable (string-typed bindings, the
-    JSON-bindings contract of ``DataQuery.scala:51-63``)."""
-    q = parse_sparql(query_text)
+def _merged_model(triples: DataFrame) -> DataFrame:
     if "doc_sha256" in triples.columns:
         # per-doc triples → merged-model SET (MergedModels.scala:182-191);
         # pre-merged views (no doc column) skip the extra shuffle.  BGP
@@ -833,6 +862,12 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         triples = triples.select(
             "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
         ).distinct()
+    return triples
+
+
+def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
+    """The WHERE-clause solution multiset: BGP joins, UNION, VALUES,
+    OPTIONAL, BIND, EXISTS, filters — shared by SELECT/CONSTRUCT/ASK."""
     acc = _join_patterns(triples, q.patterns) if q.patterns else None
     for blk in q.union_groups:
         branch_dfs = []
@@ -930,6 +965,15 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
                 acc = acc.limit(0)
     for ftoks in q.filters:
         acc = acc.filter(_filter_expr(ftoks))
+    return acc
+
+
+def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
+    """Execute a SPARQL-SELECT subset query over the triples DataFrame.
+    Returns one column per selected variable (string-typed bindings, the
+    JSON-bindings contract of ``DataQuery.scala:51-63``)."""
+    q = parse_sparql(query_text)
+    acc = _solutions(_merged_model(triples), q)
     if q.aggregates:
         aggs = []
         for func, arg, agg_distinct, alias in q.aggregates:
@@ -964,6 +1008,77 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+def _term_kind(col: F.Column) -> F.Column:
+    """Graph-term kind of a string binding (CONSTRUCT subset heuristic —
+    the solution table carries string values only): bnode label / skolem
+    IRI → bnode, scheme-shaped → iri, else literal.  A literal whose
+    lexical form is itself scheme-shaped ("http://…" as TEXT) is
+    misclassified as an IRI; acceptable for the subset and documented."""
+    from rdfshape_api_spark.model import SKOLEM_PREFIX
+
+    return (
+        F.when(col.startswith("_:") | col.startswith(SKOLEM_PREFIX), F.lit("bnode"))
+        .when(col.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit("iri"))
+        .otherwise(F.lit("literal"))
+    )
+
+
+def sparql_construct(triples: DataFrame, query_text: str) -> DataFrame:
+    """SPARQL CONSTRUCT: instantiate the template once per solution and
+    union into a triple SET (a graph).  Returns the engine's flat triple
+    schema ``(subj, pred, obj_kind, obj_value, obj_lang, obj_datatype)``
+    — ready for :mod:`operators.serialize` or a store write.  Reference:
+    ARQ behind ``DataQuery.scala:51-63`` executes any query form."""
+    q = parse_sparql(query_text)
+    if q.query_form != "construct":
+        raise SparqlParseError("sparql_construct requires a CONSTRUCT query")
+    sols = _solutions(_merged_model(triples), q)
+    outs = []
+    for pat in q.template:
+        subj = F.col(pat.subj[1:]) if pat.subj.startswith("?") else F.lit(pat.subj)
+        pred = F.col(pat.pred[1:]) if pat.pred.startswith("?") else F.lit(pat.pred)
+        if pat.obj.startswith("?"):
+            oc = F.col(pat.obj[1:])
+            okind = _term_kind(oc)
+            olang = F.lit(None).cast("string")
+            odt = F.lit(None).cast("string")
+        else:
+            oc = F.lit(pat.obj)
+            okind = F.lit("literal" if pat.obj_is_literal else "iri")
+            olang = F.lit(pat.obj_lang).cast("string")
+            odt = F.lit(pat.obj_datatype).cast("string")
+        rows = sols.select(
+            subj.alias("subj"),
+            pred.alias("pred"),
+            okind.alias("obj_kind"),
+            oc.alias("obj_value"),
+            olang.alias("obj_lang"),
+            odt.alias("obj_datatype"),
+        ).filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj_value").isNotNull()
+        )
+        if pat.subj.startswith("?"):
+            # CONSTRUCT drops invalid triples: a literal can never be a subject
+            rows = rows.filter(_term_kind(F.col("subj")) != "literal")
+        outs.append(rows)
+    if not outs:
+        raise SparqlParseError("empty CONSTRUCT template")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.distinct()
+
+
+def sparql_ask(triples: DataFrame, query_text: str) -> bool:
+    """SPARQL ASK: does the WHERE clause have at least one solution?"""
+    q = parse_sparql(query_text)
+    if q.query_form != "ask":
+        raise SparqlParseError("sparql_ask requires an ASK query")
+    return not _solutions(_merged_model(triples), q).limit(1).isEmpty()
 
 
 def sparql_select_json(triples: DataFrame, query_text: str, limit: int = 10_000) -> dict:

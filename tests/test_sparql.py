@@ -533,3 +533,68 @@ def test_uncorrelated_not_exists_gates_globally(spark):
         }""",
     )
     assert out.count() == 0
+
+
+def test_construct_basic(spark):
+    from rdfshape_api_spark.plans.sparql import sparql_construct
+
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "status", "literal", "OK", None, None),
+        (EX + "b", EX + "status", "literal", "BROKEN", None, None),
+    ])
+    out = sparql_construct(
+        tri,
+        PREFIX + """CONSTRUCT { ?s ex:hasState ?st . }
+                    WHERE { ?s ex:status ?st . }""",
+    )
+    got = {(r["subj"], r["pred"], r["obj_kind"], r["obj_value"]) for r in out.collect()}
+    assert got == {
+        (EX + "a", EX + "hasState", "literal", "OK"),
+        (EX + "b", EX + "hasState", "literal", "BROKEN"),
+    }
+
+
+def test_construct_multi_template_and_constants(spark):
+    from rdfshape_api_spark.plans.sparql import sparql_construct
+
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "knows", "iri", EX + "b", None, None),
+    ])
+    out = sparql_construct(
+        tri,
+        PREFIX + """CONSTRUCT { ?x a ex:Node . ?y a ex:Node . ?x ex:linked ?y . }
+                    WHERE { ?x ex:knows ?y . }""",
+    )
+    got = {(r["subj"], r["pred"], r["obj_kind"], r["obj_value"]) for r in out.collect()}
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert got == {
+        (EX + "a", RT, "iri", EX + "Node"),
+        (EX + "b", RT, "iri", EX + "Node"),
+        (EX + "a", EX + "linked", "iri", EX + "b"),
+    }
+
+
+def test_construct_is_a_set(spark):
+    from rdfshape_api_spark.plans.sparql import sparql_construct
+
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "p", "literal", "1", None, None),
+        (EX + "a", EX + "q", "literal", "2", None, None),
+    ])
+    # both solutions instantiate the same constant triple → one row
+    out = sparql_construct(
+        tri,
+        PREFIX + f"""CONSTRUCT {{ <{EX}x> ex:seen "yes" . }}
+                    WHERE {{ <{EX}a> ?p ?v . }}""",
+    )
+    assert out.count() == 1
+
+
+def test_ask(spark):
+    from rdfshape_api_spark.plans.sparql import sparql_ask
+
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "status", "literal", "OK", None, None),
+    ])
+    assert sparql_ask(tri, PREFIX + 'ASK { ?s ex:status "OK" . }') is True
+    assert sparql_ask(tri, PREFIX + 'ASK WHERE { ?s ex:status "NOPE" . }') is False
