@@ -546,6 +546,46 @@ def _q_sparql_construct(spark, sf_dir):
     return sparql_construct(_rdf_triples(spark, sf_dir), q)
 
 
+def _q_sparql_minus(spark, sf_dir):
+    """MINUS — SPARQL set difference (readings minus the broken ones)."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT DISTINCT ?s WHERE {{
+      ?s a ex:Reading .
+      MINUS {{ ?s ex:status "BROKEN" . }}
+    }}
+    """
+    return sparql_select(_rdf_triples(spark, sf_dir), q)
+
+
+def _q_sparql_group_concat(spark, sf_dir):
+    """GROUP_CONCAT + SAMPLE aggregates (deterministic: sorted concat,
+    min-valued sample)."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT ?st (GROUP_CONCAT(DISTINCT ?dt ; SEPARATOR=",") AS ?types)
+               (SAMPLE(?s) AS ?one)
+    WHERE {{ ?s ex:status ?st . ?s a ?dt . }}
+    GROUP BY ?st
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
+def _q_sparql_describe(spark, sf_dir):
+    """DESCRIBE ?s — one-hop outgoing description of matched resources."""
+    from rdfshape_api_spark.plans.sparql import sparql_describe
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    DESCRIBE ?s WHERE {{ ?s ex:status "BROKEN" . }}
+    """
+    return sparql_describe(_rdf_triples(spark, sf_dir), q)
+
+
 def _q_sparql_knows_star(spark, sf_dir):
     """ex:knows* — zero-length path semantics (every graph term reflexive)
     unioned with the + closure (SPARQL 1.1 §18.4 ZeroLengthPath)."""
@@ -774,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_sparql_knows_star": _q_sparql_knows_star,  # Q1 path * (zero-length)
         "rdf_sparql_not_exists": _q_sparql_not_exists,     # Q1 FILTER NOT EXISTS
         "rdf_sparql_construct": _q_sparql_construct,       # Q1 CONSTRUCT form
+        "rdf_sparql_minus": _q_sparql_minus,               # Q1 MINUS
+        "rdf_sparql_group_concat": _q_sparql_group_concat,  # Q1 GROUP_CONCAT/SAMPLE
+        "rdf_sparql_describe": _q_sparql_describe,         # Q1 DESCRIBE form
         "rdf_shacl_qualified": _q_shacl_qualified,         # §2.7 sh:qualifiedValueShape
         "rdf_shacl_hasvalue": _q_shacl_hasvalue,           # §2.7 sh:hasValue
         "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
@@ -971,6 +1014,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
               AND obj_value = '{ex}Reading'
               AND subj NOT IN (SELECT subj FROM m WHERE pred = '{ex}label')
+        """,
+        "rdf_sparql_minus": f"""
+            -- MINUS with a shared always-bound ?s = plain anti-join
+            WITH m AS (SELECT DISTINCT subj, pred, obj_value FROM {_T})
+            SELECT DISTINCT subj AS s FROM m
+            WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              AND obj_value = '{ex}Reading'
+              AND subj NOT IN (
+                SELECT subj FROM m
+                WHERE pred = '{ex}status' AND obj_value = 'BROKEN')
+        """,
+        "rdf_sparql_group_concat": f"""
+            -- engine sorts concat elements lexically; SAMPLE = min()
+            WITH m AS (SELECT DISTINCT subj, pred, obj_value FROM {_T}),
+            st AS (SELECT subj, obj_value AS st FROM m WHERE pred = '{ex}status'),
+            ty AS (SELECT subj, obj_value AS dt FROM m
+                   WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+            SELECT st.st, string_agg(DISTINCT ty.dt, ',' ORDER BY ty.dt) AS types,
+                   min(st.subj) AS one
+            FROM st JOIN ty USING (subj)
+            GROUP BY st.st
+        """,
+        "rdf_sparql_describe": f"""
+            -- DESCRIBE = every merged-model triple of the matched subjects
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value,
+                              obj_lang, obj_datatype FROM {_T})
+            SELECT * FROM m
+            WHERE subj IN (
+              SELECT subj FROM m
+              WHERE pred = '{ex}status' AND obj_value = 'BROKEN')
         """,
         "social_sparql_knows_star": f"""
             -- knows* = zero-length (every graph term reflexive, literals

@@ -105,7 +105,8 @@ class SparqlQuery:
     # the rest of the WHERE clause on shared variables
     union_groups: list[list[_Group]] = field(default_factory=list)
     # aggregate projections: (func, var_or_'*', distinct, alias)
-    aggregates: list[tuple[str, str, bool, str]] = field(default_factory=list)
+    # (func, var_or_'*', distinct, alias, separator-for-GROUP_CONCAT)
+    aggregates: list[tuple[str, str, bool, str, str]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     # BIND(expr AS ?var): evaluated on the joined solution before filters
     binds: list[tuple[list[str], str]] = field(default_factory=list)
@@ -117,7 +118,13 @@ class SparqlQuery:
     # FILTER (NOT) EXISTS { … }: (negated, group) — semi/anti joins on the
     # shared variables
     exists_groups: list[tuple[bool, "_Group"]] = field(default_factory=list)
-    # query form: 'select' | 'construct' | 'ask'
+    # MINUS { … }: set difference under SPARQL compatibility (§8.3) —
+    # removes solutions compatible with the subtrahend on ≥1 shared
+    # bound variable; disjoint domains remove nothing
+    minus_groups: list["_Group"] = field(default_factory=list)
+    # DESCRIBE targets: '?var' or absolute IRIs
+    describe_terms: list[str] = field(default_factory=list)
+    # query form: 'select' | 'construct' | 'ask' | 'describe'
     query_form: str = "select"
     # CONSTRUCT template triples (vars and constants)
     template: list[_Pattern] = field(default_factory=list)
@@ -185,21 +192,35 @@ def parse_sparql(text: str) -> SparqlQuery:
         prefixes[pname[:-1]] = iri[1:-1]
 
     form = p.next().upper()
-    if form not in ("SELECT", "CONSTRUCT", "ASK"):
+    if form not in ("SELECT", "CONSTRUCT", "ASK", "DESCRIBE"):
         raise SparqlParseError(f"unsupported query form {form!r}")
     distinct = False
     template: list[_Pattern] = []
     select_vars: list[str] = []
-    aggregates: list[tuple[str, str, bool, str]] = []
+    describe_terms: list[str] = []
+    aggregates: list[tuple[str, str, bool, str, str]] = []
     if form == "CONSTRUCT":
         p.expect("{")
         while p.peek() != "}":
             _parse_triples_block(p, prefixes, template)
         p.expect("}")
+    if form == "DESCRIBE":
+        # DESCRIBE (VarOrIRI)+ [WHERE { … }]
+        while p.peek() and p.peek().upper() not in ("WHERE", "{"):
+            t = p.next()
+            describe_terms.append(t if t.startswith("?") else _expand(t, prefixes))
+        if not describe_terms:
+            raise SparqlParseError("DESCRIBE needs at least one ?var or IRI")
+        if p.peek() is None:
+            # no WHERE clause — constant-IRI description
+            return SparqlQuery(
+                select_vars=[], distinct=False, patterns=[],
+                query_form="describe", describe_terms=describe_terms,
+            )
     if form == "SELECT" and p.peek() and p.peek().upper() == "DISTINCT":
         distinct = True
         p.next()
-    _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+    _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"}
     if form != "SELECT":
         # skip the SELECT-projection loop; WHERE group follows (the WHERE
         # keyword itself is optional for ASK per the grammar)
@@ -208,6 +229,7 @@ def parse_sparql(text: str) -> SparqlQuery:
         q = SparqlQuery(
             select_vars=[], distinct=False, patterns=[],
             query_form=form.lower(), template=template,
+            describe_terms=describe_terms,
         )
         top = _Group()
         _parse_group(p, prefixes, top, q)
@@ -236,13 +258,26 @@ def parse_sparql(text: str) -> SparqlQuery:
             arg = p.next()
             if arg != "*" and not arg.startswith("?"):
                 raise SparqlParseError(f"aggregate argument must be ?var or *, got {arg!r}")
+            sep = " "  # GROUP_CONCAT default separator (SPARQL 1.1 §18.5.1.7)
+            if p.peek() == ";":
+                p.next()
+                kw = p.next().upper()
+                if kw != "SEPARATOR":
+                    raise SparqlParseError(f"expected SEPARATOR, got {kw!r}")
+                p.expect("=")
+                stok = p.next()
+                if not stok.startswith('"'):
+                    raise SparqlParseError("SEPARATOR expects a string literal")
+                sep = _unquote(stok)
             p.expect(")")
             p.expect("AS")
             alias = p.next()
             if not alias.startswith("?"):
                 raise SparqlParseError("aggregate alias must be a ?var")
             p.expect(")")
-            aggregates.append((func, arg if arg == "*" else arg[1:], agg_distinct, alias[1:]))
+            aggregates.append(
+                (func, arg if arg == "*" else arg[1:], agg_distinct, alias[1:], sep)
+            )
         elif t == "*":
             select_vars = []  # resolved after parsing patterns
         else:
@@ -342,6 +377,12 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQue
             opt = _Group()
             _parse_group(p, prefixes, opt, q)
             q.optionals.append(opt)
+            continue
+        if t.upper() == "MINUS":
+            p.next()
+            mg = _Group()
+            _parse_group(p, prefixes, mg, q)
+            q.minus_groups.append(mg)
             continue
         if t == "{":
             # nested group — `{ A } UNION { B } (UNION { C })*`
@@ -963,6 +1004,37 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
             nonempty = not sub.limit(1).isEmpty()
             if neg == nonempty:
                 acc = acc.limit(0)
+    if q.minus_groups:
+        # vars guaranteed bound in every solution: the top-level BGP's —
+        # OPTIONAL / UNION-padded / BIND / VALUES-UNDEF vars may be null
+        bound = {
+            t[1:]
+            for pat in q.patterns
+            for t in (pat.subj, pat.pred, pat.obj)
+            if t.startswith("?")
+        }
+    for mg in q.minus_groups:
+        # MINUS { … } — SPARQL 1.1 §8.3: drop μ iff ∃μ' compatible with μ
+        # and dom(μ)∩dom(μ') ≠ ∅.  The subtrahend group is a plain BGP (+
+        # filters), so its vars are always bound; nulls can only occur on
+        # the accumulator side.
+        sub = _join_patterns(triples, mg.patterns)
+        for ftoks in mg.filters:
+            sub = sub.filter(_filter_expr(ftoks))
+        shared = sorted(set(acc.columns) & set(sub.columns))
+        if not shared:
+            continue  # disjoint domains: MINUS removes nothing
+        if all(v in bound for v in shared):
+            # hash anti-join — the scalable plan for the common case
+            acc = acc.join(sub.select(*shared).distinct(), on=shared, how="left_anti")
+            continue
+        sub2 = sub.select(*[F.col(v).alias(f"_m_{v}") for v in shared]).distinct()
+        compat = F.lit(True)
+        overlap = F.lit(False)
+        for v in shared:
+            compat = compat & (F.col(v).isNull() | (F.col(f"_m_{v}") == F.col(v)))
+            overlap = overlap | F.col(v).isNotNull()
+        acc = acc.join(sub2, on=compat & overlap, how="left_anti")
     for ftoks in q.filters:
         acc = acc.filter(_filter_expr(ftoks))
     return acc
@@ -976,13 +1048,24 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     acc = _solutions(_merged_model(triples), q)
     if q.aggregates:
         aggs = []
-        for func, arg, agg_distinct, alias in q.aggregates:
+        for func, arg, agg_distinct, alias, sep in q.aggregates:
             if func == "COUNT":
                 if arg == "*":
                     c = F.count(F.lit(1))
                 else:
                     c = F.count_distinct(F.col(arg)) if agg_distinct else F.count(F.col(arg))
                 aggs.append(c.cast("bigint").alias(alias))
+            elif func == "GROUP_CONCAT":
+                # SPARQL leaves element order implementation-defined; sort
+                # lexically so results are deterministic across partitions
+                # (and hash-comparable to a string_agg(… ORDER BY) oracle)
+                vals = (
+                    F.collect_set(F.col(arg)) if agg_distinct else F.collect_list(F.col(arg))
+                )
+                aggs.append(F.array_join(F.sort_array(vals), sep).alias(alias))
+            elif func == "SAMPLE":
+                # any value is a valid SAMPLE; min() is a deterministic one
+                aggs.append(F.min(F.col(arg)).alias(alias))
             else:
                 col = F.col(arg).try_cast("double")
                 if agg_distinct:
@@ -993,7 +1076,7 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
         out = grouped.agg(*aggs)
         for htoks in q.having:
             out = out.filter(_filter_expr(htoks))
-        proj = (q.select_vars or q.group_by) + [a for *_x, a in q.aggregates]
+        proj = (q.select_vars or q.group_by) + [t[3] for t in q.aggregates]
         out = out.select(*proj)
     else:
         out = acc.select(*q.select_vars)
@@ -1077,8 +1160,38 @@ def sparql_ask(triples: DataFrame, query_text: str) -> bool:
     """SPARQL ASK: does the WHERE clause have at least one solution?"""
     q = parse_sparql(query_text)
     if q.query_form != "ask":
-        raise SparqlParseError("sparql_ask requires an ASK query")
+        raise SparqlParseError("sparql_ask requires an ask query")
     return not _solutions(_merged_model(triples), q).limit(1).isEmpty()
+
+
+def sparql_describe(triples: DataFrame, query_text: str) -> DataFrame:
+    """SPARQL DESCRIBE: the description is implementation-defined
+    (SPARQL 1.1 §16.4); this engine returns every triple whose SUBJECT is
+    a described resource (one-hop outgoing description, the common
+    choice).  Resources = constant IRIs plus the bindings of each
+    described variable across the WHERE solutions.  The resource set is
+    a distinct projection — small relative to the model — joined back as
+    a semi-join, so the model scan stays a single pass."""
+    q = parse_sparql(query_text)
+    if q.query_form != "describe":
+        raise SparqlParseError("sparql_describe requires a DESCRIBE query")
+    model = _merged_model(triples)
+    spark = triples.sparkSession
+    parts = []
+    consts = [t for t in q.describe_terms if not t.startswith("?")]
+    if consts:
+        parts.append(spark.createDataFrame([(c,) for c in consts], "subj string"))
+    vars_ = [t[1:] for t in q.describe_terms if t.startswith("?")]
+    if vars_:
+        sols = _solutions(model, q)
+        for v in vars_:
+            parts.append(
+                sols.select(F.col(v).alias("subj")).filter(F.col("subj").isNotNull())
+            )
+    res = parts[0]
+    for pdf in parts[1:]:
+        res = res.unionByName(pdf)
+    return model.join(res.distinct(), on="subj", how="left_semi")
 
 
 def sparql_select_json(triples: DataFrame, query_text: str, limit: int = 10_000) -> dict:

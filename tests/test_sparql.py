@@ -598,3 +598,131 @@ def test_ask(spark):
     ])
     assert sparql_ask(tri, PREFIX + 'ASK { ?s ex:status "OK" . }') is True
     assert sparql_ask(tri, PREFIX + 'ASK WHERE { ?s ex:status "NOPE" . }') is False
+
+
+def test_minus_basic(spark):
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "b", EX + "name", "literal", "B", None, None),
+        (EX + "a", EX + "banned", "literal", "true", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s WHERE {
+            ?s ex:name ?n .
+            MINUS { ?s ex:banned ?x . }
+        }""",
+    )
+    assert [r["s"] for r in out.collect()] == [EX + "b"]
+
+
+def test_minus_disjoint_domain_removes_nothing(spark):
+    # SPARQL 1.1 §8.3: MINUS with no shared variables keeps every solution
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "x", EX + "other", "literal", "O", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s WHERE {
+            ?s ex:name ?n .
+            MINUS { ?y ex:other ?z . }
+        }""",
+    )
+    assert out.count() == 1
+
+
+def test_minus_null_shared_binding(spark):
+    # an OPTIONAL-produced null on the shared var: μ is compatible with μ'
+    # when the only conflicting var is unbound on one side, and the domains
+    # still overlap on ?s — so the row IS removed
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "a", EX + "flag", "literal", "F", None, None),
+        (EX + "b", EX + "name", "literal", "B", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s WHERE {
+            ?s ex:name ?n .
+            OPTIONAL { ?s ex:missing ?m . }
+            MINUS { ?s ex:flag ?f . }
+        }""",
+    )
+    assert [r["s"] for r in out.collect()] == [EX + "b"]
+
+
+def test_group_concat(spark):
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "tag", "literal", "x", None, None),
+        (EX + "a", EX + "tag", "literal", "y", None, None),
+        (EX + "b", EX + "tag", "literal", "z", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s (GROUP_CONCAT(?t ; SEPARATOR="|") AS ?tags)
+                    WHERE { ?s ex:tag ?t . } GROUP BY ?s ORDER BY ?s""",
+    )
+    assert [(r["s"], r["tags"]) for r in out.collect()] == [
+        (EX + "a", "x|y"),
+        (EX + "b", "z"),
+    ]
+
+
+def test_group_concat_distinct_default_sep(spark):
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "tag", "literal", "x", None, None),
+        (EX + "a", EX + "tag2", "literal", "x", None, None),
+        (EX + "a", EX + "tag3", "literal", "y", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?tags)
+                    WHERE { ?s ?p ?t . }""",
+    )
+    assert out.collect()[0]["tags"] == "x y"
+
+
+def test_sample(spark):
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "v", "literal", "2", None, None),
+        (EX + "a", EX + "v", "literal", "1", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + "SELECT (SAMPLE(?v) AS ?one) WHERE { ?s ex:v ?v . }",
+    )
+    assert out.collect()[0]["one"] in ("1", "2")
+
+
+def test_describe_constant(spark):
+    from rdfshape_api_spark.plans.sparql import sparql_describe
+
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "a", EX + "age", "literal", "9", None, None),
+        (EX + "b", EX + "name", "literal", "B", None, None),
+    ])
+    out = sparql_describe(tri, PREFIX + f"DESCRIBE <{EX}a>")
+    got = {(r["subj"], r["pred"]) for r in out.collect()}
+    assert got == {(EX + "a", EX + "name"), (EX + "a", EX + "age")}
+
+
+def test_describe_var_with_where(spark):
+    from rdfshape_api_spark.plans.sparql import sparql_describe
+
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "status", "literal", "OK", None, None),
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "b", EX + "status", "literal", "BAD", None, None),
+        (EX + "b", EX + "name", "literal", "B", None, None),
+    ])
+    out = sparql_describe(
+        tri,
+        PREFIX + 'DESCRIBE ?s WHERE { ?s ex:status "OK" . }',
+    )
+    got = {(r["subj"], r["pred"], r["obj_value"]) for r in out.collect()}
+    assert got == {
+        (EX + "a", EX + "status", "OK"),
+        (EX + "a", EX + "name", "A"),
+    }
