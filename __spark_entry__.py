@@ -659,6 +659,51 @@ def _q_shacl_hasvalue(spark, sf_dir):
     )
 
 
+# sh:equals property-pair over the social graph: a Person's email value
+# set must equal their phone value set — mixed verdicts (both-empty →
+# conformant; any asymmetry → violation)
+SHACL_PAIR_SOCIAL = f"""\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{EX}> .
+
+ex:ContactParity a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:email ; sh:equals ex:phone ] .
+"""
+
+
+def _q_shacl_pair_equals(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_PAIR_SOCIAL)).select(
+        "doc_sha256", "node", "status"
+    )
+
+
+# sh:xone over the sensor model: every temperature must satisfy EXACTLY
+# one of {≥18, ≤20} — values inside [18,20] satisfy both (violation),
+# values outside satisfy one (ok), non-numerics satisfy none (violation)
+SHACL_XONE_SENSOR = f"""\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{EX}> .
+
+ex:OutOfBandReading a sh:NodeShape ;
+  sh:targetClass ex:Reading ;
+  sh:property [ sh:path ex:readingTemperature ;
+    sh:xone ( [ sh:minInclusive 18 ] [ sh:maxInclusive 20 ] ) ] .
+"""
+
+
+def _q_shacl_xone(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _rdf_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_XONE_SENSOR)).select(
+        "doc_sha256", "node", "status"
+    )
+
+
 def _q_shacl_seqpath(spark, sf_dir):
     from rdfshape_api_spark.plans import parse_shacl, validate
 
@@ -818,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_sparql_group_concat": _q_sparql_group_concat,  # Q1 GROUP_CONCAT/SAMPLE
         "rdf_sparql_describe": _q_sparql_describe,         # Q1 DESCRIBE form
         "rdf_shacl_qualified": _q_shacl_qualified,         # §2.7 sh:qualifiedValueShape
+        "social_shacl_pair_equals": _q_shacl_pair_equals,  # §2.7 sh:equals pair
+        "rdf_shacl_xone": _q_shacl_xone,                   # §2.7 sh:xone
         "rdf_shacl_hasvalue": _q_shacl_hasvalue,           # §2.7 sh:hasValue
         "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
@@ -1084,6 +1131,54 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(q.nq, 0) >= 2
                         THEN 'conformant' ELSE 'nonconformant' END AS status
             FROM focus f LEFT JOIN q ON q.doc_sha256 = f.doc_sha256 AND q.node = f.node
+        """,
+        "social_shacl_pair_equals": f"""
+            -- sh:equals ex:phone on path ex:email: per-focus value SETS
+            -- must be identical (sorted distinct concat; '|' never occurs
+            -- in emails/phones)
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_value
+              FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{ex}Person'
+            ), ev AS (
+              SELECT doc_sha256, subj AS node,
+                     string_agg(DISTINCT obj_value, '|' ORDER BY obj_value) AS vs
+              FROM m WHERE pred = '{ex}email' GROUP BY 1, 2
+            ), pv AS (
+              SELECT doc_sha256, subj AS node,
+                     string_agg(DISTINCT obj_value, '|' ORDER BY obj_value) AS vs
+              FROM m WHERE pred = '{ex}phone' GROUP BY 1, 2
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN coalesce(ev.vs, '') = coalesce(pv.vs, '')
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f
+            LEFT JOIN ev ON ev.doc_sha256 = f.doc_sha256 AND ev.node = f.node
+            LEFT JOIN pv ON pv.doc_sha256 = f.doc_sha256 AND pv.node = f.node
+        """,
+        "rdf_shacl_xone": f"""
+            -- sh:xone(≥18, ≤20): each temperature value must satisfy
+            -- exactly one member; NULL casts satisfy none → violation
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_value FROM {_T}
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{ex}Reading'
+            ), bad AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = '{ex}readingTemperature'
+                AND (CASE WHEN TRY_CAST(obj_value AS DOUBLE) >= 18 THEN 1 ELSE 0 END
+                   + CASE WHEN TRY_CAST(obj_value AS DOUBLE) <= 20 THEN 1 ELSE 0 END) <> 1
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN b.node IS NULL
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f
+            LEFT JOIN bad b ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
         """,
         "rdf_shacl_hasvalue": f"""
             -- sh:hasValue "OK": conformant iff the status value set

@@ -54,6 +54,14 @@ def _store_pruned_for_schemas(spark, store_dir: str, schemas) -> DataFrame:
                     preds.update(path_preds(tc.path))
                 else:
                     preds.add(tc.pred)
+                for p in (
+                    tc.pair_equals,
+                    tc.pair_disjoint,
+                    tc.pair_less_than,
+                    tc.pair_less_than_eq,
+                ):
+                    if p is not None:
+                        preds.add(p)
             preds.update(sh.target_subjects_of)
             preds.update(sh.target_objects_of)
     parts = sorted({pred_partition_value(p) for p in preds})

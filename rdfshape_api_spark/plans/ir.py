@@ -68,6 +68,17 @@ class TripleConstraint:
     # disjunction of the members' predicates (each member is a value-only
     # TripleConstraint; pred/cardinality of members are ignored)
     disjuncts: list["TripleConstraint"] | None = None
+    # SHACL sh:xone: exactly ONE disjunct must hold per value (vs sh:or's
+    # at-least-one); only meaningful when `disjuncts` is set
+    xone: bool = False
+    # SHACL property-pair constraints — compare this path's value set with
+    # the value set at ANOTHER predicate on the same focus node
+    # (sh:equals / sh:disjoint: set comparison; sh:lessThan /
+    # sh:lessThanOrEquals: every pair ordered, numeric subset)
+    pair_equals: str | None = None
+    pair_disjoint: str | None = None
+    pair_less_than: str | None = None
+    pair_less_than_eq: str | None = None
 
 
 @dataclass

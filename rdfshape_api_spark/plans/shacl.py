@@ -54,7 +54,6 @@ _NODEKIND = {
 _UNSUPPORTED = {
     SH + p
     for p in (
-        "xone",
         "sparql",
     )
 }
@@ -289,6 +288,38 @@ def parse_shacl(text: str) -> CompiledSchema:
                     members.append(m)
                 tc.disjuncts = members
 
+            # sh:xone ( m1 m2 … ): exactly-one-of value disjunction — same
+            # member lifting as sh:or, exclusive verdict per value
+            if (v := g.obj1(pshape, SH + "xone")) is not None:
+                if _has_value_fields(tc) or tc.disjuncts:
+                    raise ValueError(
+                        "SHACL: sh:xone combined with sibling value "
+                        "constraints is not supported in this subset"
+                    )
+                members = []
+                for _, mnode, _, _ in g.rdf_list(v[1]):
+                    m = TripleConstraint(pred=tc.pred)
+                    _read_value_constraints(g, mnode, m)
+                    members.append(m)
+                tc.disjuncts = members
+                tc.xone = True
+
+            # property-pair constraints: sh:path's value set compared with
+            # another predicate's value set on the same focus node
+            for sh_name, f_name in (
+                ("equals", "pair_equals"),
+                ("disjoint", "pair_disjoint"),
+                ("lessThan", "pair_less_than"),
+                ("lessThanOrEquals", "pair_less_than_eq"),
+            ):
+                if (v := g.obj1(pshape, SH + sh_name)) is not None:
+                    if inverse or past is not None:
+                        raise ValueError(
+                            f"SHACL: sh:{sh_name} requires a direct sh:path "
+                            "predicate (no inverse/sequence paths)"
+                        )
+                    setattr(tc, f_name, v[1])
+
             # sh:and ( m1 m2 … ): conjunction — members' value components
             # merge onto the property shape (conflicting fields rejected)
             if (v := g.obj1(pshape, SH + "and")) is not None:
@@ -325,6 +356,10 @@ def parse_shacl(text: str) -> CompiledSchema:
                 and not tc.disjuncts
                 and not tc.negated
                 and not tc.unique_lang
+                and tc.pair_equals is None
+                and tc.pair_disjoint is None
+                and tc.pair_less_than is None
+                and tc.pair_less_than_eq is None
             )
             if not (trivial and (qtc is not None or hv is not None)):
                 shape.constraints.append(tc)

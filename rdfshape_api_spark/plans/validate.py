@@ -90,6 +90,23 @@ def _value_ok(
     index → the boolean column carrying that member's ``sh:node`` /
     ``sh:class`` conformance (nested inside sh:or)."""
     if tc.disjuncts:
+        if tc.xone:
+            # sh:xone: exactly one member holds for the value
+            cnt = F.lit(0)
+            for j, d in enumerate(tc.disjuncts):
+                cnt = cnt + F.when(
+                    F.coalesce(
+                        _value_ok(
+                            d,
+                            (disjunct_ref_cols or {}).get(j),
+                            class_ok_col=(disjunct_class_cols or {}).get(j),
+                        ),
+                        F.lit(False),
+                    ),
+                    1,
+                ).otherwise(0)
+            member = cnt == 1
+            return ~member if tc.negated else member
         member = F.lit(False)
         for j, d in enumerate(tc.disjuncts):
             # coalesce: SQL three-valued logic would poison the OR with
@@ -248,11 +265,27 @@ def evaluate_shape(
     inv_preds = sorted(
         {tc.pred for tc in flat_constraints if tc.inverse and tc.path is None}
     )
+    # property-pair comparison predicates must reach the aggregation even
+    # when not themselves constrained; they do NOT count as "mentioned"
+    # for sh:closed (SHACL closed only allows sh:path predicates)
+    pair_preds = sorted(
+        {
+            p
+            for tc in flat_constraints
+            for p in (
+                tc.pair_equals,
+                tc.pair_disjoint,
+                tc.pair_less_than,
+                tc.pair_less_than_eq,
+            )
+            if p is not None
+        }
+    )
 
     full = triples.select("doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype")
     tri = full
     if not shape.closed and mentioned:
-        tri = tri.filter(F.col("pred").isin(*mentioned))
+        tri = tri.filter(F.col("pred").isin(*sorted({*mentioned, *pair_preds})))
 
     if broad_focus:
         # focus ≈ all subjects: aggregating everything map-side is cheaper
@@ -377,6 +410,14 @@ def evaluate_shape(
     rep_groups = {k: v for k, v in group_of.items() if len(v) > 1}
     rep_indices = {i for idxs in rep_groups.values() for i in idxs}
     rep_ids = {key: gi for gi, key in enumerate(sorted(rep_groups))}
+    for i, tc in enumerate(flat_constraints):
+        if (
+            tc.pair_equals or tc.pair_disjoint or tc.pair_less_than or tc.pair_less_than_eq
+        ) and (i in rep_indices or i in inv_indices or i in path_indices):
+            raise ValueError(
+                "SHACL property-pair constraints require a direct, "
+                "non-repeated sh:path predicate"
+            )
 
     aggs = []
     for i, tc in enumerate(flat_constraints):
@@ -409,6 +450,37 @@ def evaluate_shape(
                 ).alias(f"u{i}")
             )
             aggs.append(F.sum(F.when(lang_on, 1).otherwise(0)).alias(f"ul{i}"))
+        # property-pair constraints: extra per-focus aggregates comparing
+        # this path's values with another predicate's (one hash agg, no
+        # extra shuffle; collect_set is bounded by per-node out-degree)
+        if tc.pair_equals is not None or tc.pair_disjoint is not None:
+            aggs.append(
+                F.sort_array(
+                    F.collect_set(F.when(on_pred, F.col("obj_value")))
+                ).alias(f"pv{i}")
+            )
+        for other, tag in ((tc.pair_equals, "eq"), (tc.pair_disjoint, "dj")):
+            if other is not None:
+                aggs.append(
+                    F.sort_array(
+                        F.collect_set(
+                            F.when(F.col("pred") == other, F.col("obj_value"))
+                        )
+                    ).alias(f"p{tag}{i}")
+                )
+        lt_other = tc.pair_less_than or tc.pair_less_than_eq
+        if lt_other is not None:
+            num = F.col("obj_value").try_cast("double")
+            on_q = F.col("pred") == lt_other
+            aggs.append(F.max(F.when(on_pred, num)).alias(f"pmax{i}"))
+            aggs.append(
+                F.sum(F.when(on_pred & num.isNull(), 1).otherwise(0)).alias(f"pnn{i}")
+            )
+            aggs.append(F.min(F.when(on_q, num)).alias(f"qmin{i}"))
+            aggs.append(F.sum(F.when(on_q, 1).otherwise(0)).alias(f"qt{i}"))
+            aggs.append(
+                F.sum(F.when(on_q & num.isNull(), 1).otherwise(0)).alias(f"qnn{i}")
+            )
     for key, idxs in sorted(rep_groups.items()):
         gi = rep_ids[key]
         pred = key[1]
@@ -559,6 +631,36 @@ def evaluate_shape(
                 F.coalesce(F.col(f"u{i}"), F.lit(0))
                 == F.coalesce(F.col(f"ul{i}"), F.lit(0))
             )
+        _empty = F.array().cast("array<string>")
+        if tc.pair_equals is not None:
+            # sh:equals: value sets identical (sorted-set comparison)
+            c_ok = c_ok & (
+                F.coalesce(F.col(f"pv{i}"), _empty)
+                == F.coalesce(F.col(f"peq{i}"), _empty)
+            )
+        if tc.pair_disjoint is not None:
+            # sh:disjoint: no shared value
+            c_ok = c_ok & ~F.arrays_overlap(
+                F.coalesce(F.col(f"pv{i}"), _empty),
+                F.coalesce(F.col(f"pdj{i}"), _empty),
+            )
+        if tc.pair_less_than is not None or tc.pair_less_than_eq is not None:
+            # sh:lessThan[OrEquals]: every (path-value, other-value) pair
+            # ordered ⇔ max(path) < min(other); non-numeric values are
+            # incomparable → violation (numeric subset, documented)
+            pairs = (t > 0) & (F.coalesce(F.col(f"qt{i}"), F.lit(0)) > 0)
+            strict = tc.pair_less_than is not None
+            cmp_bad = (
+                F.col(f"pmax{i}") >= F.col(f"qmin{i}")
+                if strict
+                else F.col(f"pmax{i}") > F.col(f"qmin{i}")
+            )
+            bad = (
+                (F.coalesce(F.col(f"pnn{i}"), F.lit(0)) > 0)
+                | (F.coalesce(F.col(f"qnn{i}"), F.lit(0)) > 0)
+                | F.coalesce(cmp_bad, F.lit(False))
+            )
+            c_ok = c_ok & ~(pairs & bad)
         alt_ok[alt_of[i]] = alt_ok[alt_of[i]] & c_ok
         card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
         kind = "qualified constraint" if tc.qualified else "constraint"

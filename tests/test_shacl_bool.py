@@ -78,10 +78,11 @@ def test_sh_and_merges(spark):
     assert out == {"a": "conformant", "b": "nonconformant"}
 
 
-def test_sh_xone_still_rejected():
-    with pytest.raises(ValueError, match="unsupported"):
-        parse_shacl(
-            PRELUDE
-            + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+def test_sh_xone_parses_as_exclusive_disjunction():
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
   sh:property [ sh:path ex:v ; sh:xone ( [ sh:datatype xsd:integer ] ) ] ."""
-        )
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert tc.xone and tc.disjuncts and len(tc.disjuncts) == 1
