@@ -58,6 +58,12 @@ class TripleConstraint:
     # Qualified constraints also never join repeated-property partition
     # matching — each evaluates independently per SHACL semantics.
     qualified: bool = False
+    # SHACL sh:qualifiedValueShapesDisjoint true: a value counts toward
+    # this qualified constraint only if it does NOT conform to any sibling
+    # qualified value shape (the other sh:qualifiedValueShape constraints
+    # of the same node shape) — spec §4.7.  Members must be pure value
+    # predicates (no sh:node/sh:class), enforced by the SHACL frontend.
+    disjoint_siblings: list["TripleConstraint"] | None = None
     # SHACL non-trivial sh:path (sequence list / sh:alternativePath /
     # sh:zeroOrMorePath / sh:oneOrMorePath): a path AST from
     # plans/paths.py; when set, `pred` holds a synthetic display name and

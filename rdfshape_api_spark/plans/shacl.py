@@ -18,13 +18,16 @@ Logical constraint components ``sh:or`` / ``sh:and`` / ``sh:not`` over
 value-level members map to the IR's disjuncts/negated fields (same
 evaluator as ShEx OR/AND/NOT); ``sh:node`` nests inside all three.
 ``sh:qualifiedValueShape`` + ``sh:qualifiedMin/MaxCount`` compile to
-count-only constraints (``TripleConstraint.qualified``).  Non-trivial
+count-only constraints (``TripleConstraint.qualified``);
+``sh:qualifiedValueShapesDisjoint true`` wires the node shape's other
+qualified value shapes in as count exclusions (spec §4.7 sibling shapes).
+Non-trivial
 ``sh:path`` objects — sequence lists, ``sh:alternativePath``,
 ``sh:zeroOrMorePath`` / ``sh:oneOrMorePath`` / ``sh:zeroOrOnePath``, and
 nested ``sh:inversePath`` — compile to a path AST (plans/paths.py)
 evaluated by a focus-seeded reachability join.  Unsupported core features
-(sh:xone, sparql constraints, sh:closed with path constraints,
-qualifiedValueShapesDisjoint) raise with a clear message.
+(sparql constraints, sh:closed with path constraints, disjoint siblings
+carrying sh:node/sh:class) raise with a clear message.
 """
 
 from __future__ import annotations
@@ -130,6 +133,15 @@ def _read_value_constraints(g: "_Graph", node: str, tc: TripleConstraint) -> Non
         tc.language_in = [val for _, val, _, _ in g.rdf_list(v[1])]
 
 
+def _pure_value_predicate(tc: TripleConstraint) -> bool:
+    """True iff the constraint's value conformance is a pure Column
+    predicate over the value row — no shape references (sh:node) or class
+    instance sets (sh:class), recursively through disjuncts."""
+    if tc.ref_shape is not None or tc.class_iri is not None:
+        return False
+    return all(_pure_value_predicate(d) for d in tc.disjuncts or [])
+
+
 def _has_value_fields(tc: TripleConstraint) -> bool:
     return any(getattr(tc, f) is not None for f in _VALUE_FIELDS)
 
@@ -196,6 +208,10 @@ def parse_shacl(text: str) -> CompiledSchema:
         shape.target_objects_of = [v for _, v, _, _ in g.objs(s, SH + "targetObjectsOf")]
         closed = g.obj1(s, SH + "closed")
         shape.closed = bool(closed and closed[1] == "true")
+        # (qualified constraint, disjoint flag) per sh:qualifiedValueShape —
+        # sibling wiring for sh:qualifiedValueShapesDisjoint happens after
+        # the property-shape loop, when all siblings exist
+        qvs_tcs: list[tuple[TripleConstraint, bool]] = []
 
         for _, pshape, _, _ in g.objs(s, SH + "property"):
             for bad in g.spo.get(pshape, {}):
@@ -250,10 +266,7 @@ def parse_shacl(text: str) -> CompiledSchema:
             qtc = None
             if qvs is not None:
                 dis = g.obj1(pshape, SH + "qualifiedValueShapesDisjoint")
-                if dis is not None and dis[1] == "true":
-                    raise ValueError(
-                        "SHACL: sh:qualifiedValueShapesDisjoint is not supported"
-                    )
+                qtc_disjoint = bool(dis is not None and dis[1] == "true")
                 qtc = TripleConstraint(
                     pred=tc.pred,
                     min_count=0,
@@ -365,6 +378,23 @@ def parse_shacl(text: str) -> CompiledSchema:
                 shape.constraints.append(tc)
             if qtc is not None:
                 shape.constraints.append(qtc)
+                qvs_tcs.append((qtc, qtc_disjoint))
+        # sh:qualifiedValueShapesDisjoint (spec §4.7): a value counts toward
+        # a disjoint qualified constraint only if it conforms to NO sibling
+        # qualified value shape.  Sibling conformance is evaluated as a pure
+        # Column predicate over the value row, so siblings carrying shape
+        # references (sh:node / sh:class) stay out of this subset.
+        for qtc, disjoint in qvs_tcs:
+            if not disjoint:
+                continue
+            sibs = [o for o, _ in qvs_tcs if o is not qtc]
+            for sib in sibs:
+                if not _pure_value_predicate(sib):
+                    raise ValueError(
+                        "SHACL: sh:qualifiedValueShapesDisjoint with sibling "
+                        "sh:node/sh:class qualified shapes is not supported"
+                    )
+            qtc.disjoint_siblings = sibs
         shapes[s] = shape
 
     return CompiledSchema(engine="shacl", shapes=shapes, prefixes=prefixes)

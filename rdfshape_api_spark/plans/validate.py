@@ -178,6 +178,24 @@ def _value_ok(
     return ~F.coalesce(ok, F.lit(False)) if tc.negated else ok
 
 
+def _count_ok(
+    tc: TripleConstraint,
+    ref_ok_col: str | None,
+    disjunct_ref_cols: dict[int, str] | None = None,
+    class_ok_col: str | None = None,
+    disjunct_class_cols: dict[int, str] | None = None,
+) -> Column:
+    """Value predicate used for the m-count aggregation: ``_value_ok`` plus
+    sh:qualifiedValueShapesDisjoint sibling exclusions — a value counts
+    toward a disjoint qualified constraint only if it conforms to NO
+    sibling qualified value shape (siblings are pure value predicates by
+    construction, enforced in plans/shacl.py)."""
+    ok = _value_ok(tc, ref_ok_col, disjunct_ref_cols, class_ok_col, disjunct_class_cols)
+    for sib in tc.disjoint_siblings or []:
+        ok = ok & ~F.coalesce(_value_ok(sib, None), F.lit(False))
+    return ok
+
+
 def _refs_of(tc: TripleConstraint) -> list[str]:
     """Shape references this constraint evaluates: its own ``ref_shape``
     plus any ``sh:node`` nested in OR disjuncts."""
@@ -428,7 +446,7 @@ def evaluate_shape(
             F.sum(
                 F.when(
                     on_pred
-                    & _value_ok(
+                    & _count_ok(
                         tc,
                         ref_cols.get(i),
                         disj_ref_cols.get(i),
@@ -569,7 +587,7 @@ def evaluate_shape(
                 F.sum(
                     F.when(
                         on_pred
-                        & _value_ok(
+                        & _count_ok(
                             tc,
                             ref_cols.get(i),
                             disj_ref_cols.get(i),
@@ -597,7 +615,7 @@ def evaluate_shape(
         p_grouped = rows.groupBy("doc_sha256", "node").agg(
             F.sum(
                 F.when(
-                    _value_ok(
+                    _count_ok(
                         tc,
                         ref_cols.get(i),
                         disj_ref_cols.get(i),

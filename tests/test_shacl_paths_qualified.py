@@ -313,10 +313,61 @@ def test_qualified_requires_bounds(spark):
         """)
 
 
-def test_disjoint_rejected(spark):
+HAND = PFX + """
+    ex:HandShape a sh:NodeShape ; sh:targetClass ex:Hand ;
+      sh:property [
+        sh:path ex:digit ;
+        sh:qualifiedValueShape [ sh:pattern "thumb" ] ;
+        sh:qualifiedMinCount 1 ; sh:qualifiedMaxCount 1 ;
+      ] ;
+      sh:property [
+        sh:path ex:digit ;
+        sh:qualifiedValueShape [ sh:nodeKind sh:IRI ] ;
+        sh:qualifiedMinCount 4 ; sh:qualifiedMaxCount 4 ;
+        sh:qualifiedValueShapesDisjoint true ;
+      ] .
+"""
+
+
+def test_qualified_disjoint_excludes_sibling_values(spark):
+    # SHACL spec §4.7 hand example: the finger count (any IRI) must EXCLUDE
+    # values conforming to the sibling thumb shape — without the exclusion
+    # h1 would count 5 "fingers" and violate qualifiedMaxCount 4
+    tri = _tri(spark, [
+        ("h1", "a", "iri", "Hand", None),
+        ("h1", "digit", "iri", "thumb_1", None),
+        *[("h1", "digit", "iri", f"finger_{i}", None) for i in range(1, 5)],
+        # h2: two thumbs (violates thumb max 1) and only 3 other digits
+        ("h2", "a", "iri", "Hand", None),
+        ("h2", "digit", "iri", "thumb_1", None),
+        ("h2", "digit", "iri", "thumb_2", None),
+        *[("h2", "digit", "iri", f"finger_{i}", None) for i in range(1, 4)],
+    ])
+    assert _verdicts(validate(tri, parse_shacl(HAND))) == {
+        "h1": "conformant", "h2": "nonconformant"
+    }
+
+
+def test_qualified_disjoint_sibling_underflow(spark):
+    # h3: 4 digits total, one a thumb — finger count 3 < 4 → nonconformant
+    tri = _tri(spark, [
+        ("h3", "a", "iri", "Hand", None),
+        ("h3", "digit", "iri", "thumb_1", None),
+        *[("h3", "digit", "iri", f"finger_{i}", None) for i in range(1, 4)],
+    ])
+    assert _verdicts(validate(tri, parse_shacl(HAND))) == {"h3": "nonconformant"}
+
+
+def test_qualified_disjoint_sibling_with_node_ref_rejected(spark):
+    # disjoint sibling exclusion is a pure Column predicate — a sibling
+    # carrying sh:node needs the reference join and stays out of the subset
     with pytest.raises(ValueError, match="qualifiedValueShapesDisjoint"):
         parse_shacl(PFX + """
-            ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+            ex:T a sh:NodeShape ; sh:property [ sh:path ex:q ; sh:minCount 0 ] .
+            ex:S a sh:NodeShape ; sh:targetClass ex:C ;
+              sh:property [ sh:path ex:p ;
+                            sh:qualifiedValueShape [ sh:node ex:T ] ;
+                            sh:qualifiedMinCount 1 ] ;
               sh:property [ sh:path ex:p ;
                             sh:qualifiedValueShape [ sh:pattern "x" ] ;
                             sh:qualifiedMinCount 1 ;
