@@ -486,6 +486,24 @@ def _q_sparql_having(spark, sf_dir):
     return sparql_select(_merged_triples(spark, sf_dir), q)
 
 
+def _q_sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 §12 subquery: per-status max temperature (aggregated in
+    the subquery) joined back onto every reading of that status."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT ?s ?t ?maxt WHERE {{
+      ?s ex:status ?st .
+      ?s ex:readingTemperature ?t .
+      {{ SELECT ?st (MAX(?tt) AS ?maxt) WHERE {{
+           ?x ex:status ?st . ?x ex:readingTemperature ?tt .
+         }} GROUP BY ?st }}
+    }}
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
 def _q_sparql_values(spark, sf_dir):
     from rdfshape_api_spark.plans.sparql import sparql_select
 
@@ -854,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_sparql_bind": _q_sparql_bind,               # Q1 BIND expressions
         "rdf_sparql_having": _q_sparql_having,           # Q1 HAVING post-agg
         "rdf_sparql_values": _q_sparql_values,           # Q1 VALUES inline data
+        "rdf_sparql_subquery": _q_sparql_subquery,       # Q1 §12 subqueries
         "rdf_sparql_path_alt": _q_sparql_path_alt,       # Q1 property path (alt)
         "social_sparql_knows_plus": _q_sparql_knows_plus,  # Q1 path + (fixpoint)
         "social_sparql_knows_star": _q_sparql_knows_star,  # Q1 path * (zero-length)
@@ -1020,6 +1039,18 @@ def oracle_sql() -> dict[str, str]:
                               obj_datatype FROM {_T})
             SELECT obj_value AS st, count(*)::BIGINT AS n
             FROM m WHERE pred = '{ex}status' GROUP BY 1 HAVING count(*) > 4000
+        """,
+        "rdf_sparql_subquery": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T}),
+            st AS (SELECT s.subj AS s, s.obj_value AS st, t.obj_value AS t
+                   FROM m s JOIN m t ON t.subj = s.subj
+                   WHERE s.pred = '{ex}status'
+                     AND t.pred = '{ex}readingTemperature'),
+            mx AS (SELECT st, MAX(CAST(t AS DOUBLE)) AS maxt
+                   FROM st GROUP BY st)
+            SELECT st.s AS s, st.t AS t, mx.maxt AS maxt
+            FROM st JOIN mx USING (st)
         """,
         "rdf_sparql_values": f"""
             WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,

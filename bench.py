@@ -307,6 +307,28 @@ def _kernels_for_session(spark, scaling_sf: str) -> dict:
             triples, schema, shapemap=SHAPEMAP_QUERY, shape_label="s"
         ).count(),
     )
+    # 4x-input variant: at sf1 the validate kernel wall (~2 s) sits below
+    # the size where a 16-way split is measurable (sub-second tasks →
+    # scheduling jitter dominates; see BENCH/ANALYSIS.md).  A doc-salted
+    # 4x union gives seconds-long tasks and shows the plan's true scaling
+    # (measured 0.93 at 4→16 in round 3).
+    quad = (
+        triples.crossJoin(
+            spark.range(4).select(F.col("id").cast("string").alias("_salt"))
+        )
+        .withColumn("doc_sha256", F.concat_ws("-", "doc_sha256", "_salt"))
+        .drop("_salt")
+    )
+    quad.write.mode("overwrite").parquet(tmp + "/quad")
+    quad4 = spark.read.parquet(tmp + "/quad").persist(StorageLevel.DISK_ONLY)
+    quad4.count()
+    measure(
+        "validate_shex_4x",
+        lambda: validate(
+            quad4, schema, shapemap=SHAPEMAP_QUERY, shape_label="s"
+        ).count(),
+    )
+    quad4.unpersist()
     docs.unpersist()
     raw.unpersist()
     triples.unpersist()

@@ -128,10 +128,17 @@ class SparqlQuery:
     query_form: str = "select"
     # CONSTRUCT template triples (vars and constants)
     template: list[_Pattern] = field(default_factory=list)
+    # subqueries `{ SELECT … }` (SPARQL 1.1 §12): each evaluates
+    # independently (innermost-first) and joins the outer solutions on its
+    # PROJECTED variables only
+    subqueries: list["SparqlQuery"] = field(default_factory=list)
 
 
 class SparqlParseError(ValueError):
     pass
+
+
+_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"}
 
 
 def _expand(tok: str, prefixes: dict[str, str]) -> str:
@@ -220,7 +227,6 @@ def parse_sparql(text: str) -> SparqlQuery:
     if form == "SELECT" and p.peek() and p.peek().upper() == "DISTINCT":
         distinct = True
         p.next()
-    _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"}
     if form != "SELECT":
         # skip the SELECT-projection loop; WHERE group follows (the WHERE
         # keyword itself is optional for ASK per the grammar)
@@ -243,12 +249,31 @@ def parse_sparql(text: str) -> SparqlQuery:
                     seen.append(t[1:])
         q.select_vars = seen
         return q
+    select_vars, aggregates = _parse_projection(p)
+    p.expect("WHERE")
+
+    q = SparqlQuery(
+        select_vars=select_vars, distinct=distinct, patterns=[], aggregates=aggregates
+    )
+    top = _Group()
+    _parse_group(p, prefixes, top, q)
+    q.patterns = top.patterns
+    q.filters = top.filters
+    _parse_modifiers(p, prefixes, q)
+    _resolve_select_star(q)
+    return q
+
+
+def _parse_projection(p: _Parser) -> tuple[list[str], list[tuple[str, str, bool, str, str]]]:
+    """The SELECT projection list: ``?var``s, ``*``, and
+    ``( AGG ( [DISTINCT] ?v | * ) AS ?alias )`` expressions."""
+    select_vars: list[str] = []
+    aggregates: list[tuple[str, str, bool, str, str]] = []
     while p.peek() and (p.peek().startswith("?") or p.peek() in ("*", "(")):
         t = p.next()
         if t == "(":
-            # `( AGG ( [DISTINCT] ?v | * ) AS ?alias )`
             func = p.next().upper()
-            if func not in _AGGS:
+            if func not in _AGG_FUNCS:
                 raise SparqlParseError(f"unsupported select expression {func!r}")
             p.expect("(")
             agg_distinct = False
@@ -282,17 +307,13 @@ def parse_sparql(text: str) -> SparqlQuery:
             select_vars = []  # resolved after parsing patterns
         else:
             select_vars.append(t[1:])
-    p.expect("WHERE")
+    return select_vars, aggregates
 
-    q = SparqlQuery(
-        select_vars=select_vars, distinct=distinct, patterns=[], aggregates=aggregates
-    )
-    top = _Group()
-    _parse_group(p, prefixes, top, q)
-    q.patterns = top.patterns
-    q.filters = top.filters
 
-    while p.peek():
+def _parse_modifiers(p: _Parser, prefixes: dict[str, str], q: SparqlQuery) -> None:
+    """Solution modifiers (GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET)
+    up to end-of-input — or up to the enclosing ``}`` for a subquery."""
+    while p.peek() and p.peek() != "}":
         kw = p.next().upper()
         if kw == "GROUP":
             p.expect("BY")
@@ -320,22 +341,60 @@ def parse_sparql(text: str) -> SparqlQuery:
         else:
             raise SparqlParseError(f"unsupported clause {kw!r}")
 
-    if not q.select_vars and not q.aggregates:  # SELECT *
-        seen: list[str] = []
-        union_pats = [pat for blk in q.union_groups for br in blk for pat in br.patterns]
-        for pat in q.patterns + [x for grp in q.optionals for x in grp.patterns] + union_pats:
-            for t in (pat.subj, pat.pred, pat.obj):
-                if t.startswith("?") and t[1:] not in seen:
-                    seen.append(t[1:])
-        for _toks, alias in q.binds:
-            if alias not in seen:
-                seen.append(alias)
-        for vars_, _rows in q.values_blocks:
-            for v in vars_:
-                if v not in seen:
-                    seen.append(v)
-        q.select_vars = seen
-    return q
+
+def _out_vars(q: SparqlQuery) -> list[str]:
+    """The column names a SELECT query projects."""
+    if q.aggregates:
+        return (q.select_vars or q.group_by) + [t[3] for t in q.aggregates]
+    return q.select_vars
+
+
+def _resolve_select_star(q: SparqlQuery) -> None:
+    if q.select_vars or q.aggregates:  # explicit projection
+        return
+    seen: list[str] = []
+    union_pats = [pat for blk in q.union_groups for br in blk for pat in br.patterns]
+    for pat in q.patterns + [x for grp in q.optionals for x in grp.patterns] + union_pats:
+        for t in (pat.subj, pat.pred, pat.obj):
+            if t.startswith("?") and t[1:] not in seen:
+                seen.append(t[1:])
+    for _toks, alias in q.binds:
+        if alias not in seen:
+            seen.append(alias)
+    for vars_, _rows in q.values_blocks:
+        for v in vars_:
+            if v not in seen:
+                seen.append(v)
+    for sq in q.subqueries:
+        for v in _out_vars(sq):
+            if v not in seen:
+                seen.append(v)
+    q.select_vars = seen
+
+
+def _parse_subselect(p: _Parser, prefixes: dict[str, str]) -> SparqlQuery:
+    """A subquery ``{ SELECT … WHERE { … } modifiers }`` — the caller has
+    consumed the opening ``{`` after detecting SELECT (SPARQL 1.1 §12:
+    subqueries evaluate innermost-first; only projected variables join
+    outward)."""
+    p.expect("SELECT")
+    distinct = False
+    if p.peek() and p.peek().upper() == "DISTINCT":
+        distinct = True
+        p.next()
+    select_vars, aggregates = _parse_projection(p)
+    p.expect("WHERE")
+    sq = SparqlQuery(
+        select_vars=select_vars, distinct=distinct, patterns=[], aggregates=aggregates
+    )
+    top = _Group()
+    _parse_group(p, prefixes, top, sq)
+    sq.patterns = top.patterns
+    sq.filters = top.filters
+    _parse_modifiers(p, prefixes, sq)
+    _resolve_select_star(sq)
+    p.expect("}")
+    return sq
 
 
 def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQuery) -> None:
@@ -385,6 +444,12 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQue
             q.minus_groups.append(mg)
             continue
         if t == "{":
+            nxt = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
+            if nxt is not None and nxt.upper() == "SELECT":
+                # subquery `{ SELECT … }`
+                p.next()  # consume '{'
+                q.subqueries.append(_parse_subselect(p, prefixes))
+                continue
             # nested group — `{ A } UNION { B } (UNION { C })*`
             branches: list[_Group] = []
             first = _Group()
@@ -937,6 +1002,17 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
         else:
             shared = sorted(set(acc.columns) & set(blk_df.columns))
             acc = acc.join(blk_df, on=shared, how="inner") if shared else acc.crossJoin(blk_df)
+    for sq in q.subqueries:
+        # subquery (§12): evaluated bottom-up over the same model; only its
+        # projection joins outward (aggregates/LIMIT/DISTINCT applied
+        # inside).  Join on the shared variable names — the same equi-join
+        # the UNION-block composition uses.
+        sub = _select_result(triples, sq)
+        if acc is None:
+            acc = sub
+        else:
+            shared = sorted(set(acc.columns) & set(sub.columns))
+            acc = acc.join(sub, on=shared, how="inner") if shared else acc.crossJoin(sub)
     if acc is not None:
         for vars_, rows in q.values_blocks:
             vdf = F.broadcast(_values_df(triples.sparkSession, vars_, rows))
@@ -1045,7 +1121,13 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     Returns one column per selected variable (string-typed bindings, the
     JSON-bindings contract of ``DataQuery.scala:51-63``)."""
     q = parse_sparql(query_text)
-    acc = _solutions(_merged_model(triples), q)
+    return _select_result(_merged_model(triples), q)
+
+
+def _select_result(model: DataFrame, q: SparqlQuery) -> DataFrame:
+    """SELECT evaluation over an already-merged model — shared by the
+    top-level query and subqueries (§12)."""
+    acc = _solutions(model, q)
     if q.aggregates:
         aggs = []
         for func, arg, agg_distinct, alias, sep in q.aggregates:
