@@ -353,6 +353,18 @@ def _q_dedup_lsh_keep(spark, sf_dir):
     return lsh_dedup_keep(docs)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components over the LSH candidate
+    pairs (iterative min-label propagation; oracle = recursive CTE)."""
+    from rdfshape_api_spark.functions.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return connected_components(lsh_candidate_pairs(docs))
+
+
 def _q_dedup_ngram(spark, sf_dir):
     from rdfshape_api_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -902,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_pairs": _q_dedup_lsh,
         "dedup_lsh_keep": _q_dedup_lsh_keep,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_simhash_pairs": _q_dedup_simhash,
         "sim_cosine_topk": _q_sim_topk,
@@ -1462,6 +1475,35 @@ def oracle_sql() -> dict[str, str]:
                    (b.doc_id = min(m.bmin)) AS keep
             FROM bands b JOIN bmin m ON b.band = m.band AND b.band_key = m.band_key
             GROUP BY b.doc_id
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), i ->
+                       list_min(list_transform(
+                         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                         w -> md5(i::VARCHAR || ':' || w)))) AS sig
+              FROM documents
+            ), bands AS (
+              SELECT doc_id, b AS band,
+                     md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '|')) AS band_key
+              FROM sigs, unnest(range(0, 4)) AS t(b)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ), reach(node, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, MIN(lbl) AS component
+            FROM reach GROUP BY node
         """,
         "dedup_ngram_jaccard": """
             WITH toks AS (

@@ -42,6 +42,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "dedup_exact",
         "dedup_lsh_pairs",
         "dedup_lsh_keep",
+        "dedup_clusters",
         "sim_cosine_topk",
         "mm_features",
         "events_hourly",

@@ -134,6 +134,60 @@ def lsh_dedup_keep(docs: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iters: int = 25, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Exact duplicate CLUSTERS from candidate pairs: connected components
+    by iterative min-label propagation.
+
+    Returns ``(doc_id, component)`` for every vertex appearing in
+    ``pairs``, where ``component`` is the lexicographic-min doc_id of the
+    vertex's component — the canonical cluster representative (``doc_id ==
+    component`` ⇔ cluster survivor).
+
+    100 TB design: each round is one join (edge ⨝ labels, key-partitioned)
+    + one min-aggregation (map-side combine), converging in
+    O(graph diameter) rounds — LSH duplicate clusters are near-cliques, so
+    2-4 rounds in practice.  ``localCheckpoint`` per round keeps the plan
+    flat (same protocol as the SPARQL ``knows+`` fixpoint,
+    plans/sparql.py).  This is the standard label-propagation formulation
+    of CC-in-MapReduce (Kiveris et al. 2014); the alternating-star
+    optimization is unnecessary at LSH-cluster diameters.
+    """
+    # symmetric edge list; vertices = every endpoint
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # neighbor messages: each vertex offers its label to its neighbors
+        msgs = edges.join(
+            labels, on=edges["src"] == labels["doc_id"]
+        ).select(F.col("dst").alias("doc_id"), "component")
+        nxt = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("component", "_old"), on="doc_id")
+            .filter(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            return labels
+    raise ValueError(f"connected_components did not converge in {max_iters} rounds")
+
+
 def ngram_shingles(text=None, n: int = 2):
     """Word n-gram shingles as an array column (default bigrams)."""
     ws = F.split(F.lower(F.trim(F.col("text") if text is None else text)), r"\s+")

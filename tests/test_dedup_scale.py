@@ -64,3 +64,29 @@ def test_ngram_hot_shingle_guard(spark):
     guarded = ngram_jaccard_pairs(docs, threshold=0.5, max_df=10)
     pairs = {(r["doc_a"], r["doc_b"]) for r in guarded.collect()}
     assert pairs == {(100, 101)}
+
+
+def test_connected_components_chain(spark):
+    """A 4-vertex chain needs multiple propagation rounds (diameter 3);
+    two separate components keep distinct representatives."""
+    from rdfshape_api_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_star_and_singleton_free(spark):
+    from rdfshape_api_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], "doc_a string, doc_b string"
+    )
+    out = connected_components(pairs)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {"hub"}
+    # only vertices that appear in pairs are emitted (no singleton rows)
+    assert out.count() == 6
