@@ -92,6 +92,9 @@ class Shape:
     shape_id: str
     constraints: list[TripleConstraint] = field(default_factory=list)
     closed: bool = False
+    # SHACL sh:ignoredProperties ( p… ): predicates a closed shape permits
+    # beyond its sh:path set (commonly rdf:type)
+    ignored: list[str] = field(default_factory=list)
     # ShEx OneOf at the triple-expression level: when set, the shape body is
     # `alt_0 | alt_1 | …` (each an EachOf constraint list) and a node
     # conforms iff at least one alternative's constraints hold;

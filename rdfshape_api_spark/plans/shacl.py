@@ -208,6 +208,8 @@ def parse_shacl(text: str) -> CompiledSchema:
         shape.target_objects_of = [v for _, v, _, _ in g.objs(s, SH + "targetObjectsOf")]
         closed = g.obj1(s, SH + "closed")
         shape.closed = bool(closed and closed[1] == "true")
+        if (ig := g.obj1(s, SH + "ignoredProperties")) is not None:
+            shape.ignored = [val for _, val, _, _ in g.rdf_list(ig[1])]
         # (qualified constraint, disjoint flag) per sh:qualifiedValueShape —
         # sibling wiring for sh:qualifiedValueShapesDisjoint happens after
         # the property-shape loop, when all siblings exist

@@ -521,8 +521,11 @@ def evaluate_shape(
                 F.sum(F.when(on_pred & (profile == s), 1).otherwise(0)).alias(f"g{gi}_n{s}")
             )
     if shape.closed:
+        # sh:ignoredProperties (SHACL §4.8.1): permitted beyond the
+        # sh:path set — commonly rdf:type
+        allowed = sorted({*mentioned, *shape.ignored})
         aggs.append(
-            F.sum(F.when(~F.col("pred").isin(*mentioned), 1).otherwise(0)).alias("unmentioned")
+            F.sum(F.when(~F.col("pred").isin(*allowed), 1).otherwise(0)).alias("unmentioned")
         )
 
     if aggs:

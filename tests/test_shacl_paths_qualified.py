@@ -485,3 +485,24 @@ def test_sh_unique_lang(spark):
     assert _verdicts(validate(tri, schema)) == {
         "doc_ok": "conformant", "doc_dup": "nonconformant"
     }
+
+
+def test_closed_with_ignored_properties(spark):
+    # sh:closed + sh:ignoredProperties (rdf:type): typed nodes stay
+    # conformant, nodes with a genuinely unmentioned predicate do not
+    schema = parse_shacl(PFX + """
+        @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+          sh:closed true ; sh:ignoredProperties ( rdf:type ) ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    """)
+    tri = _tri(spark, [
+        ("t1", "a", "iri", "Thing", None),
+        ("t1", "name", "literal", "ok", None),
+        ("t2", "a", "iri", "Thing", None),
+        ("t2", "name", "literal", "bad", None),
+        ("t2", "extra", "literal", "x", None),
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "t1": "conformant", "t2": "nonconformant"
+    }
