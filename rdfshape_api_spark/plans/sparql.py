@@ -659,77 +659,187 @@ def _parse_filter_tokens(p: _Parser, prefixes: dict[str, str]) -> list[str]:
 _NUM_RE = re.compile(r"[+-]?\d+(\.\d+)?([eE][+-]?\d+)?$")
 
 
-def _filter_expr(toks: list[str]) -> F.Column:
-    """Compile a FILTER token list (comparisons, && / ||, ! , parens).
-    Recursive-descent over the flat token list."""
+#: SPARQL 1.1 builtin functions compiled to Column expressions (§17.4) —
+#: each maps straight onto a JVM-side function, no UDFs
+_EXPR_FUNCS = {
+    "CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "REPLACE",
+    "STRBEFORE", "STRAFTER", "COALESCE", "IF", "ABS", "ROUND", "FLOOR",
+    "CEIL", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS", "BOUND",
+    "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+}
+_CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
 
+
+def _compile_expr(toks: list[str]) -> F.Column:
+    """Unified SPARQL expression compiler shared by FILTER (boolean
+    context) and BIND (value context): || / && / ! , comparisons with
+    numeric-literal inference, + - * / on try_cast-double, and the §17.4
+    builtin subset in ``_EXPR_FUNCS``.  Every node returns
+    ``(Column, is_numeric)``; a comparison casts both sides numeric when
+    either side is numeric-valued (numeric literal, arithmetic result, or
+    numeric builtin) and compares strings otherwise — SPARQL operator
+    dispatch over the string-typed binding columns."""
     pos = {"i": 0}
 
     def peek():
         return toks[pos["i"]] if pos["i"] < len(toks) else None
 
     def nxt():
+        if pos["i"] >= len(toks):
+            raise SparqlParseError("unexpected end of expression")
         t = toks[pos["i"]]
         pos["i"] += 1
         return t
 
-    def atom() -> F.Column:
+    def expect(want: str) -> None:
+        t = nxt()
+        if t != want:
+            raise SparqlParseError(f"expected {want!r} in expression, got {t!r}")
+
+    def func(up: str) -> tuple[F.Column, bool]:
+        expect("(")
+        args: list[tuple[F.Column, bool]] = []
+        if peek() != ")":
+            args.append(or_())
+            while peek() == ",":
+                nxt()
+                args.append(or_())
+        expect(")")
+        cols = [c for c, _ in args]
+        s = lambda c: c.cast("string")  # noqa: E731
+        d = lambda c: c.try_cast("double")  # noqa: E731
+        if up == "CONCAT":
+            return F.concat(*[s(c) for c in cols]), False
+        if up == "STR":
+            return s(cols[0]), False
+        if up == "STRLEN":
+            return F.length(s(cols[0])), True
+        if up == "UCASE":
+            return F.upper(s(cols[0])), False
+        if up == "LCASE":
+            return F.lower(s(cols[0])), False
+        if up == "SUBSTR":
+            ln = cols[2].cast("int") if len(cols) > 2 else F.lit(2147483647)
+            return F.substring(s(cols[0]), cols[1].cast("int"), ln), False
+        if up == "REPLACE":
+            return F.regexp_replace(s(cols[0]), cols[1], s(cols[2])), False
+        if up in ("STRBEFORE", "STRAFTER"):
+            a, b = s(cols[0]), s(cols[1])
+            at = F.position(b, a)
+            if up == "STRBEFORE":
+                return F.when(at > 0, F.substring(a, F.lit(1), at - 1)).otherwise(""), False
+            return (
+                F.when(at > 0, F.substring(a, at + F.length(b), F.lit(2147483647)))
+                .otherwise(""),
+                False,
+            )
+        if up == "COALESCE":
+            return F.coalesce(*cols), any(n for _, n in args)
+        if up == "IF":
+            return F.when(F.coalesce(cols[0], F.lit(False)), cols[1]).otherwise(cols[2]), False
+        if up in ("ABS", "ROUND", "FLOOR", "CEIL"):
+            fn = {"ABS": F.abs, "ROUND": F.round, "FLOOR": F.floor, "CEIL": F.ceil}[up]
+            return fn(d(cols[0])), True
+        if up == "REGEX":
+            pat = cols[1]
+            if len(cols) > 2:  # flags, e.g. "i" → inline (?i)
+                pat = F.concat(F.lit("(?"), s(cols[2]), F.lit(")"), s(pat))
+            return F.regexp_like(s(cols[0]), s(pat)), False
+        if up == "CONTAINS":
+            return F.contains(s(cols[0]), s(cols[1])), False
+        if up == "STRSTARTS":
+            return F.startswith(s(cols[0]), s(cols[1])), False
+        if up == "STRENDS":
+            return F.endswith(s(cols[0]), s(cols[1])), False
+        if up == "BOUND":
+            return cols[0].isNotNull(), False
+        if up in ("ISIRI", "ISURI"):
+            return _term_kind(s(cols[0])) == "iri", False
+        if up == "ISLITERAL":
+            return _term_kind(s(cols[0])) == "literal", False
+        if up == "ISBLANK":
+            return _term_kind(s(cols[0])) == "bnode", False
+        raise SparqlParseError(f"unsupported function {up!r}")  # pragma: no cover
+
+    def atom() -> tuple[F.Column, bool]:
         t = nxt()
         if t == "(":
-            e = or_expr()
-            assert nxt() == ")"
+            e = or_()
+            expect(")")
             return e
         if t == "!":
-            return ~atom()
-        # comparison: term op term
-        left = t
-        op = nxt()
-        right = nxt()
-        return cmp_(left, op, right)
-
-    def operand(t: str, numeric: bool) -> F.Column:
+            c, _ = atom()
+            return ~F.coalesce(c, F.lit(False)), False
+        up = t.upper()
+        if up in _EXPR_FUNCS and peek() == "(":
+            return func(up)
         if t.startswith("?"):
-            c = F.col(t[1:])
-            return c.try_cast("double") if numeric else c
+            return F.col(t[1:]), False
         if t.startswith('"'):
-            return F.lit(_unquote(t))
-        return F.lit(float(t) if numeric else t)
+            return F.lit(_unquote(t)), False
+        if _NUM_RE.match(t):
+            return F.lit(float(t) if ("." in t or "e" in t.lower()) else int(t)), True
+        # bare token (e.g. unexpanded prefixed name): string literal,
+        # matching the pre-unification FILTER operand behavior
+        return F.lit(t), False
 
-    def cmp_(left: str, op: str, right: str) -> F.Column:
-        numeric = bool(
-            (not left.startswith(("?", '"')) and _NUM_RE.match(left))
-            or (not right.startswith(("?", '"')) and _NUM_RE.match(right))
-        )
-        lc, rc = operand(left, numeric), operand(right, numeric)
-        if op == "=":
-            return lc == rc
-        if op == "!=":
-            return lc != rc
-        if op == "<":
-            return lc < rc
-        if op == "<=":
-            return lc <= rc
-        if op == ">":
-            return lc > rc
-        if op == ">=":
-            return lc >= rc
-        raise SparqlParseError(f"unsupported filter op {op!r}")
+    def multiplicative() -> tuple[F.Column, bool]:
+        e, n = atom()
+        while peek() in ("*", "/"):
+            op = nxt()
+            r, _ = atom()
+            le, re_ = e.try_cast("double"), r.try_cast("double")
+            e, n = (le * re_ if op == "*" else le / re_), True
+        return e, n
 
-    def and_expr() -> F.Column:
-        e = atom()
+    def additive() -> tuple[F.Column, bool]:
+        e, n = multiplicative()
+        while peek() in ("+", "-"):
+            op = nxt()
+            r, _ = multiplicative()
+            le, re_ = e.try_cast("double"), r.try_cast("double")
+            e, n = (le + re_ if op == "+" else le - re_), True
+        return e, n
+
+    def cmp_level() -> tuple[F.Column, bool]:
+        l, ln = additive()
+        if peek() in _CMP_OPS:
+            op = nxt()
+            r, rn = additive()
+            if ln or rn:
+                l, r = l.try_cast("double"), r.try_cast("double")
+            e = {
+                "=": l == r, "!=": l != r, "<": l < r,
+                "<=": l <= r, ">": l > r, ">=": l >= r,
+            }[op]
+            return e, False
+        return l, ln
+
+    def and_() -> tuple[F.Column, bool]:
+        e, n = cmp_level()
         while peek() == "&&":
             nxt()
-            e = e & atom()
-        return e
+            r, _ = cmp_level()
+            e, n = e & r, False
+        return e, n
 
-    def or_expr() -> F.Column:
-        e = and_expr()
+    def or_() -> tuple[F.Column, bool]:
+        e, n = and_()
         while peek() == "||":
             nxt()
-            e = e | and_expr()
-        return e
+            r, _ = and_()
+            e, n = e | r, False
+        return e, n
 
-    return or_expr()
+    out, _ = or_()
+    if peek() is not None:
+        raise SparqlParseError(f"trailing expression tokens at {peek()!r}")
+    return out
+
+
+def _filter_expr(toks: list[str]) -> F.Column:
+    """Compile a FILTER token list (boolean context)."""
+    return _compile_expr(toks)
 
 
 def _path_pairs(df: DataFrame, path: _Path, max_iters: int = 25) -> DataFrame:
@@ -862,70 +972,10 @@ def _pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]]:
 
 
 def _bind_expr(toks: list[str]) -> F.Column:
-    """Compile a BIND expression: vars, literals, + - * /, CONCAT, STR.
-    Arithmetic runs on ``try_cast double`` (SPARQL numeric evaluation over
-    string-typed binding columns)."""
-    pos = {"i": 0}
-
-    def peek():
-        return toks[pos["i"]] if pos["i"] < len(toks) else None
-
-    def nxt():
-        t = toks[pos["i"]]
-        pos["i"] += 1
-        return t
-
-    def num(c: F.Column) -> F.Column:
-        return c.try_cast("double")
-
-    def atom() -> F.Column:
-        t = nxt()
-        if t == "(":
-            e = additive()
-            assert nxt() == ")"
-            return e
-        up = t.upper()
-        if up == "CONCAT":
-            assert nxt() == "("
-            args = [additive()]
-            while peek() == ",":
-                nxt()
-                args.append(additive())
-            assert nxt() == ")"
-            return F.concat(*[a.cast("string") for a in args])
-        if up == "STR":
-            assert nxt() == "("
-            e = additive()
-            assert nxt() == ")"
-            return e.cast("string")
-        if t.startswith("?"):
-            return F.col(t[1:])
-        if t.startswith('"'):
-            return F.lit(_unquote(t))
-        if _NUM_RE.match(t):
-            return F.lit(float(t) if ("." in t or "e" in t.lower()) else int(t))
-        raise SparqlParseError(f"unsupported BIND token {t!r}")
-
-    def multiplicative() -> F.Column:
-        e = atom()
-        while peek() in ("*", "/"):
-            op = nxt()
-            r = atom()
-            e = num(e) * num(r) if op == "*" else num(e) / num(r)
-        return e
-
-    def additive() -> F.Column:
-        e = multiplicative()
-        while peek() in ("+", "-"):
-            op = nxt()
-            r = multiplicative()
-            e = num(e) + num(r) if op == "+" else num(e) - num(r)
-        return e
-
-    out = additive()
-    if pos["i"] != len(toks):
-        raise SparqlParseError(f"trailing BIND tokens {toks[pos['i']:]!r}")
-    return out
+    """Compile a BIND expression (value context) — same grammar as FILTER
+    (``_compile_expr``): arithmetic, comparisons, and the §17.4 builtin
+    subset."""
+    return _compile_expr(toks)
 
 
 def _values_df(

@@ -120,3 +120,63 @@ def test_subquery_var_rename_scopes_out(spark):
     # joins its own temperature
     got = {(r["st"][len(EX):], r["t"]) for r in out.collect()}
     assert got == {("s1", "10"), ("s1", "30"), ("s2", "20")}
+
+
+def test_expr_builtins_filter_and_bind(spark):
+    out = sparql_select(
+        _tri(spark),
+        PREFIX
+        + """SELECT ?n ?u ?l WHERE {
+              ?st ex:name ?n .
+              BIND (UCASE(?n) AS ?u)
+              BIND (STRLEN(?n) AS ?l)
+              FILTER (STRSTARTS(?n, "Al") || CONTAINS(?n, "et"))
+            }""",
+    )
+    got = {(r["n"], r["u"], r["l"]) for r in out.collect()}
+    assert got == {("Alpha", "ALPHA", 5), ("Beta", "BETA", 4)}
+
+
+def test_expr_regex_substr_replace(spark):
+    out = sparql_select(
+        _tri(spark),
+        PREFIX
+        + """SELECT ?n ?sub ?rep WHERE {
+              ?st ex:name ?n .
+              BIND (SUBSTR(?n, 1, 3) AS ?sub)
+              BIND (REPLACE(?n, "a", "_") AS ?rep)
+              FILTER (REGEX(?n, "^alpha", "i"))
+            }""",
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["sub"] == "Alp" and rows[0]["rep"] == "Alph_"
+
+
+def test_expr_if_coalesce_bound(spark):
+    # OPTIONAL miss → BOUND false → IF picks the fallback
+    out = sparql_select(
+        _tri(spark),
+        PREFIX
+        + """SELECT ?r ?tag WHERE {
+              ?r ex:temp ?t .
+              OPTIONAL { ?r ex:nickname ?nick }
+              BIND (IF(BOUND(?nick), ?nick, "anon") AS ?tag)
+            }""",
+    )
+    assert {r["tag"] for r in out.collect()} == {"anon"}
+
+
+def test_expr_strbefore_strafter_numeric(spark):
+    out = sparql_select(
+        _tri(spark),
+        PREFIX
+        + """SELECT ?r ?b ?a WHERE {
+              ?r ex:temp ?t .
+              FILTER (ABS(?t - 25) <= 5.0)
+              BIND (STRBEFORE(STR(?r), "example.org") AS ?b)
+              BIND (STRAFTER(STR(?r), "example.org/") AS ?a)
+            }""",
+    )
+    rows = out.collect()
+    assert len(rows) == 2  # temps 20 and 30
+    assert all(r["b"] == "http://" and r["a"].startswith("r") for r in rows)
