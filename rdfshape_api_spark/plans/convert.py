@@ -74,10 +74,18 @@ def _value_expr(tc: TripleConstraint, prefixes: dict[str, str]) -> str:
     neg = "NOT " if tc.negated else ""
     parts: list[str] = []
     if tc.value_set is not None:
-        vals = " ".join(
-            (f'"{v}"' if k == "literal" else _pname(v, prefixes)) for k, v in tc.value_set
-        )
-        parts.append(f"[ {vals} ]")
+        def _member(k: str, v: str) -> str:
+            if k == "literal":
+                return f'"{v}"'
+            if k == "literal_stem":
+                return f'"{v}"~'
+            if k == "iri_stem":
+                return f"{_pname(v, prefixes)}~"
+            return _pname(v, prefixes)
+        toks = (["."] if tc.value_set_has_wildcard else []) + [
+            _member(k, v) for k, v in tc.value_set
+        ] + [f"- {_member(k, v)}" for k, v in (tc.value_set_excl or [])]
+        parts.append(f"[ {' '.join(toks)} ]")
     elif tc.datatype:
         parts.append(_pname(tc.datatype, prefixes))
     elif tc.node_kind:

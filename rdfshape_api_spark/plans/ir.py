@@ -27,7 +27,14 @@ class TripleConstraint:
     max_count: int | None = 1  # None = unbounded
     datatype: str | None = None
     node_kind: str | None = None  # iri|bnode|literal|nonliteral
-    value_set: list[tuple[str, str]] | None = None  # (kind, value) — kind iri|literal
+    # (kind, value) — kind iri | literal | iri_stem | literal_stem (stems
+    # are ShEx `~` prefix matches over the value's lexical form)
+    value_set: list[tuple[str, str]] | None = None
+    # ShEx value-set wildcard member `.` (everything, modulo exclusions)
+    value_set_has_wildcard: bool = False
+    # ShEx value-set exclusions `- member` / `- stem~`: matching values are
+    # excluded from the set regardless of which positive member matched
+    value_set_excl: list[tuple[str, str]] | None = None
     min_inclusive: float | None = None
     max_inclusive: float | None = None
     min_exclusive: float | None = None

@@ -27,7 +27,7 @@ _TOK = re.compile(
     | (?P<atref>@(?:[A-Za-z0-9_][\w.-]*)?:[\w.%-]*|@<[^<>\s]*>)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-    | (?P<punct>[{}\[\]();,.?*+|~^])
+    | (?P<punct>[{}\[\]();,.?*+|~^-])
     | (?P<pname>[A-Za-z0-9_][\w.-]*?:[\w.%-]*|:[\w.%-]*|[A-Za-z0-9_][\w.-]*:)
     | (?P<kw>[A-Za-z][A-Za-z0-9_-]*)
     """,
@@ -221,22 +221,40 @@ class _ShexParser:
                 tc.ref_shape = ref[1:-1] if ref.startswith("<") else self.expand(ref)
                 continue
             if k == "punct" and v == "[":
+                # value set: members, stems (`member~`), wildcard (`.`),
+                # and exclusions (`- member[~]`, set-wide semantics)
                 self.next()
                 vs: list[tuple[str, str]] = []
+                excl: list[tuple[str, str]] = []
+                wild = False
                 while self.peek()[1] != "]":
+                    neg_member = self.peek() == ("punct", "-")
+                    if neg_member:
+                        self.next()
                     ik, iv = self.next()
+                    if ik == "punct" and iv == ".":
+                        if neg_member:
+                            raise ValueError("ShExC: `- .` is not a valid exclusion")
+                        wild = True
+                        continue
                     if ik == "string":
-                        vs.append(("literal", _unquote(iv)))
+                        kind, val = "literal", _unquote(iv)
                     elif ik == "iri":
-                        vs.append(("iri", iv[1:-1]))
+                        kind, val = "iri", iv[1:-1]
                     elif ik == "pname":
-                        vs.append(("iri", self.expand(iv)))
+                        kind, val = "iri", self.expand(iv)
                     elif ik == "num":
-                        vs.append(("literal", iv))
+                        kind, val = "literal", iv
                     else:
                         raise ValueError(f"ShExC: bad value-set member {iv!r}")
+                    if self.peek() == ("punct", "~"):
+                        self.next()
+                        kind = "literal_stem" if kind == "literal" else "iri_stem"
+                    (excl if neg_member else vs).append((kind, val))
                 self.expect("]")
                 tc.value_set = vs
+                tc.value_set_has_wildcard = wild
+                tc.value_set_excl = excl or None
                 continue
             if k == "kw" and v.upper() in _NODEKIND_KWS:
                 self.next()
@@ -286,7 +304,8 @@ class _ShexParser:
 
 
 _VALUE_FIELDS = (
-    "datatype", "node_kind", "value_set", "min_inclusive", "max_inclusive",
+    "datatype", "node_kind", "value_set", "value_set_has_wildcard",
+    "value_set_excl", "min_inclusive", "max_inclusive",
     "min_exclusive", "max_exclusive", "pattern", "min_length", "max_length",
     "ref_shape", "negated",
 )
@@ -301,7 +320,7 @@ def tc_value_copy(tc: TripleConstraint) -> TripleConstraint:
 
 def _clear_value_fields(tc: TripleConstraint) -> None:
     for f in _VALUE_FIELDS:
-        setattr(tc, f, False if f == "negated" else None)
+        setattr(tc, f, False if f in ("negated", "value_set_has_wildcard") else None)
 
 
 def _unquote(s: str) -> str:

@@ -132,10 +132,9 @@ def _value_ok(
             "nonliteral": k != "literal",
         }[tc.node_kind]
     if tc.value_set is not None:
-        member = F.lit(False)
-        for kind, val in tc.value_set:
+        def _vs_match(kind: str, val: str):
             if kind == "literal":
-                member = member | (
+                return (
                     (F.col("obj_kind") == KIND_LITERAL)
                     & (F.col("obj_value") == val)
                     & F.col("obj_lang").isNull()
@@ -143,8 +142,23 @@ def _value_ok(
                        | (F.col("obj_datatype") == XSD + "integer")
                        | (F.col("obj_datatype") == XSD + "decimal"))
                 )
-            else:
-                member = member | ((F.col("obj_kind") != KIND_LITERAL) & (F.col("obj_value") == val))
+            if kind == "literal_stem":
+                # ShEx literal stem `"pfx"~`: lexical-form prefix match
+                return (F.col("obj_kind") == KIND_LITERAL) & F.col("obj_value").startswith(val)
+            if kind == "iri_stem":
+                # ShEx IRI stem `<pfx>~` / `pn:~`
+                return (F.col("obj_kind") != KIND_LITERAL) & F.col("obj_value").startswith(val)
+            return (F.col("obj_kind") != KIND_LITERAL) & (F.col("obj_value") == val)
+
+        # wildcard `.` admits every node (modulo exclusions below)
+        member = F.lit(True) if tc.value_set_has_wildcard else F.lit(False)
+        for kind, val in tc.value_set:
+            member = member | _vs_match(kind, val)
+        if tc.value_set_excl:
+            excluded = F.lit(False)
+            for kind, val in tc.value_set_excl:
+                excluded = excluded | _vs_match(kind, val)
+            member = member & ~F.coalesce(excluded, F.lit(False))
         ok = ok & member
     num = F.col("obj_value").try_cast("double")
     if tc.min_inclusive is not None:

@@ -1,0 +1,119 @@
+"""ShEx value-set stems (`~`), wildcard (`.`), and exclusions (`- m`).
+
+Reference surface: shexs value-set semantics behind
+`SchemaService.scala:80-84` (IRIStem / LiteralStem / StemRange with
+exclusions per the ShEx 2.1 spec §5.5).
+"""
+
+from __future__ import annotations
+
+from rdfshape_api_spark.plans import parse_shexc, validate
+
+E = "http://e/"
+
+
+def _tri(spark, rows):
+    cols = "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    return spark.createDataFrame([("d", *r) for r in rows], cols)
+
+
+def _run(spark, schema_text, rows, nodes):
+    schema = parse_shexc(schema_text)
+    tri = _tri(spark, rows)
+    smap = ", ".join(f"<{E}{n}>@<{E}S>" for n in nodes)
+    return {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+
+
+def test_iri_stem(spark):
+    out = _run(
+        spark,
+        f"PREFIX ex: <{E}>\nex:S {{ ex:v [ ex:good~ ] }}",
+        [
+            (E + "a", E + "v", "iri", E + "goodThing", None, None),
+            (E + "b", E + "v", "iri", E + "bad", None, None),
+            (E + "c", E + "v", "literal", E + "goodThing", None, None),
+        ],
+        "abc",
+    )
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "nonconformant"}
+
+
+def test_literal_stem(spark):
+    out = _run(
+        spark,
+        f'PREFIX ex: <{E}>\nex:S {{ ex:v [ "ab"~ ] }}',
+        [
+            (E + "a", E + "v", "literal", "abc", None, None),
+            (E + "b", E + "v", "literal", "ab", None, None),
+            (E + "c", E + "v", "literal", "xabc", None, None),
+        ],
+        "abc",
+    )
+    assert out == {"a": "conformant", "b": "conformant", "c": "nonconformant"}
+
+
+def test_wildcard_with_exclusions(spark):
+    # `.` admits everything except the excluded stem/member
+    out = _run(
+        spark,
+        f"PREFIX ex: <{E}>\nex:S {{ ex:v [ . - ex:bad~ ] }}",
+        [
+            (E + "a", E + "v", "iri", E + "fine", None, None),
+            (E + "b", E + "v", "iri", E + "badThing", None, None),
+            (E + "c", E + "v", "literal", "anything", None, None),
+        ],
+        "abc",
+    )
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "conformant"}
+
+
+def test_stem_with_exact_exclusion(spark):
+    out = _run(
+        spark,
+        f"PREFIX ex: <{E}>\nex:S {{ ex:v [ ex:p~ - ex:pX ] }}",
+        [
+            (E + "a", E + "v", "iri", E + "pA", None, None),
+            (E + "b", E + "v", "iri", E + "pX", None, None),
+            (E + "c", E + "v", "iri", E + "q", None, None),
+        ],
+        "abc",
+    )
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "nonconformant"}
+
+
+def test_mixed_members_and_stems(spark):
+    out = _run(
+        spark,
+        f'PREFIX ex: <{E}>\nex:S {{ ex:v [ ex:exact "lit" "st"~ ] }}',
+        [
+            (E + "a", E + "v", "iri", E + "exact", None, None),
+            (E + "b", E + "v", "literal", "lit", None, None),
+            (E + "c", E + "v", "literal", "stem-prefixed", None, None),
+            (E + "d", E + "v", "iri", E + "other", None, None),
+        ],
+        "abcd",
+    )
+    assert out == {
+        "a": "conformant",
+        "b": "conformant",
+        "c": "conformant",
+        "d": "nonconformant",
+    }
+
+
+def test_shexc_roundtrip_stems():
+    from rdfshape_api_spark.plans.convert import to_shexc
+
+    src = f"PREFIX ex: <{E}>\nex:S {{ ex:v [ . ex:a \"l\"~ - ex:bad~ ] }}"
+    schema = parse_shexc(src)
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert tc.value_set_has_wildcard
+    assert ("iri", E + "a") in tc.value_set
+    assert ("literal_stem", "l") in tc.value_set
+    assert tc.value_set_excl == [("iri_stem", E + "bad")]
+    # render → parse is stable
+    schema2 = parse_shexc(to_shexc(schema))
+    tc2 = schema2.shapes[E + "S"].constraints[0]
+    assert tc2.value_set_has_wildcard == tc.value_set_has_wildcard
+    assert sorted(tc2.value_set) == sorted(tc.value_set)
+    assert tc2.value_set_excl == tc.value_set_excl
