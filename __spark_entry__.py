@@ -487,6 +487,24 @@ def _q_sparql_bind(spark, sf_dir):
     return sparql_select(_merged_triples(spark, sf_dir), q)
 
 
+def _q_sparql_lang(spark, sf_dir):
+    """SPARQL §17.4.2 term accessors: LANG()/DATATYPE() over the sidecar
+    metadata columns, LANGMATCHES for range filtering (ARQ surface behind
+    DataQuery.scala:51-63)."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT ?s ?p ?l ?dt WHERE {{
+      ?s ?p ?v .
+      BIND (LANG(?v) AS ?l)
+      BIND (DATATYPE(?v) AS ?dt)
+      FILTER (BOUND(?dt))
+    }}
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
 def _q_sparql_having(spark, sf_dir):
     from rdfshape_api_spark.plans.sparql import sparql_select
 
@@ -883,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_sparql_agg": _q_sparql_agg,                 # Q1 aggregates/GROUP BY
         "rdf_sparql_bind": _q_sparql_bind,               # Q1 BIND expressions
         "rdf_sparql_having": _q_sparql_having,           # Q1 HAVING post-agg
+        "rdf_sparql_lang": _q_sparql_lang,               # Q1 LANG/DATATYPE accessors
         "rdf_sparql_values": _q_sparql_values,           # Q1 VALUES inline data
         "rdf_sparql_subquery": _q_sparql_subquery,       # Q1 §12 subqueries
         "rdf_sparql_path_alt": _q_sparql_path_alt,       # Q1 property path (alt)
@@ -1046,6 +1065,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj AS s, CAST(obj_value AS DOUBLE) * 2 AS t2
             FROM m WHERE pred = '{ex}readingTemperature'
               AND CAST(obj_value AS DOUBLE) * 2 >= 39.0
+        """,
+        "rdf_sparql_lang": f"""
+            -- literals only (BOUND(DATATYPE) ⇔ kind = literal); LANG "" for
+            -- plain/typed, DATATYPE rdf:langString for tagged, xsd:string
+            -- default for plain
+            WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
+                              obj_datatype FROM {_T})
+            SELECT subj AS s, pred AS p,
+                   COALESCE(obj_lang, '') AS l,
+                   CASE WHEN obj_lang IS NOT NULL
+                        THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+                        ELSE COALESCE(obj_datatype,
+                                      'http://www.w3.org/2001/XMLSchema#string')
+                   END AS dt
+            FROM m WHERE obj_kind = 'literal'
         """,
         "rdf_sparql_having": f"""
             WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,

@@ -666,8 +666,24 @@ _EXPR_FUNCS = {
     "STRBEFORE", "STRAFTER", "COALESCE", "IF", "ABS", "ROUND", "FLOOR",
     "CEIL", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS", "BOUND",
     "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
+    "LANG", "DATATYPE", "LANGMATCHES",
 }
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
+
+#: builtins that need the term-metadata sidecar columns (§17.4.2) — their
+#: presence in any filter/BIND token list switches the BGP scan into
+#: metadata-carrying mode (``_pattern_df`` with ``with_meta=True``)
+_META_FUNCS = {"LANG", "DATATYPE"}
+
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def _meta_cols(v: str) -> tuple[str, str, str]:
+    """Sidecar column names carrying the RDF term metadata of binding
+    ``?v`` (kind / language tag / datatype IRI).  The ``__`` prefix keeps
+    them out of join keys and final projections."""
+    return f"__kind_{v}", f"__lang_{v}", f"__dt_{v}"
 
 
 def _compile_expr(toks: list[str]) -> F.Column:
@@ -697,6 +713,33 @@ def _compile_expr(toks: list[str]) -> F.Column:
             raise SparqlParseError(f"expected {want!r} in expression, got {t!r}")
 
     def func(up: str) -> tuple[F.Column, bool]:
+        if up in ("LANG", "DATATYPE"):
+            # token-level: the argument must be a plain variable — the
+            # metadata lives in sidecar columns keyed by the var name, not
+            # in the string binding itself (ARQ evaluates these over full
+            # RDF terms; our subset carries terms as value + sidecar)
+            expect("(")
+            t = nxt()
+            if not t.startswith("?"):
+                raise SparqlParseError(f"{up}() supports a variable argument only")
+            expect(")")
+            kind_c, lang_c, dt_c = (F.col(c) for c in _meta_cols(t[1:]))
+            if up == "LANG":
+                # literal → its tag or "" (plain); non-literal → error (null)
+                return (
+                    F.when(kind_c == "literal", F.coalesce(lang_c, F.lit(""))),
+                    False,
+                )
+            # DATATYPE: lang-tagged → rdf:langString, plain → xsd:string
+            return (
+                F.when(
+                    kind_c == "literal",
+                    F.when(lang_c.isNotNull(), F.lit(_RDF_LANGSTRING)).otherwise(
+                        F.coalesce(dt_c, F.lit(_XSD_STRING))
+                    ),
+                ),
+                False,
+            )
         expect("(")
         args: list[tuple[F.Column, bool]] = []
         if peek() != ")":
@@ -753,6 +796,16 @@ def _compile_expr(toks: list[str]) -> F.Column:
             return F.endswith(s(cols[0]), s(cols[1])), False
         if up == "BOUND":
             return cols[0].isNotNull(), False
+        if up == "LANGMATCHES":
+            # RFC 4647 basic filtering: "*" matches any non-empty tag;
+            # otherwise exact tag or extended-subtag prefix, case-insensitive
+            tag, rng = F.lower(s(cols[0])), F.lower(s(cols[1]))
+            return (
+                F.when(rng == "*", tag != "").otherwise(
+                    (tag == rng) | tag.startswith(F.concat(rng, F.lit("-")))
+                ),
+                False,
+            )
         if up in ("ISIRI", "ISURI"):
             return _term_kind(s(cols[0])) == "iri", False
         if up == "ISLITERAL":
@@ -777,6 +830,10 @@ def _compile_expr(toks: list[str]) -> F.Column:
             return F.col(t[1:]), False
         if t.startswith('"'):
             return F.lit(_unquote(t)), False
+        if t.startswith("<") and t.endswith(">"):
+            # IRI operand (e.g. DATATYPE(?v) = <…#integer>): compare on the
+            # bracket-free IRI string, matching the binding representation
+            return F.lit(t[1:-1]), False
         if _NUM_RE.match(t):
             return F.lit(float(t) if ("." in t or "e" in t.lower()) else int(t)), True
         # bare token (e.g. unexpanded prefixed name): string literal,
@@ -935,7 +992,9 @@ def _path_pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]
     return pairs.filter(cond).select(*out_cols), vars_
 
 
-def _pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]]:
+def _pattern_df(
+    df: DataFrame, pat: _Pattern, with_meta: bool = False
+) -> tuple[DataFrame, list[str]]:
     if pat.path is not None:
         return _path_pattern_df(df, pat)
     out_cols: list[F.Column] = []
@@ -944,16 +1003,37 @@ def _pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]]:
     if pat.subj.startswith("?"):
         vars_.append(pat.subj[1:])
         out_cols.append(F.col("subj").alias(pat.subj[1:]))
+        if with_meta:
+            kc, lc, dc = _meta_cols(pat.subj[1:])
+            out_cols += [
+                _term_kind(F.col("subj")).alias(kc),
+                F.lit(None).cast("string").alias(lc),
+                F.lit(None).cast("string").alias(dc),
+            ]
     else:
         cond = cond & (F.col("subj") == pat.subj)
     if pat.pred.startswith("?"):
         vars_.append(pat.pred[1:])
         out_cols.append(F.col("pred").alias(pat.pred[1:]))
+        if with_meta:
+            kc, lc, dc = _meta_cols(pat.pred[1:])
+            out_cols += [
+                F.lit("iri").alias(kc),
+                F.lit(None).cast("string").alias(lc),
+                F.lit(None).cast("string").alias(dc),
+            ]
     else:
         cond = cond & (F.col("pred") == pat.pred)
     if pat.obj.startswith("?"):
         vars_.append(pat.obj[1:])
         out_cols.append(F.col("obj_value").alias(pat.obj[1:]))
+        if with_meta:
+            kc, lc, dc = _meta_cols(pat.obj[1:])
+            out_cols += [
+                F.col("obj_kind").alias(kc),
+                F.col("obj_lang").alias(lc),
+                F.col("obj_datatype").alias(dc),
+            ]
     else:
         cond = cond & (F.col("obj_value") == pat.obj)
         if pat.obj_is_literal:
@@ -986,7 +1066,9 @@ def _values_df(
     )
 
 
-def _join_patterns(df: DataFrame, pats: list[_Pattern]) -> DataFrame:
+def _join_patterns(
+    df: DataFrame, pats: list[_Pattern], with_meta: bool = False
+) -> DataFrame:
     # NOTE: no per-pattern distinct — SPARQL BGP matching is bag-semantics
     # over the (set-valued) merged model; deduping projected columns here
     # would undercount aggregates when triples differ only in obj_kind /
@@ -994,10 +1076,19 @@ def _join_patterns(df: DataFrame, pats: list[_Pattern]) -> DataFrame:
     acc: DataFrame | None = None
     acc_vars: set[str] = set()
     for pat in pats:
-        pdf, pvars = _pattern_df(df, pat)
+        pdf, pvars = _pattern_df(df, pat, with_meta=with_meta)
         if acc is None:
             acc, acc_vars = pdf, set(pvars)
             continue
+        # left-biased term metadata: drop the new pattern's sidecar copy
+        # when the var's metadata is already bound (join is on value only)
+        dup_meta = [
+            c
+            for c in pdf.columns
+            if c.startswith(("__kind_", "__lang_", "__dt_")) and c in acc.columns
+        ]
+        if dup_meta:
+            pdf = pdf.drop(*dup_meta)
         shared = sorted(acc_vars & set(pvars))
         if shared:
             acc = acc.join(pdf, on=shared, how="inner")
@@ -1021,16 +1112,81 @@ def _merged_model(triples: DataFrame) -> DataFrame:
     return triples
 
 
+def _toklists(q: SparqlQuery) -> list[list[str]]:
+    out = list(q.filters) + [toks for toks, _ in q.binds] + list(q.having)
+    for blk in q.union_groups:
+        for br in blk:
+            out.extend(br.filters)
+    for grp in q.optionals:
+        out.extend(grp.filters)
+    for _, eg in q.exists_groups:
+        out.extend(eg.filters)
+    for mg in q.minus_groups:
+        out.extend(mg.filters)
+    return out
+
+
+def _wants_term_meta(q: SparqlQuery) -> bool:
+    """True when any filter/BIND in this query (subqueries scan their own)
+    uses a metadata builtin — only then do BGP scans carry the sidecar
+    columns, keeping every other query's plan unchanged."""
+    return any(t.upper() in _META_FUNCS for toks in _toklists(q) for t in toks)
+
+
+def _ensure_meta(df: DataFrame, toks: list[str]) -> DataFrame:
+    """Null-fill sidecar metadata for LANG/DATATYPE arguments whose
+    variable was bound outside a metadata-carrying BGP scan (VALUES, BIND,
+    path pattern, subquery projection): kind falls back to the string
+    heuristic, lang/datatype stay unknown."""
+    for i, t in enumerate(toks):
+        if (
+            t.upper() in _META_FUNCS
+            and i + 2 < len(toks)
+            and toks[i + 1] == "("
+            and toks[i + 2].startswith("?")
+        ):
+            kc, lc, dc = _meta_cols(toks[i + 2][1:])
+            if kc not in df.columns:
+                v = toks[i + 2][1:]
+                src = F.col(v) if v in df.columns else F.lit(None).cast("string")
+                df = (
+                    df.withColumn(kc, F.when(src.isNotNull(), _term_kind(src)))
+                    .withColumn(lc, F.lit(None).cast("string"))
+                    .withColumn(dc, F.lit(None).cast("string"))
+                )
+    return df
+
+
+def _apply_filter(df: DataFrame, ftoks: list[str]) -> DataFrame:
+    return _ensure_meta(df, ftoks).filter(_filter_expr(ftoks))
+
+
+def _shared_vars(a: DataFrame, b: DataFrame) -> list[str]:
+    """Join keys between two solution tables: shared *variable* columns —
+    sidecar metadata never participates in join compatibility."""
+    return sorted(c for c in set(a.columns) & set(b.columns) if not c.startswith("__"))
+
+
+def _drop_dup_meta(keep: DataFrame, incoming: DataFrame) -> DataFrame:
+    dup = [
+        c
+        for c in incoming.columns
+        if c.startswith(("__kind_", "__lang_", "__dt_")) and c in keep.columns
+    ]
+    return incoming.drop(*dup) if dup else incoming
+
+
 def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
     """The WHERE-clause solution multiset: BGP joins, UNION, VALUES,
     OPTIONAL, BIND, EXISTS, filters — shared by SELECT/CONSTRUCT/ASK."""
-    acc = _join_patterns(triples, q.patterns) if q.patterns else None
+    meta = _wants_term_meta(q)
+    acc = _join_patterns(triples, q.patterns, with_meta=meta) if q.patterns else None
     for blk in q.union_groups:
         branch_dfs = []
         for br in blk:
-            b = _join_patterns(triples, br.patterns)
+            b = _join_patterns(triples, br.patterns, with_meta=meta)
             for ftoks in br.filters:  # branch-scoped filters
-                b = b.filter(_filter_expr(ftoks))
+                b = _apply_filter(b, ftoks)
             branch_dfs.append(b)
         # align branch columns: union over the block's full variable set,
         # absent variables become null bindings (SPARQL UNION semantics)
@@ -1050,7 +1206,8 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
         if acc is None:
             acc = blk_df
         else:
-            shared = sorted(set(acc.columns) & set(blk_df.columns))
+            blk_df = _drop_dup_meta(acc, blk_df)
+            shared = _shared_vars(acc, blk_df)
             acc = acc.join(blk_df, on=shared, how="inner") if shared else acc.crossJoin(blk_df)
     for sq in q.subqueries:
         # subquery (§12): evaluated bottom-up over the same model; only its
@@ -1101,24 +1258,25 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
     if acc is None:
         raise SparqlParseError("empty WHERE clause")
     for grp in q.optionals:
-        opt = _join_patterns(triples, grp.patterns)
+        opt = _join_patterns(triples, grp.patterns, with_meta=meta)
         for ftoks in grp.filters:
             # OPTIONAL-scoped filter: restrict the optional branch BEFORE
             # the left join so unmatched rows keep null bindings
-            opt = opt.filter(_filter_expr(ftoks))
-        shared = sorted(set(acc.columns) & set(opt.columns))
+            opt = _apply_filter(opt, ftoks)
+        opt = _drop_dup_meta(acc, opt)
+        shared = _shared_vars(acc, opt)
         acc = acc.join(opt, on=shared, how="left") if shared else acc.crossJoin(opt)
     for toks, alias in q.binds:
-        acc = acc.withColumn(alias, _bind_expr(toks))
+        acc = _ensure_meta(acc, toks).withColumn(alias, _bind_expr(toks))
     for neg, eg in q.exists_groups:
         # FILTER [NOT] EXISTS { … } → semi/anti join on the shared vars
         # (SPARQL substitution semantics for BOUND correlated variables;
         # rows with a null shared binding never match a semi join, which
         # matches EXISTS over solutions where the variable is bound)
-        sub = _join_patterns(triples, eg.patterns)
+        sub = _join_patterns(triples, eg.patterns, with_meta=meta)
         for ftoks in eg.filters:
-            sub = sub.filter(_filter_expr(ftoks))
-        shared = sorted(set(acc.columns) & set(sub.columns))
+            sub = _apply_filter(sub, ftoks)
+        shared = _shared_vars(acc, sub)
         if shared:
             acc = acc.join(
                 sub.select(*shared).distinct(),
@@ -1144,10 +1302,10 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
         # and dom(μ)∩dom(μ') ≠ ∅.  The subtrahend group is a plain BGP (+
         # filters), so its vars are always bound; nulls can only occur on
         # the accumulator side.
-        sub = _join_patterns(triples, mg.patterns)
+        sub = _join_patterns(triples, mg.patterns, with_meta=meta)
         for ftoks in mg.filters:
-            sub = sub.filter(_filter_expr(ftoks))
-        shared = sorted(set(acc.columns) & set(sub.columns))
+            sub = _apply_filter(sub, ftoks)
+        shared = _shared_vars(acc, sub)
         if not shared:
             continue  # disjoint domains: MINUS removes nothing
         if all(v in bound for v in shared):
@@ -1162,7 +1320,7 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
             overlap = overlap | F.col(v).isNotNull()
         acc = acc.join(sub2, on=compat & overlap, how="left_anti")
     for ftoks in q.filters:
-        acc = acc.filter(_filter_expr(ftoks))
+        acc = _apply_filter(acc, ftoks)
     return acc
 
 
@@ -1207,7 +1365,7 @@ def _select_result(model: DataFrame, q: SparqlQuery) -> DataFrame:
         grouped = acc.groupBy(*q.group_by) if q.group_by else acc.groupBy()
         out = grouped.agg(*aggs)
         for htoks in q.having:
-            out = out.filter(_filter_expr(htoks))
+            out = _apply_filter(out, htoks)
         proj = (q.select_vars or q.group_by) + [t[3] for t in q.aggregates]
         out = out.select(*proj)
     else:
