@@ -81,6 +81,10 @@ def _value_expr(tc: TripleConstraint, prefixes: dict[str, str]) -> str:
                 return f'"{v}"~'
             if k == "iri_stem":
                 return f"{_pname(v, prefixes)}~"
+            if k == "lang":
+                return f"@{v}"
+            if k == "lang_stem":
+                return f"@{v}~"
             return _pname(v, prefixes)
         toks = (["."] if tc.value_set_has_wildcard else []) + [
             _member(k, v) for k, v in tc.value_set

@@ -237,6 +237,7 @@ class _ShexParser:
                             raise ValueError("ShExC: `- .` is not a valid exclusion")
                         wild = True
                         continue
+
                     if ik == "string":
                         kind, val = "literal", _unquote(iv)
                     elif ik == "iri":
@@ -245,11 +246,17 @@ class _ShexParser:
                         kind, val = "iri", self.expand(iv)
                     elif ik == "num":
                         kind, val = "literal", iv
+                    elif ik == "langtag":
+                        # language member `@en`: any literal with that tag
+                        kind, val = "lang", iv[1:].lower()
                     else:
                         raise ValueError(f"ShExC: bad value-set member {iv!r}")
                     if self.peek() == ("punct", "~"):
                         self.next()
-                        kind = "literal_stem" if kind == "literal" else "iri_stem"
+                        kind = {
+                            "literal": "literal_stem",
+                            "lang": "lang_stem",
+                        }.get(kind, "iri_stem")
                     (excl if neg_member else vs).append((kind, val))
                 self.expect("]")
                 tc.value_set = vs

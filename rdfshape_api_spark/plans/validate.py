@@ -145,6 +145,15 @@ def _value_ok(
             if kind == "literal_stem":
                 # ShEx literal stem `"pfx"~`: lexical-form prefix match
                 return (F.col("obj_kind") == KIND_LITERAL) & F.col("obj_value").startswith(val)
+            if kind == "lang":
+                # language member `@en`: tag match, case-insensitive (BCP47)
+                return (F.col("obj_kind") == KIND_LITERAL) & (F.lower("obj_lang") == val)
+            if kind == "lang_stem":
+                # language stem `@en~`: tag itself or any extended subtag
+                lang = F.lower("obj_lang")
+                return (F.col("obj_kind") == KIND_LITERAL) & (
+                    (lang == val) | lang.startswith(val + "-")
+                )
             if kind == "iri_stem":
                 # ShEx IRI stem `<pfx>~` / `pn:~`
                 return (F.col("obj_kind") != KIND_LITERAL) & F.col("obj_value").startswith(val)

@@ -117,3 +117,50 @@ def test_shexc_roundtrip_stems():
     assert tc2.value_set_has_wildcard == tc.value_set_has_wildcard
     assert sorted(tc2.value_set) == sorted(tc.value_set)
     assert tc2.value_set_excl == tc.value_set_excl
+
+
+def test_language_members(spark):
+    out = _run(
+        spark,
+        f"PREFIX ex: <{E}>\nex:S {{ ex:v [ @en @fr ] }}",
+        [
+            (E + "a", E + "v", "literal", "hello", "en", None),
+            (E + "b", E + "v", "literal", "salut", "fr", None),
+            (E + "c", E + "v", "literal", "hallo", "de", None),
+            (E + "d", E + "v", "literal", "plain", None, None),
+            (E + "e", E + "v", "literal", "hi", "EN", None),  # case-insensitive
+        ],
+        "abcde",
+    )
+    assert out == {
+        "a": "conformant",
+        "b": "conformant",
+        "c": "nonconformant",
+        "d": "nonconformant",
+        "e": "conformant",
+    }
+
+
+def test_language_stem(spark):
+    out = _run(
+        spark,
+        f"PREFIX ex: <{E}>\nex:S {{ ex:v [ @en~ ] }}",
+        [
+            (E + "a", E + "v", "literal", "hi", "en", None),
+            (E + "b", E + "v", "literal", "howdy", "en-US", None),
+            (E + "c", E + "v", "literal", "enx", "enx", None),  # not a subtag
+        ],
+        "abc",
+    )
+    assert out == {"a": "conformant", "b": "conformant", "c": "nonconformant"}
+
+
+def test_language_member_roundtrip():
+    from rdfshape_api_spark.plans.convert import to_shexc
+
+    src = f"PREFIX ex: <{E}>\nex:S {{ ex:v [ @en @fr~ ] }}"
+    schema = parse_shexc(src)
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert tc.value_set == [("lang", "en"), ("lang_stem", "fr")]
+    schema2 = parse_shexc(to_shexc(schema))
+    assert schema2.shapes[E + "S"].constraints[0].value_set == tc.value_set
