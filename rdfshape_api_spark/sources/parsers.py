@@ -451,13 +451,32 @@ class _JsonLdParser:
             return ctx["@vocab"] + key
         return None
 
+    def resolve_iri(self, ref: str, ctx: dict) -> str:
+        """Expand ``ref`` via the context; a still-relative IRI resolves
+        against ``@base`` (RFC 3986 merge) when one is in scope."""
+        ex = self.expand(ref, ctx)
+        if ex is not None:
+            return ex
+        if _ABS_IRI.match(ref):
+            return ref
+        base = ctx.get("@base")
+        if isinstance(base, str) and base:
+            from urllib.parse import urljoin
+
+            return urljoin(base, ref)
+        return ref
+
     def node_id(self, node: dict, ctx: dict) -> str:
         nid = node.get("@id")
         if nid is None:
             return self.fresh_bnode()
         if nid.startswith("_:"):
             return nid
-        return self.expand(nid, ctx) or nid
+        return self.resolve_iri(nid, ctx)
+
+    def _term_def(self, key: str, ctx: dict) -> dict:
+        td = ctx.get(key)
+        return td if isinstance(td, dict) else {}
 
     def parse_node(self, node: dict, ctx: dict) -> str:
         local_ctx = dict(ctx)
@@ -479,15 +498,61 @@ class _JsonLdParser:
                 for n in nodes:
                     self.parse_node(n, local_ctx)
                 continue
+            if key == "@reverse":
+                # @reverse map: { pred: node(s) } with subject/object swapped
+                for rkey, rval in val.items():
+                    rpred = self.expand(rkey, local_ctx)
+                    if rpred is None:
+                        raise ValueError(f"cannot expand JSON-LD key {rkey!r}")
+                    rnodes = rval if isinstance(rval, list) else [rval]
+                    for rn in rnodes:
+                        if isinstance(rn, dict):
+                            child = (
+                                self.node_id(rn, local_ctx)
+                                if set(rn.keys()) <= {"@id"}
+                                else self.parse_node(rn, local_ctx)
+                            )
+                        else:
+                            child = self.resolve_iri(str(rn), local_ctx)
+                        s_kind = "bnode" if s_kind_val.startswith("_:") else "iri"
+                        self.triples.append((child, rpred, s_kind, s_kind_val, None, None))
+                continue
             pred = self.expand(key, local_ctx)
             if pred is None:
                 raise ValueError(f"cannot expand JSON-LD key {key!r}")
+            td = self._term_def(key, local_ctx)
+            if td.get("@container") == "@list" and isinstance(val, list):
+                # list coercion: a plain array under an @container:@list
+                # term IS the collection
+                self.emit_value(s_kind_val, pred, {"@list": val}, local_ctx, td)
+                continue
             values = val if isinstance(val, list) else [val]
             for v in values:
-                self.emit_value(s_kind_val, pred, v, local_ctx)
+                self.emit_value(s_kind_val, pred, v, local_ctx, td)
         return s_kind_val
 
-    def emit_value(self, subj: str, pred: str, v, ctx: dict):
+    def emit_value(self, subj: str, pred: str, v, ctx: dict, td: dict | None = None):
+        td = td or {}
+        if isinstance(v, str):
+            coerce = td.get("@type")
+            if coerce == "@id":
+                # term-level @type:@id coercion: the string IS an IRI ref
+                iri = self.resolve_iri(v, ctx)
+                kind = "bnode" if iri.startswith("_:") else "iri"
+                self.triples.append((subj, pred, kind, iri, None, None))
+                return
+            if isinstance(coerce, str):
+                dt = self.expand(coerce, ctx) or coerce
+                self.triples.append((subj, pred, "literal", v, None, dt))
+                return
+            # default language: term-level @language overrides the context
+            # default; an explicit null cancels it (JSON-LD 1.1 §4.2.2)
+            lang = td["@language"] if "@language" in td else ctx.get("@language")
+            if isinstance(lang, str):
+                self.triples.append((subj, pred, "literal", v, lang.lower(), None))
+                return
+            self.triples.append((subj, pred, "literal", v, None, None))
+            return
         if isinstance(v, dict):
             if "@list" in v:
                 # RDF collection: first/rest chain of fresh bnodes,
@@ -532,7 +597,7 @@ class _JsonLdParser:
                     self.triples.append((subj, pred, "bnode", ref, None, None))
                 else:
                     self.triples.append(
-                        (subj, pred, "iri", self.expand(ref, ctx) or ref, None, None)
+                        (subj, pred, "iri", self.resolve_iri(ref, ctx), None, None)
                     )
                 return
             # nested node object

@@ -183,3 +183,85 @@ def test_jsonld_nested_graph():
     assert ("http://e/a", RDF_TYPE, "iri", "http://e/T", None, None) in t
     assert ("http://e/a", "http://e/knows", "iri", "http://e/b", None, None) in t
     assert ("http://e/b", "http://e/name", "literal", "Bee", "en", None) in t
+
+
+def test_jsonld_type_id_coercion():
+    from rdfshape_api_spark.sources.parsers import parse_jsonld
+
+    doc = """{
+      "@context": {"ex": "http://e/", "knows": {"@id": "http://e/knows", "@type": "@id"}},
+      "@id": "ex:a", "knows": ["ex:b", "http://e/c"]
+    }"""
+    t = parse_jsonld(doc)
+    assert ("http://e/a", "http://e/knows", "iri", "http://e/b", None, None) in t
+    assert ("http://e/a", "http://e/knows", "iri", "http://e/c", None, None) in t
+
+
+def test_jsonld_datatype_coercion():
+    from rdfshape_api_spark.sources.parsers import parse_jsonld
+
+    doc = """{
+      "@context": {"ex": "http://e/", "xsd": "http://www.w3.org/2001/XMLSchema#",
+                   "born": {"@id": "ex:born", "@type": "xsd:date"}},
+      "@id": "ex:a", "born": "1990-01-02"
+    }"""
+    t = parse_jsonld(doc)
+    assert (
+        "http://e/a", "http://e/born", "literal", "1990-01-02", None,
+        "http://www.w3.org/2001/XMLSchema#date",
+    ) in t
+
+
+def test_jsonld_default_language_and_override():
+    from rdfshape_api_spark.sources.parsers import parse_jsonld
+
+    doc = """{
+      "@context": {"ex": "http://e/", "@language": "en",
+                   "name": "ex:name",
+                   "code": {"@id": "ex:code", "@language": null},
+                   "nom": {"@id": "ex:nom", "@language": "FR"}},
+      "@id": "ex:a", "name": "hello", "code": "X1", "nom": "bonjour"
+    }"""
+    t = parse_jsonld(doc)
+    assert ("http://e/a", "http://e/name", "literal", "hello", "en", None) in t
+    assert ("http://e/a", "http://e/code", "literal", "X1", None, None) in t
+    assert ("http://e/a", "http://e/nom", "literal", "bonjour", "fr", None) in t
+
+
+def test_jsonld_base_resolution():
+    from rdfshape_api_spark.sources.parsers import parse_jsonld
+
+    doc = """{
+      "@context": {"@base": "http://e/dir/", "ex": "http://e/",
+                   "link": {"@id": "ex:link", "@type": "@id"}},
+      "@id": "a", "link": [{"@id": "b"}, "../up"]
+    }"""
+    t = parse_jsonld(doc)
+    assert ("http://e/dir/a", "http://e/link", "iri", "http://e/dir/b", None, None) in t
+    assert ("http://e/dir/a", "http://e/link", "iri", "http://e/up", None, None) in t
+
+
+def test_jsonld_container_list():
+    from rdfshape_api_spark.sources.parsers import RDF_FIRST, RDF_NIL, RDF_REST, parse_jsonld
+
+    doc = """{
+      "@context": {"ex": "http://e/", "items": {"@id": "ex:items", "@container": "@list"}},
+      "@id": "ex:a", "items": ["x", "y"]
+    }"""
+    t = parse_jsonld(doc)
+    firsts = [x for x in t if x[1] == RDF_FIRST]
+    assert [x[3] for x in firsts] == ["x", "y"]
+    assert sum(1 for x in t if x[1] == RDF_REST and x[3] == RDF_NIL) == 1
+
+
+def test_jsonld_reverse():
+    from rdfshape_api_spark.sources.parsers import parse_jsonld
+
+    doc = """{
+      "@context": {"ex": "http://e/"},
+      "@id": "ex:a",
+      "@reverse": {"ex:parentOf": [{"@id": "ex:kid1"}, {"@id": "ex:kid2"}]}
+    }"""
+    t = parse_jsonld(doc)
+    assert ("http://e/kid1", "http://e/parentOf", "iri", "http://e/a", None, None) in t
+    assert ("http://e/kid2", "http://e/parentOf", "iri", "http://e/a", None, None) in t
