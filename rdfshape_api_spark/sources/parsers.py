@@ -738,10 +738,11 @@ def parse_rdfxml(content: str) -> list[Triple]:
     serializer output — ``rdf:Description``/typed node elements with
     ``rdf:about``/``rdf:ID``/``rdf:nodeID``/anonymous, property elements
     with ``rdf:resource``/``rdf:nodeID``/``rdf:datatype``/``xml:lang``,
-    nested node elements, ``rdf:parseType="Resource"``, and ``xml:base``
-    resolution (document-level and element-scoped; ``rdf:ID`` → base +
-    ``#id``, relative ``rdf:about``/``rdf:resource`` resolved per RDF/XML
-    §5.1.4).  Reification, containers, and rdf:li are out of subset."""
+    nested node elements, ``rdf:parseType`` Resource/Collection/Literal,
+    containers via ``rdf:li`` → ``rdf:_n`` numbering, property-element
+    ``rdf:ID`` reification, and ``xml:base`` resolution (document-level
+    and element-scoped; ``rdf:ID`` → base + ``#id``, relative
+    ``rdf:about``/``rdf:resource`` resolved per RDF/XML §5.1.4)."""
     import xml.etree.ElementTree as ET
     from urllib.parse import urljoin
 
@@ -791,22 +792,30 @@ def parse_rdfxml(content: str) -> list[Triple]:
             if k_iri.startswith(_RDF_NS) or k_iri.startswith(_XML_NS):
                 continue
             triples.append((subj, k_iri, "literal", v, None, None))
+        li_n = 0
         for prop in el:
             pbase = prop.get(f"{{{_XML_NS}}}base", base)
             pred = expand(prop.tag)
+            if pred == _RDF_NS + "li":
+                # container membership shorthand: rdf:li → rdf:_1, rdf:_2 …
+                # numbered per parent element (RDF/XML §7.4)
+                li_n += 1
+                pred = f"{_RDF_NS}_{li_n}"
             res = prop.get(f"{{{_RDF_NS}}}resource")
             nid = prop.get(f"{{{_RDF_NS}}}nodeID")
             dt = prop.get(f"{{{_RDF_NS}}}datatype")
             lang = prop.get(f"{{{_XML_NS}}}lang")
             ptype = prop.get(f"{{{_RDF_NS}}}parseType")
             children = list(prop)
+            # each branch determines the statement's object term; the main
+            # triple (and optional reification quad) is appended after —
+            # triple order in the output list carries no meaning
             if res is not None:
-                triples.append((subj, pred, "iri", resolve(res, pbase), None, None))
+                obj_term = ("iri", resolve(res, pbase), None, None)
             elif nid is not None:
-                triples.append((subj, pred, "bnode", f"_:{nid}", None, None))
+                obj_term = ("bnode", f"_:{nid}", None, None)
             elif ptype == "Resource":
                 b = fresh()
-                triples.append((subj, pred, "bnode", b, None, None))
                 for sub in children:
                     # properties directly under the parseType=Resource blank node
                     sp = expand(sub.tag)
@@ -818,16 +827,56 @@ def parse_rdfxml(content: str) -> list[Triple]:
                             (b, sp, "literal", sub.text or "",
                              None, sub.get(f"{{{_RDF_NS}}}datatype"))
                         )
+                obj_term = ("bnode", b, None, None)
+            elif ptype == "Collection":
+                # children are node elements forming an RDF list (§7.2.19)
+                if not children:
+                    obj_term = ("iri", _RDF_NS + "nil", None, None)
+                else:
+                    head = fresh()
+                    cur = head
+                    for i, sub in enumerate(children):
+                        item = walk_node(sub, pbase)
+                        ikind = "bnode" if item.startswith("_:") else "iri"
+                        triples.append((cur, _RDF_NS + "first", ikind, item, None, None))
+                        if i == len(children) - 1:
+                            triples.append(
+                                (cur, _RDF_NS + "rest", "iri", _RDF_NS + "nil", None, None)
+                            )
+                        else:
+                            nxt = fresh()
+                            triples.append((cur, _RDF_NS + "rest", "bnode", nxt, None, None))
+                            cur = nxt
+                    obj_term = ("bnode", head, None, None)
+            elif ptype == "Literal":
+                # XML literal: the element's inner XML, verbatim (§7.2.17)
+                import xml.etree.ElementTree as _ET
+
+                inner = (prop.text or "") + "".join(
+                    _ET.tostring(c, encoding="unicode") for c in children
+                )
+                obj_term = ("literal", inner, None, _RDF_NS + "XMLLiteral")
             elif children:
                 child = children[0]
                 obj = walk_node(child, pbase)
                 kind = "bnode" if obj.startswith("_:") else "iri"
-                triples.append((subj, pred, kind, obj, None, None))
+                obj_term = (kind, obj, None, None)
             else:
-                triples.append(
-                    (subj, pred, "literal", prop.text or "",
-                     lang.lower() if lang else None, dt)
+                obj_term = (
+                    "literal", prop.text or "", lang.lower() if lang else None, dt
                 )
+            triples.append((subj, pred, *obj_term))
+            rid = prop.get(f"{{{_RDF_NS}}}ID")
+            if rid is not None:
+                # property-element rdf:ID reifies the statement (§7.3)
+                stmt = f"{(pbase or '').split('#', 1)[0]}#{rid}"
+                s_kind = "bnode" if subj.startswith("_:") else "iri"
+                triples.extend([
+                    (stmt, _RDF_NS + "type", "iri", _RDF_NS + "Statement", None, None),
+                    (stmt, _RDF_NS + "subject", s_kind, subj, None, None),
+                    (stmt, _RDF_NS + "predicate", "iri", pred, None, None),
+                    (stmt, _RDF_NS + "object", *obj_term),
+                ])
         return subj
 
     doc_base = root.get(f"{{{_XML_NS}}}base")

@@ -265,3 +265,76 @@ def test_jsonld_reverse():
     t = parse_jsonld(doc)
     assert ("http://e/kid1", "http://e/parentOf", "iri", "http://e/a", None, None) in t
     assert ("http://e/kid2", "http://e/parentOf", "iri", "http://e/a", None, None) in t
+
+
+RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_rdfxml_container_li():
+    from rdfshape_api_spark.sources.parsers import parse_rdfxml
+
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://e/">
+      <ex:Thing rdf:about="http://e/a">
+        <ex:tags><rdf:Bag>
+          <rdf:li>x</rdf:li>
+          <rdf:li>y</rdf:li>
+        </rdf:Bag></ex:tags>
+      </ex:Thing>
+    </rdf:RDF>"""
+    t = parse_rdfxml(doc)
+    bag = next(x[3] for x in t if x[1] == "http://e/tags")
+    assert (bag, RDFNS + "type", "iri", RDFNS + "Bag", None, None) in t
+    assert (bag, RDFNS + "_1", "literal", "x", None, None) in t
+    assert (bag, RDFNS + "_2", "literal", "y", None, None) in t
+
+
+def test_rdfxml_parsetype_collection():
+    from rdfshape_api_spark.sources.parsers import parse_rdfxml
+
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://e/a">
+        <ex:items rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://e/x"/>
+          <rdf:Description rdf:about="http://e/y"/>
+        </ex:items>
+      </rdf:Description>
+    </rdf:RDF>"""
+    t = parse_rdfxml(doc)
+    firsts = [x for x in t if x[1] == RDFNS + "first"]
+    assert sorted(x[3] for x in firsts) == ["http://e/x", "http://e/y"]
+    assert any(x[1] == RDFNS + "rest" and x[3] == RDFNS + "nil" for x in t)
+
+
+def test_rdfxml_parsetype_literal():
+    from rdfshape_api_spark.sources.parsers import parse_rdfxml
+
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://e/a">
+        <ex:note rdf:parseType="Literal">hi <b>bold</b></ex:note>
+      </rdf:Description>
+    </rdf:RDF>"""
+    t = parse_rdfxml(doc)
+    note = next(x for x in t if x[1] == "http://e/note")
+    assert note[2] == "literal" and note[5] == RDFNS + "XMLLiteral"
+    assert "hi" in note[3] and "<b>bold</b>" in note[3]
+
+
+def test_rdfxml_property_reification():
+    from rdfshape_api_spark.sources.parsers import parse_rdfxml
+
+    doc = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+                      xmlns:ex="http://e/" xml:base="http://e/doc">
+      <rdf:Description rdf:about="http://e/a">
+        <ex:says rdf:ID="st1">hello</ex:says>
+      </rdf:Description>
+    </rdf:RDF>"""
+    t = parse_rdfxml(doc)
+    assert ("http://e/a", "http://e/says", "literal", "hello", None, None) in t
+    stmt = "http://e/doc#st1"
+    assert (stmt, RDFNS + "type", "iri", RDFNS + "Statement", None, None) in t
+    assert (stmt, RDFNS + "subject", "iri", "http://e/a", None, None) in t
+    assert (stmt, RDFNS + "predicate", "iri", "http://e/says", None, None) in t
+    assert (stmt, RDFNS + "object", "literal", "hello", None, None) in t
