@@ -672,6 +672,37 @@ def _q_shacl_qualified(spark, sf_dir):
     )
 
 
+# SHACL-SPARQL constraint over the sensor model (sh:sparql → sh:select
+# with $this): a Reading is inconsistent when a cold temperature carries
+# an "OK" status.  Evaluated set-based: ONE distributed query with ?this
+# free, doc-scoped by threading the document id through every BGP join
+# (plans/sparql.sparql_violators) — no per-focus-node loop.
+SHACL_SPARQL_SENSOR = f"""\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{EX}> .
+
+ex:ConsistentReading a sh:NodeShape ;
+  sh:targetClass ex:Reading ;
+  sh:sparql [
+    sh:message "cold reading marked OK" ;
+    sh:select \"\"\"SELECT ?this WHERE {{
+      ?this ex:readingTemperature ?t .
+      ?this ex:status ?st .
+      FILTER (?t < 19.0 && ?st = "OK")
+    }}\"\"\" ;
+  ] .
+"""
+
+
+def _q_shacl_sparql(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _rdf_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_SPARQL_SENSOR)).select(
+        "doc_sha256", "node", "status"
+    )
+
+
 # SHACL sequence path over the social graph: every Person must know
 # somebody with an email (path ex:knows/ex:email, focus-seeded
 # reachability join — plans/paths.py)
@@ -913,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_sparql_group_concat": _q_sparql_group_concat,  # Q1 GROUP_CONCAT/SAMPLE
         "rdf_sparql_describe": _q_sparql_describe,         # Q1 DESCRIBE form
         "rdf_shacl_qualified": _q_shacl_qualified,         # §2.7 sh:qualifiedValueShape
+        "rdf_shacl_sparql": _q_shacl_sparql,               # §2.7 SHACL-SPARQL (sh:sparql)
         "social_shacl_pair_equals": _q_shacl_pair_equals,  # §2.7 sh:equals pair
         "rdf_shacl_xone": _q_shacl_xone,                   # §2.7 sh:xone
         "rdf_shacl_hasvalue": _q_shacl_hasvalue,           # §2.7 sh:hasValue
@@ -1189,6 +1221,27 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT a, b FROM r
             )
         """,
+        "rdf_shacl_sparql": f"""
+            -- SHACL-SPARQL verdict twin: targets = Readings per doc;
+            -- violators = focus nodes where the constraint query (cold
+            -- temp AND status OK, doc-scoped) has a solution
+            WITH m AS (SELECT DISTINCT doc_sha256, subj, pred, obj_kind,
+                              obj_value, obj_lang, obj_datatype FROM {_T}),
+            tgt AS (SELECT DISTINCT doc_sha256, subj FROM m
+                    WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                      AND obj_value = '{ex}Reading'),
+            viol AS (SELECT DISTINCT t.doc_sha256, t.subj
+                     FROM m t JOIN m s
+                       ON s.doc_sha256 = t.doc_sha256 AND s.subj = t.subj
+                     WHERE t.pred = '{ex}readingTemperature'
+                       AND TRY_CAST(t.obj_value AS DOUBLE) < 19.0
+                       AND s.pred = '{ex}status' AND s.obj_value = 'OK')
+            SELECT tgt.doc_sha256, tgt.subj AS node,
+                   CASE WHEN v.subj IS NULL THEN 'conformant'
+                        ELSE 'nonconformant' END AS status
+            FROM tgt LEFT JOIN viol v
+              ON v.doc_sha256 = tgt.doc_sha256 AND v.subj = tgt.subj
+        """,
         "rdf_shacl_qualified": f"""
             -- sh:qualifiedValueShape: count values inside [18,20]; verdict
             -- is count >= qualifiedMinCount(2); other values never violate
@@ -1435,7 +1488,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
         """,
-        "text_redact": """
+        "text_redact": r"""
             -- identical RE2-safe patterns as functions/textops.py redact_pii;
             -- IPv4 replaced BEFORE phone (phone pattern matches inside
             -- digit-grouped dotted IPs), counts from each step's input

@@ -112,6 +112,11 @@ class Shape:
     target_node: list[str] = field(default_factory=list)
     target_subjects_of: list[str] = field(default_factory=list)
     target_objects_of: list[str] = field(default_factory=list)
+    # SHACL-SPARQL constraints (sh:sparql → sh:select): each entry is
+    # (select_query_text, message) with ``$this`` still in the text — the
+    # evaluator rewrites it to ?this and computes the violator set with ONE
+    # distributed query per constraint (no per-focus-node loop)
+    sparql_selects: list[tuple[str, str | None]] = field(default_factory=list)
 
 
 @dataclass

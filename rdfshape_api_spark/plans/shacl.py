@@ -54,12 +54,7 @@ _NODEKIND = {
     SH + "BlankNodeOrIRI": "nonliteral",
 }
 
-_UNSUPPORTED = {
-    SH + p
-    for p in (
-        "sparql",
-    )
-}
+_UNSUPPORTED: set[str] = set()
 
 
 class _Graph:
@@ -186,6 +181,28 @@ def _parse_path(g: "_Graph", pk: str, pv: str) -> tuple[str | None, bool, PathNo
     return None, False, ast
 
 
+def _read_sparql_constraint(
+    g: "_Graph", cnode: str, doc_prefixes: dict[str, str]
+) -> tuple[str, str | None]:
+    """One ``sh:sparql`` constraint: the ``sh:select`` query text with a
+    PREFIX header assembled from ``sh:prefixes``/``sh:declare`` plus (as a
+    documented convenience the reference's TopBraid engine also extends)
+    the shapes document's own prefix map."""
+    sel = g.obj1(cnode, SH + "select")
+    if sel is None:
+        raise ValueError("SHACL: sh:sparql constraint requires sh:select")
+    msg = g.obj1(cnode, SH + "message")
+    decls = dict(doc_prefixes)
+    for _, ont, _, _ in g.objs(cnode, SH + "prefixes"):
+        for _, d, _, _ in g.objs(ont, SH + "declare"):
+            px = g.obj1(d, SH + "prefix")
+            ns = g.obj1(d, SH + "namespace")
+            if px is not None and ns is not None:
+                decls[px[1]] = ns[1]
+    header = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in decls.items())
+    return header + sel[1], (msg[1] if msg is not None else None)
+
+
 def parse_shacl(text: str) -> CompiledSchema:
     """Parse a SHACL shapes graph (Turtle) into the shared constraint IR."""
     triples = parse_turtle(text)
@@ -210,6 +227,8 @@ def parse_shacl(text: str) -> CompiledSchema:
         shape.closed = bool(closed and closed[1] == "true")
         if (ig := g.obj1(s, SH + "ignoredProperties")) is not None:
             shape.ignored = [val for _, val, _, _ in g.rdf_list(ig[1])]
+        for _, cnode, _, _ in g.objs(s, SH + "sparql"):
+            shape.sparql_selects.append(_read_sparql_constraint(g, cnode, prefixes))
         # (qualified constraint, disjoint flag) per sh:qualifiedValueShape —
         # sibling wiring for sh:qualifiedValueShapesDisjoint happens after
         # the property-shape loop, when all siblings exist
@@ -219,6 +238,10 @@ def parse_shacl(text: str) -> CompiledSchema:
             for bad in g.spo.get(pshape, {}):
                 if bad in _UNSUPPORTED:
                     raise ValueError(f"SHACL: unsupported constraint {bad}")
+            # property-shape sh:sparql: $this is still the focus node of
+            # the enclosing node shape — same evaluation path
+            for _, cnode, _, _ in g.objs(pshape, SH + "sparql"):
+                shape.sparql_selects.append(_read_sparql_constraint(g, cnode, prefixes))
             path = g.obj1(pshape, SH + "path")
             if path is None:
                 raise ValueError(f"SHACL: property shape {pshape} has no sh:path")

@@ -1000,6 +1000,12 @@ def _pattern_df(
     out_cols: list[F.Column] = []
     vars_: list[str] = []
     cond = F.lit(True)
+    if "_g_doc" in df.columns:
+        # per-document dataset scoping (sh:sparql evaluation): the doc id
+        # rides along as a pseudo-variable, so every BGP join — including
+        # EXISTS/MINUS sub-joins — stays inside one document's graph
+        vars_.append("_g_doc")
+        out_cols.append(F.col("_g_doc"))
     if pat.subj.startswith("?"):
         vars_.append(pat.subj[1:])
         out_cols.append(F.col("subj").alias(pat.subj[1:]))
@@ -1381,6 +1387,39 @@ def _select_result(model: DataFrame, q: SparqlQuery) -> DataFrame:
     if q.limit is not None:
         out = out.limit(q.limit)
     return out
+
+
+def sparql_violators(triples: DataFrame, query_text: str) -> DataFrame:
+    """SHACL-SPARQL constraint evaluation (``sh:select`` with ``$this``):
+    the violator set ``(doc_sha256, node)`` from ONE distributed query.
+
+    ``$this`` is left free (rewritten to ``?this``) and the query runs over
+    every document's graph at once; per-document scoping comes from
+    threading the doc id through every BGP join as the ``_g_doc``
+    pseudo-variable — the set-based equivalent of the spec's per-focus-node
+    evaluation, with no driver-side loop.  Subset: property paths and
+    subqueries inside the constraint query are rejected (their solution
+    tables don't carry the document id)."""
+    q = parse_sparql(query_text.replace("$this", "?this"))
+    pattern_lists = [q.patterns]
+    pattern_lists += [br.patterns for blk in q.union_groups for br in blk]
+    pattern_lists += [grp.patterns for grp in q.optionals]
+    pattern_lists += [eg.patterns for _, eg in q.exists_groups]
+    pattern_lists += [mg.patterns for mg in q.minus_groups]
+    if any(p.path is not None for pl in pattern_lists for p in pl):
+        raise SparqlParseError("sh:sparql subset: property paths not supported")
+    if q.subqueries:
+        raise SparqlParseError("sh:sparql subset: subqueries not supported")
+    model = triples.select(
+        F.col("doc_sha256").alias("_g_doc"),
+        "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype",
+    ).distinct()
+    sol = _solutions(model, q)
+    if "this" not in sol.columns:
+        raise SparqlParseError("sh:sparql constraint query must bind $this")
+    return sol.select(
+        F.col("_g_doc").alias("doc_sha256"), F.col("this").alias("node")
+    ).distinct()
 
 
 def _term_kind(col: F.Column) -> F.Column:

@@ -925,6 +925,43 @@ def validate_batch(
     return out.select("doc_sha256", "node", "shape_id", "status", "reasons")
 
 
+def _apply_sparql_constraints(v: DataFrame, sh: Shape, triples: DataFrame) -> DataFrame:
+    """Overlay SHACL-SPARQL verdicts: a focus node with any solution from a
+    ``sh:sparql`` constraint query flips to nonconformant, its messages
+    appended to ``reasons``.  One distributed query + one (doc, node) join
+    per constraint — the violator set is tiny relative to the store, so
+    this joins on the same keys the verdict table already carries.
+    Applied at the target/root level (referenced-shape conformance uses the
+    core constraint semantics only, like the shaclex engine the reference
+    wraps — SHACL-SPARQL is the TopBraid extension surface)."""
+    from rdfshape_api_spark.plans.sparql import sparql_violators
+
+    viol: DataFrame | None = None
+    for qt, msg in sh.sparql_selects:
+        d = sparql_violators(triples, qt).withColumn(
+            "__smsg", F.lit(msg or "sh:sparql constraint violated")
+        )
+        viol = d if viol is None else viol.unionByName(d)
+    agg = viol.groupBy("doc_sha256", "node").agg(
+        F.array_sort(F.collect_set("__smsg")).alias("__smsgs")
+    )
+    hit = F.col("__smsgs").isNotNull()
+    return (
+        v.join(agg, ["doc_sha256", "node"], "left")
+        .withColumn(
+            "status",
+            F.when(hit, F.lit(STATUS_NONCONFORMANT)).otherwise(F.col("status")),
+        )
+        .withColumn(
+            "reasons",
+            F.when(hit, F.concat(F.col("reasons"), F.col("__smsgs"))).otherwise(
+                F.col("reasons")
+            ),
+        )
+        .drop("__smsgs")
+    )
+
+
 def validate(
     triples: DataFrame,
     schema: CompiledSchema,
@@ -1079,6 +1116,9 @@ def validate(
             # fixed-node shapemaps stay on the pruning pre-join
             broad = any(a.kind == "query" for a in assocs if a.shape == sid)
         v = evaluate_shape(triples, schema, sid, focus, conformant_refs, broad_focus=broad)
+        sh = schema.shapes.get(sid)
+        if sh is not None and sh.sparql_selects:
+            v = _apply_sparql_constraints(v, sh, focus_src)
         label = shape_label if (shape_label and len(work) == 1) else sid
         outs.append(v.withColumn("shape_id", F.lit(label)))
     out = outs[0]
