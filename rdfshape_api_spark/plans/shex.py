@@ -3,12 +3,17 @@
 Covers the ShExC subset the reference exercises (its example schema at
 ``docs/api-usage/streaming.md:92`` plus the shexs entry point contract at
 ``SchemaValidate.scala:97-108``): PREFIX/BASE, shape declarations, triple
-constraints with datatype / value set / node kind / numeric & string facets
-/ shape references, cardinalities ``? * + {m} {m,n} {m,}``, CLOSED and
-EXTRA modifiers, ``a`` keyword, comments.
+constraints with datatype / node kind / numeric & string facets / shape
+references, value sets incl. IRI/literal/language stems (``~``), language
+members (``@en``), wildcard (``.``) and exclusions (``- m``), OR/AND/NOT
+value expressions, OneOf (``|``) alternatives, repeated-property EachOf,
+cardinalities ``? * + {m} {m,n} {m,}``, CLOSED and EXTRA modifiers,
+recursion (greatest fixpoint) with stratified negation, ``a`` keyword,
+comments.
 
-Out of subset (rejected with a clear error, SURVEY §7.3): AND/OR/NOT shape
-expressions, semantic actions, negated/stratified recursion, IMPORT.
+Out of subset (rejected with a clear error, SURVEY §7.3): semantic
+actions, negated references inside a reference cycle (non-stratifiable),
+IMPORT.
 """
 
 from __future__ import annotations

@@ -4,11 +4,14 @@ Reference: ``DataQuery.dataQuery`` delegates SELECT execution to Jena ARQ
 (``modules/server/.../data/logic/operations/DataQuery.scala:51-63``;
 ``MergedModels.querySelect`` :131-132).  The reference query surface at the
 API is "any SPARQL the request model can answer"; our engine compiles the
-subset the fixtures/test queries use — BGP + FILTER (group-scoped) +
-OPTIONAL + UNION + BIND + VALUES + DISTINCT + GROUP BY/aggregates +
-HAVING + ORDER BY + LIMIT/OFFSET — into DataFrame self-joins over the
-triples view (SURVEY §2.5 J6), leaning on Catalyst/AQE for join order and
-strategy.
+subset the fixtures/test queries use — BGP + FILTER (group-scoped, incl.
+[NOT] EXISTS) + MINUS + OPTIONAL + UNION + BIND + VALUES + subqueries +
+property paths (``^ / | + * ?``) + DISTINCT + GROUP BY/aggregates +
+HAVING + ORDER BY + LIMIT/OFFSET, with SELECT/CONSTRUCT/ASK/DESCRIBE
+forms and the §17.4 builtins (string/numeric/hash/datetime accessors,
+LANG/DATATYPE/LANGMATCHES over term-metadata sidecar columns) — into
+DataFrame self-joins over the triples view (SURVEY §2.5 J6), leaning on
+Catalyst/AQE for join order and strategy.
 
 Compilation scheme:
 * each triple pattern → a filtered projection of the triples DF with one
@@ -667,6 +670,9 @@ _EXPR_FUNCS = {
     "CEIL", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS", "BOUND",
     "ISIRI", "ISURI", "ISLITERAL", "ISBLANK",
     "LANG", "DATATYPE", "LANGMATCHES",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+    "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
+    "ENCODE_FOR_URI", "ISNUMERIC", "SAMETERM", "IRI", "URI",
 }
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
 
@@ -796,6 +802,36 @@ def _compile_expr(toks: list[str]) -> F.Column:
             return F.endswith(s(cols[0]), s(cols[1])), False
         if up == "BOUND":
             return cols[0].isNotNull(), False
+        if up in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            # §17.4.5 date/time accessors over xsd:dateTime lexical forms —
+            # try_cast keeps malformed values null (error semantics)
+            ts = s(cols[0]).try_cast("timestamp")
+            fn = {
+                "YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth,
+                "HOURS": F.hour, "MINUTES": F.minute, "SECONDS": F.second,
+            }[up]
+            return fn(ts), True
+        if up in ("MD5", "SHA1", "SHA256", "SHA384", "SHA512"):
+            if up == "MD5":
+                return F.md5(s(cols[0])), False
+            if up == "SHA1":
+                return F.sha1(s(cols[0])), False
+            return F.sha2(s(cols[0]), int(up[3:])), False
+        if up == "ENCODE_FOR_URI":
+            # url_encode is form-encoding (space → '+'); SPARQL §17.4.3.4
+            # percent-encodes
+            return F.regexp_replace(F.url_encode(s(cols[0])), r"\+", "%20"), False
+        if up == "ISNUMERIC":
+            return d(cols[0]).isNotNull(), False
+        if up == "SAMETERM":
+            # string bindings: term identity collapses to value equality
+            # (the documented subset representation)
+            return s(cols[0]).eqNullSafe(s(cols[1])), False
+        if up in ("IRI", "URI"):
+            # bindings carry IRIs as plain strings — IRI() is the identity
+            # on the lexical form (relative resolution needs a base; none
+            # in the merged-model subset)
+            return s(cols[0]), False
         if up == "LANGMATCHES":
             # RFC 4647 basic filtering: "*" matches any non-empty tag;
             # otherwise exact tag or extended-subtag prefix, case-insensitive

@@ -120,3 +120,68 @@ def test_lang_in_optional_and_union(spark):
             }""",
     )
     assert {r["s"] for r in out.collect()} == {EX + "a", EX + "b", EX + "c"}
+
+
+def test_datetime_accessors(spark):
+    tri = spark.createDataFrame(
+        [(EX + "a", EX + "when", "literal", "2024-03-05T12:34:56", None, XSD + "dateTime")],
+        COLS,
+    )
+    out = sparql_select(
+        tri,
+        PREFIX
+        + """SELECT ?y ?mo ?d ?h ?mi ?s WHERE {
+            ?x ex:when ?w .
+            BIND(YEAR(?w) AS ?y) BIND(MONTH(?w) AS ?mo) BIND(DAY(?w) AS ?d)
+            BIND(HOURS(?w) AS ?h) BIND(MINUTES(?w) AS ?mi) BIND(SECONDS(?w) AS ?s)
+          }""",
+    ).collect()[0]
+    assert (out["y"], out["mo"], out["d"], out["h"], out["mi"], out["s"]) == (
+        2024, 3, 5, 12, 34, 56,
+    )
+
+
+def test_hash_and_encode_builtins(spark):
+    tri = spark.createDataFrame(
+        [(EX + "a", EX + "v", "literal", "abc def", None, None)], COLS
+    )
+    out = sparql_select(
+        tri,
+        PREFIX
+        + """SELECT ?m ?s1 ?s256 ?e WHERE {
+            ?x ex:v ?v .
+            BIND(MD5(?v) AS ?m) BIND(SHA1(?v) AS ?s1) BIND(SHA256(?v) AS ?s256)
+            BIND(ENCODE_FOR_URI(?v) AS ?e)
+          }""",
+    ).collect()[0]
+    import hashlib
+
+    assert out["m"] == hashlib.md5(b"abc def").hexdigest()
+    assert out["s1"] == hashlib.sha1(b"abc def").hexdigest()
+    assert out["s256"] == hashlib.sha256(b"abc def").hexdigest()
+    assert out["e"] == "abc%20def"
+
+
+def test_isnumeric_sameterm_iri(spark):
+    tri = spark.createDataFrame(
+        [
+            (EX + "a", EX + "v", "literal", "42", None, None),
+            (EX + "b", EX + "v", "literal", "nope", None, None),
+        ],
+        COLS,
+    )
+    out = sparql_select(
+        tri,
+        PREFIX + "SELECT ?x WHERE { ?x ex:v ?v . FILTER(ISNUMERIC(?v)) }",
+    )
+    assert {r["x"] for r in out.collect()} == {EX + "a"}
+    out2 = sparql_select(
+        tri,
+        PREFIX + "SELECT ?x WHERE { ?x ex:v ?v . FILTER(SAMETERM(?v, \"42\")) }",
+    )
+    assert {r["x"] for r in out2.collect()} == {EX + "a"}
+    out3 = sparql_select(
+        tri,
+        PREFIX + "SELECT ?i WHERE { ?x ex:v ?v . BIND(IRI(?x) AS ?i) }",
+    )
+    assert {r["i"] for r in out3.collect()} == {EX + "a", EX + "b"}
