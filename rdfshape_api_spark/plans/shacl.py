@@ -246,11 +246,11 @@ def parse_shacl(text: str) -> CompiledSchema:
             if path is None:
                 raise ValueError(f"SHACL: property shape {pshape} has no sh:path")
             pred, inverse, past = _parse_path(g, path[0], path[1])
-            if past is not None and shape.closed:
-                raise ValueError(
-                    "SHACL: sh:closed with non-trivial sh:path constraints "
-                    "is not supported in this subset"
-                )
+            # sh:closed + non-trivial paths: spec §4.8.1 — closedness ranges
+            # over the shape's IRI sh:path values ONLY, so a sequence/
+            # alternative/closure path contributes nothing to the allowed
+            # predicate set (the evaluator's `mentioned` already excludes
+            # path constraints); no reject needed
             tc = TripleConstraint(
                 pred=pred if past is None else path_display(past),
                 min_count=0,

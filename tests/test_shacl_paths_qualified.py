@@ -506,3 +506,39 @@ def test_closed_with_ignored_properties(spark):
     assert _verdicts(validate(tri, schema)) == {
         "t1": "conformant", "t2": "nonconformant"
     }
+
+
+def test_closed_with_sequence_path(spark):
+    # SHACL §4.8.1: sh:closed ranges over the IRI sh:path values only — a
+    # sequence-path property shape contributes nothing to the allowed set,
+    # so its first predicate must be explicitly allowed (here: ignored)
+    from rdfshape_api_spark.plans import validate
+    from rdfshape_api_spark.plans.shacl import parse_shacl
+
+    E = "http://e/"
+    shapes = f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{E}> .
+    ex:S a sh:NodeShape ;
+      sh:targetSubjectsOf ex:name ;
+      sh:closed true ;
+      sh:ignoredProperties ( ex:knows ) ;
+      sh:property [ sh:path ex:name ; sh:minCount 1 ] ;
+      sh:property [ sh:path ( ex:knows ex:email ) ; sh:minCount 1 ] .
+    """
+    cols = "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            # a: name + knows→b (b has email) → conformant (knows ignored)
+            ("d", E + "a", E + "name", "literal", "A", None, None),
+            ("d", E + "a", E + "knows", "iri", E + "b", None, None),
+            ("d", E + "b", E + "email", "literal", "b@x", None, None),
+            # c: extra unmentioned predicate ex:age → closed violation
+            ("d", E + "c", E + "name", "literal", "C", None, None),
+            ("d", E + "c", E + "knows", "iri", E + "b", None, None),
+            ("d", E + "c", E + "age", "literal", "9", None, None),
+        ],
+        cols,
+    )
+    out = {r["node"][-1]: r["status"] for r in validate(tri, parse_shacl(shapes)).collect()}
+    assert out == {"a": "conformant", "c": "nonconformant"}
