@@ -25,9 +25,10 @@ Non-trivial
 ``sh:path`` objects — sequence lists, ``sh:alternativePath``,
 ``sh:zeroOrMorePath`` / ``sh:oneOrMorePath`` / ``sh:zeroOrOnePath``, and
 nested ``sh:inversePath`` — compile to a path AST (plans/paths.py)
-evaluated by a focus-seeded reachability join.  Unsupported core features
-(sparql constraints, sh:closed with path constraints, disjoint siblings
-carrying sh:node/sh:class) raise with a clear message.
+evaluated by a focus-seeded reachability join.  ``sh:sparql``/``sh:select``
+constraints compile to set-based violator queries (plans/sparql.
+sparql_violators).  The remaining clean reject: disjoint qualified
+siblings carrying sh:node/sh:class over inverse or non-trivial paths.
 """
 
 from __future__ import annotations
@@ -406,18 +407,26 @@ def parse_shacl(text: str) -> CompiledSchema:
                 qvs_tcs.append((qtc, qtc_disjoint))
         # sh:qualifiedValueShapesDisjoint (spec §4.7): a value counts toward
         # a disjoint qualified constraint only if it conforms to NO sibling
-        # qualified value shape.  Sibling conformance is evaluated as a pure
-        # Column predicate over the value row, so siblings carrying shape
-        # references (sh:node / sh:class) stay out of this subset.
+        # qualified value shape.  Siblings carrying sh:node / sh:class are
+        # supported over direct forward paths — their conformance columns
+        # are attached in the same aggregation (plans/validate._sib_cols);
+        # inverse / non-trivial-path members would need the ref join on a
+        # different neighbourhood, so those stay a clean reject.
         for qtc, disjoint in qvs_tcs:
             if not disjoint:
                 continue
             sibs = [o for o, _ in qvs_tcs if o is not qtc]
             for sib in sibs:
-                if not _pure_value_predicate(sib):
+                if not _pure_value_predicate(sib) and (
+                    qtc.inverse
+                    or qtc.path is not None
+                    or sib.inverse
+                    or sib.path is not None
+                ):
                     raise ValueError(
-                        "SHACL: sh:qualifiedValueShapesDisjoint with sibling "
-                        "sh:node/sh:class qualified shapes is not supported"
+                        "SHACL: sh:qualifiedValueShapesDisjoint with "
+                        "sh:node/sh:class siblings is only supported over "
+                        "direct forward sh:path predicates"
                     )
             qtc.disjoint_siblings = sibs
         shapes[s] = shape

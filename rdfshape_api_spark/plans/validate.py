@@ -207,15 +207,20 @@ def _count_ok(
     disjunct_ref_cols: dict[int, str] | None = None,
     class_ok_col: str | None = None,
     disjunct_class_cols: dict[int, str] | None = None,
+    sib_cols: dict[int, tuple] | None = None,
 ) -> Column:
     """Value predicate used for the m-count aggregation: ``_value_ok`` plus
     sh:qualifiedValueShapesDisjoint sibling exclusions — a value counts
     toward a disjoint qualified constraint only if it conforms to NO
-    sibling qualified value shape (siblings are pure value predicates by
-    construction, enforced in plans/shacl.py)."""
+    sibling qualified value shape.  ``sib_cols`` maps sibling position →
+    the sibling's own (ref, disj_ref, class, disj_class) column names, so
+    siblings carrying sh:node / sh:class evaluate with their conformance
+    joins (the frontend restricts ref-carrying siblings to the forward
+    direct-path aggregation, where those columns are attached)."""
     ok = _value_ok(tc, ref_ok_col, disjunct_ref_cols, class_ok_col, disjunct_class_cols)
-    for sib in tc.disjoint_siblings or []:
-        ok = ok & ~F.coalesce(_value_ok(sib, None), F.lit(False))
+    for k, sib in enumerate(tc.disjoint_siblings or []):
+        rc, drc, cc, dcc = (sib_cols or {}).get(k, (None, None, None, None))
+        ok = ok & ~F.coalesce(_value_ok(sib, rc, drc, cc, dcc), F.lit(False))
     return ok
 
 
@@ -418,6 +423,24 @@ def evaluate_shape(
             fwd_reqs.extend(_ref_reqs(i, tc))
     nbr = _attach_refs(nbr, fwd_reqs)
 
+    def _sib_cols(tc: TripleConstraint) -> dict[int, tuple] | None:
+        """Per-sibling conformance column names for disjoint qualified
+        exclusions — siblings are members of flat_constraints, so their
+        ref/class columns were attached by the forward _ref_reqs pass."""
+        if not tc.disjoint_siblings:
+            return None
+        out: dict[int, tuple] = {}
+        for k, sib in enumerate(tc.disjoint_siblings):
+            j = next((jj for jj, c in enumerate(flat_constraints) if c is sib), None)
+            if j is not None:
+                out[k] = (
+                    ref_cols.get(j),
+                    disj_ref_cols.get(j),
+                    class_cols.get(j),
+                    disj_class_cols.get(j),
+                )
+        return out
+
     # constraints sharing (alternative, predicate) form a repeated-property
     # EachOf group: ShEx partition-matching semantics (each triple matched
     # by exactly one constraint).  Per group we aggregate counts of each
@@ -475,6 +498,7 @@ def evaluate_shape(
                         disj_ref_cols.get(i),
                         class_cols.get(i),
                         disj_class_cols.get(i),
+                        _sib_cols(tc),
                     ),
                     1,
                 ).otherwise(0)

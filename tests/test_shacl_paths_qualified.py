@@ -359,16 +359,18 @@ def test_qualified_disjoint_sibling_underflow(spark):
 
 
 def test_qualified_disjoint_sibling_with_node_ref_rejected(spark):
-    # disjoint sibling exclusion is a pure Column predicate — a sibling
-    # carrying sh:node needs the reference join and stays out of the subset
+    # sh:node siblings are supported over direct forward paths (see
+    # test_disjoint_qualified_with_node_refs); the remaining clean reject
+    # is a ref-carrying member over an inverse/non-trivial path, whose
+    # conformance join lives on a different neighbourhood
     with pytest.raises(ValueError, match="qualifiedValueShapesDisjoint"):
         parse_shacl(PFX + """
             ex:T a sh:NodeShape ; sh:property [ sh:path ex:q ; sh:minCount 0 ] .
             ex:S a sh:NodeShape ; sh:targetClass ex:C ;
-              sh:property [ sh:path ex:p ;
+              sh:property [ sh:path [ sh:inversePath ex:p ] ;
                             sh:qualifiedValueShape [ sh:node ex:T ] ;
                             sh:qualifiedMinCount 1 ] ;
-              sh:property [ sh:path ex:p ;
+              sh:property [ sh:path [ sh:inversePath ex:p ] ;
                             sh:qualifiedValueShape [ sh:pattern "x" ] ;
                             sh:qualifiedMinCount 1 ;
                             sh:qualifiedValueShapesDisjoint true ] .
@@ -542,3 +544,57 @@ def test_closed_with_sequence_path(spark):
     )
     out = {r["node"][-1]: r["status"] for r in validate(tri, parse_shacl(shapes)).collect()}
     assert out == {"a": "conformant", "c": "nonconformant"}
+
+
+def test_disjoint_qualified_with_node_refs(spark):
+    # spec §4.7 canonical example: a Person needs one parent conforming to
+    # MotherShape and one to FatherShape, disjoint — the same parent cannot
+    # count for both. Siblings carry sh:node, resolved via conformance
+    # joins in the same forward aggregation.
+    from rdfshape_api_spark.plans import validate
+    from rdfshape_api_spark.plans.shacl import parse_shacl
+
+    E = "http://e/"
+    shapes = f"""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <{E}> .
+    ex:PersonShape a sh:NodeShape ;
+      sh:targetSubjectsOf ex:parent ;
+      sh:property [ sh:path ex:parent ;
+        sh:qualifiedValueShape [ sh:node ex:MotherShape ] ;
+        sh:qualifiedMinCount 1 ; sh:qualifiedValueShapesDisjoint true ] ;
+      sh:property [ sh:path ex:parent ;
+        sh:qualifiedValueShape [ sh:node ex:FatherShape ] ;
+        sh:qualifiedMinCount 1 ; sh:qualifiedValueShapesDisjoint true ] .
+    ex:MotherShape a sh:NodeShape ;
+      sh:property [ sh:path ex:gender ; sh:minCount 1 ; sh:in ( "f" ) ] .
+    ex:FatherShape a sh:NodeShape ;
+      sh:property [ sh:path ex:gender ; sh:minCount 1 ; sh:in ( "m" ) ] .
+    """
+    cols = "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            # ok: two parents, one f one m
+            ("d", E + "ok", E + "parent", "iri", E + "mom", None, None),
+            ("d", E + "ok", E + "parent", "iri", E + "dad", None, None),
+            ("d", E + "mom", E + "gender", "literal", "f", None, None),
+            ("d", E + "dad", E + "gender", "literal", "m", None, None),
+            # twoMoms: both parents f → FatherShape count 0 → nonconformant
+            ("d", E + "twoMoms", E + "parent", "iri", E + "mom", None, None),
+            ("d", E + "twoMoms", E + "parent", "iri", E + "mom2", None, None),
+            ("d", E + "mom2", E + "gender", "literal", "f", None, None),
+            # both: single parent conforming to BOTH shapes (genders f and m)
+            # — disjointness excludes it from both counts → nonconformant
+            ("d", E + "amb", E + "parent", "iri", E + "fm", None, None),
+            ("d", E + "fm", E + "gender", "literal", "f", None, None),
+            ("d", E + "fm", E + "gender", "literal", "m", None, None),
+        ],
+        cols,
+    )
+    out = {
+        r["node"].rsplit("/", 1)[-1]: r["status"]
+        for r in validate(tri, parse_shacl(shapes)).collect()
+    }
+    assert out["ok"] == "conformant"
+    assert out["twoMoms"] == "nonconformant"
+    assert out["amb"] == "nonconformant"
