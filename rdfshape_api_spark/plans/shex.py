@@ -11,9 +11,10 @@ cardinalities ``? * + {m} {m,n} {m,}``, CLOSED and EXTRA modifiers,
 recursion (greatest fixpoint) with stratified negation, ``a`` keyword,
 comments.
 
-Out of subset (rejected with a clear error, SURVEY §7.3): semantic
-actions, negated references inside a reference cycle (non-stratifiable),
-IMPORT.
+Semantic actions (``%ext{…%}``) and annotations (``// pred value``) are
+parsed and dropped — the spec's no-op treatment for validators without
+the extension.  Out of subset (rejected with a clear error, SURVEY §7.3):
+negated references inside a reference cycle (non-stratifiable), IMPORT.
 """
 
 from __future__ import annotations
@@ -32,6 +33,8 @@ _TOK = re.compile(
     | (?P<atref>@(?:[A-Za-z0-9_][\w.-]*)?:[\w.%-]*|@<[^<>\s]*>)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<semact>%[A-Za-z_][\w.:-]*\{(?:[^%]|%(?!\}))*%\}|%[A-Za-z_][\w.:-]*%)
+    | (?P<annot>//)
     | (?P<punct>[{}\[\]();,.?*+|~^-])
     | (?P<pname>[A-Za-z0-9_][\w.-]*?:[\w.%-]*|:[\w.%-]*|[A-Za-z0-9_][\w.-]*:)
     | (?P<kw>[A-Za-z][A-Za-z0-9_-]*)
@@ -57,7 +60,11 @@ def _tokenize(text: str):
         if not m:
             raise ValueError(f"ShExC: unexpected character at offset {pos}: {text[pos:pos+20]!r}")
         pos = m.end()
-        if m.lastgroup in ("ws", "comment"):
+        if m.lastgroup in ("ws", "comment", "semact"):
+            # semantic actions (%ext{ code %} / %ext%) carry extension code
+            # the validator doesn't execute — the ShEx spec lets a validator
+            # without the extension treat them as no-ops, like the
+            # reference's shexs pass-through (SchemaValidate.scala:97-108)
             continue
         toks.append((m.lastgroup, m.group()))
     return toks
@@ -182,6 +189,22 @@ class _ShexParser:
         tc = TripleConstraint(pred=pred)
         self.parse_value_expr_or(tc)
         self.parse_cardinality(tc)
+        # annotations (`// pred value`): metadata with no validation
+        # semantics — parsed and dropped
+        while self.peek() == ("annot", "//"):
+            self.next()
+            if self.peek() == ("kw", "a"):
+                self.next()
+            else:
+                self.iri_or_pname()
+            ok, ov = self.next()  # the annotation object term
+            if ok == "string":
+                if self.peek()[0] == "langtag":
+                    self.next()
+                elif self.peek() == ("punct", "^"):
+                    self.expect("^")
+                    self.expect("^")
+                    self.iri_or_pname()
         return tc
 
     def parse_value_expr_or(self, tc: TripleConstraint):

@@ -164,3 +164,23 @@ def test_language_member_roundtrip():
     assert tc.value_set == [("lang", "en"), ("lang_stem", "fr")]
     schema2 = parse_shexc(to_shexc(schema))
     assert schema2.shapes[E + "S"].constraints[0].value_set == tc.value_set
+
+
+def test_semantic_actions_and_annotations_ignored(spark):
+    # semantic actions (%ext{...%}) and annotations (// pred value) carry
+    # no validation semantics — parsed and dropped
+    out = _run(
+        spark,
+        f"""PREFIX ex: <{E}>
+        ex:S {{
+          ex:v [ "GOOD" ] %js{{ return value.length > 2; %}}
+             // ex:comment "checked by extension"@en ;
+          ex:w . ? // ex:seeAlso ex:docs
+        }}""",
+        [
+            (E + "a", E + "v", "literal", "GOOD", None, None),
+            (E + "b", E + "v", "literal", "BAD", None, None),
+        ],
+        "ab",
+    )
+    assert out == {"a": "conformant", "b": "nonconformant"}
