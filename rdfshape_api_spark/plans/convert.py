@@ -120,6 +120,9 @@ def to_shexc(schema: CompiledSchema) -> str:
     lines = [f"PREFIX {p}: <{ns}>" for p, ns in sorted(schema.prefixes.items())]
     if lines:
         lines.append("")
+    if schema.start is not None:
+        lines.append(f"start = @{_pname(schema.start, schema.prefixes)}")
+        lines.append("")
     for sid in sorted(schema.shapes):
         sh = schema.shapes[sid]
         head = _pname(sid, schema.prefixes) if sid.startswith("http") else f"<{sid}>"

@@ -124,6 +124,9 @@ class CompiledSchema:
     engine: str  # "shex" | "shacl"
     shapes: dict[str, Shape]
     prefixes: dict[str, str]
+    # ShEx `start = @<Shape>` declaration; shapemaps may reference it as
+    # the shape label `@start`
+    start: str | None = None
 
     def shape(self, shape_id: str) -> Shape:
         return self.shapes[shape_id]

@@ -45,6 +45,10 @@ def _expand(term: str, prefixes: dict[str, str]) -> str:
         return term[1:-1]
     if term.startswith("_:"):
         return term
+    if term.lower() == "start":
+        # `node@start`: the schema's start shape — resolved against
+        # CompiledSchema.start by the validator
+        return "@start"
     pref, sep, local = term.partition(":")
     if sep and pref in prefixes:
         return prefixes[pref] + local

@@ -15,6 +15,7 @@ Semantic actions (``%ext{…%}``) and annotations (``// pred value``) are
 parsed and dropped — the spec's no-op treatment for validators without
 the extension.  Out of subset (rejected with a clear error, SURVEY §7.3):
 negated references inside a reference cycle (non-stratifiable), IMPORT.
+``start = @<Shape>`` is supported; shapemaps may use ``node@start``.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ _TOK = re.compile(
     | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
     | (?P<semact>%[A-Za-z_][\w.:-]*\{(?:[^%]|%(?!\}))*%\}|%[A-Za-z_][\w.:-]*%)
     | (?P<annot>//)
-    | (?P<punct>[{}\[\]();,.?*+|~^-])
+    | (?P<punct>[{}\[\]();,.?*+|~^=-])
     | (?P<pname>[A-Za-z0-9_][\w.-]*?:[\w.%-]*|:[\w.%-]*|[A-Za-z0-9_][\w.-]*:)
     | (?P<kw>[A-Za-z][A-Za-z0-9_-]*)
     """,
@@ -76,6 +77,7 @@ class _ShexParser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
+        self.start: str | None = None
         self.shapes: dict[str, Shape] = {}
 
     def peek(self):
@@ -123,10 +125,26 @@ class _ShexParser:
                 _, iri = self.next()
                 self.base = iri[1:-1]
                 continue
-            if k == "kw" and v.upper() in ("START", "IMPORT"):
+            if k == "kw" and v.upper() == "START":
+                # start = @<Shape> — the schema's default shape; shapemaps
+                # reference it as `@start`
+                self.next()
+                self.expect("=")
+                rk, rv = self.next()
+                if rk != "atref":
+                    raise ValueError(f"ShExC: start requires a shape reference, got {rv!r}")
+                ref = rv[1:]
+                self.start = ref[1:-1] if ref.startswith("<") else self.expand(ref)
+                continue
+            if k == "kw" and v.upper() == "IMPORT":
                 raise ValueError(f"ShExC: {v} not supported in this subset")
             self.parse_shape()
-        return CompiledSchema(engine="shex", shapes=self.shapes, prefixes=dict(self.prefixes))
+        return CompiledSchema(
+            engine="shex",
+            shapes=self.shapes,
+            prefixes=dict(self.prefixes),
+            start=self.start,
+        )
 
     def parse_shape(self):
         label = self.iri_or_pname()

@@ -1016,6 +1016,13 @@ def validate(
         assocs = (
             parse_shapemap(shapemap, schema.prefixes) if isinstance(shapemap, str) else shapemap
         )
+        for a in assocs:
+            if a.shape == "@start":
+                if schema.start is None:
+                    raise ValueError(
+                        "shapemap references @start but the schema declares no start shape"
+                    )
+                a.shape = schema.start
         work = [(s, None) for s in dict.fromkeys(a.shape for a in assocs)]
         focus_all = resolve_focus(focus_src, assocs)
     else:

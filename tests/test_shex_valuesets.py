@@ -184,3 +184,26 @@ def test_semantic_actions_and_annotations_ignored(spark):
         "ab",
     )
     assert out == {"a": "conformant", "b": "nonconformant"}
+
+
+def test_start_shape(spark):
+    from rdfshape_api_spark.plans.convert import to_shexc
+
+    src = f"""PREFIX ex: <{E}>
+    start = @ex:S
+    ex:S {{ ex:v [ "OK" ] }}"""
+    schema = parse_shexc(src)
+    assert schema.start == E + "S"
+    # shapemap `node@start` resolves to the declared start shape
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "OK", None, None),
+            (E + "b", E + "v", "literal", "NO", None, None),
+        ],
+    )
+    smap = f"<{E}a>@start, <{E}b>@start"
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant"}
+    # renderer round-trips the start declaration
+    assert parse_shexc(to_shexc(schema)).start == E + "S"
