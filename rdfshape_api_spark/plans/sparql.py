@@ -673,6 +673,7 @@ _EXPR_FUNCS = {
     "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
     "ENCODE_FOR_URI", "ISNUMERIC", "SAMETERM", "IRI", "URI",
+    "STRLANG", "STRDT",
 }
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
 
@@ -831,6 +832,12 @@ def _compile_expr(toks: list[str]) -> F.Column:
             # bindings carry IRIs as plain strings — IRI() is the identity
             # on the lexical form (relative resolution needs a base; none
             # in the merged-model subset)
+            return s(cols[0]), False
+        if up in ("STRLANG", "STRDT"):
+            # the VALUE is the lexical form; the constructed term's
+            # lang/datatype lives in sidecar columns when this call is the
+            # whole BIND expression (see _solutions) — nested uses keep the
+            # plain string
             return s(cols[0]), False
         if up == "LANGMATCHES":
             # RFC 4647 basic filtering: "*" matches any non-empty tag;
@@ -1203,6 +1210,30 @@ def _apply_filter(df: DataFrame, ftoks: list[str]) -> DataFrame:
     return _ensure_meta(df, ftoks).filter(_filter_expr(ftoks))
 
 
+def _constructed_term_meta(toks: list[str]) -> tuple[str, F.Column, F.Column] | None:
+    """When a BIND expression is a single top-level STRLANG/STRDT call,
+    return (kind, lang_expr, dt_expr) for the alias's sidecar columns so
+    downstream LANG()/DATATYPE() see the constructed term's metadata."""
+    if len(toks) < 4 or toks[0].upper() not in ("STRLANG", "STRDT"):
+        return None
+    if toks[1] != "(" or toks[-1] != ")":
+        return None
+    depth, split = 0, None
+    for i, t in enumerate(toks[2:-1], start=2):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif t == "," and depth == 0:
+            split = i
+    if split is None:
+        return None
+    arg2 = _compile_expr(toks[split + 1 : -1])
+    if toks[0].upper() == "STRLANG":
+        return "literal", F.lower(arg2.cast("string")), F.lit(None).cast("string")
+    return "literal", F.lit(None).cast("string"), arg2.cast("string")
+
+
 def _shared_vars(a: DataFrame, b: DataFrame) -> list[str]:
     """Join keys between two solution tables: shared *variable* columns —
     sidecar metadata never participates in join compatibility."""
@@ -1310,6 +1341,15 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
         acc = acc.join(opt, on=shared, how="left") if shared else acc.crossJoin(opt)
     for toks, alias in q.binds:
         acc = _ensure_meta(acc, toks).withColumn(alias, _bind_expr(toks))
+        ctm = _constructed_term_meta(toks)
+        if ctm is not None:
+            kind, lang_e, dt_e = ctm
+            kc, lc, dc = _meta_cols(alias)
+            acc = (
+                acc.withColumn(kc, F.lit(kind))
+                .withColumn(lc, lang_e)
+                .withColumn(dc, dt_e)
+            )
     for neg, eg in q.exists_groups:
         # FILTER [NOT] EXISTS { … } → semi/anti join on the shared vars
         # (SPARQL substitution semantics for BOUND correlated variables;

@@ -185,3 +185,22 @@ def test_isnumeric_sameterm_iri(spark):
         PREFIX + "SELECT ?i WHERE { ?x ex:v ?v . BIND(IRI(?x) AS ?i) }",
     )
     assert {r["i"] for r in out3.collect()} == {EX + "a", EX + "b"}
+
+
+def test_strlang_strdt_constructors(spark):
+    tri = spark.createDataFrame(
+        [(EX + "a", EX + "v", "literal", "chat", None, None)], COLS
+    )
+    out = sparql_select(
+        tri,
+        PREFIX
+        + f"""SELECT ?l ?dt WHERE {{
+            ?x ex:v ?v .
+            BIND(STRLANG(?v, "EN") AS ?tagged)
+            BIND(STRDT(?v, <{XSD}token>) AS ?typed)
+            BIND(LANG(?tagged) AS ?l)
+            BIND(DATATYPE(?typed) AS ?dt)
+          }}""",
+    ).collect()[0]
+    assert out["l"] == "en"
+    assert out["dt"] == XSD + "token"
