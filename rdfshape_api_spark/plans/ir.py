@@ -112,6 +112,13 @@ class Shape:
     target_node: list[str] = field(default_factory=list)
     target_subjects_of: list[str] = field(default_factory=list)
     target_objects_of: list[str] = field(default_factory=list)
+    # ShEx shape-level node constraint (`ex:S IRI AND { … }` or a bare
+    # node-constraint shape `ex:T IRI` / `ex:T xsd:date`): value fields
+    # only, applied to the FOCUS node itself.  References to bare
+    # node-constraint shapes are inlined into the referencing triple
+    # constraint at parse time (plans/shex.py), so the evaluator only sees
+    # this on braced shapes (where it gates on the focus node's string).
+    node_constraint: "TripleConstraint | None" = None
     # SHACL-SPARQL constraints (sh:sparql → sh:select): each entry is
     # (select_query_text, message) with ``$this`` still in the text — the
     # evaluator rewrites it to ?this and computes the violator set with ONE

@@ -16,6 +16,8 @@ parsed and dropped — the spec's no-op treatment for validators without
 the extension.  Out of subset (rejected with a clear error, SURVEY §7.3):
 negated references inside a reference cycle (non-stratifiable), IMPORT.
 ``start = @<Shape>`` is supported; shapemaps may use ``node@start``.
+Shape-level node constraints: bare shapes (``ex:T IRI``) are inlined
+into referencing triple constraints; ``IRI AND { … }`` gates the focus.
 """
 
 from __future__ import annotations
@@ -139,6 +141,7 @@ class _ShexParser:
             if k == "kw" and v.upper() == "IMPORT":
                 raise ValueError(f"ShExC: {v} not supported in this subset")
             self.parse_shape()
+        _inline_node_constraint_refs(self.shapes)
         return CompiledSchema(
             engine="shex",
             shapes=self.shapes,
@@ -150,6 +153,31 @@ class _ShexParser:
         label = self.iri_or_pname()
         shape = Shape(shape_id=label)
         k, v = self.peek()
+        # shape-level node constraint: `ex:T IRI`, `ex:T xsd:date MAXLENGTH
+        # 5`, `ex:T [ ex:a ex:b~ ]`, optionally ANDed with a braced body
+        # (`ex:S IRI AND { … }`).  shape_level mode stops before a bare
+        # iri/pname once a primitive is consumed, so the NEXT shape's label
+        # is never mistaken for a datatype.
+        if not (
+            (k == "kw" and v.upper() in ("CLOSED", "EXTRA"))
+            or (k == "punct" and v == "{")
+        ):
+            nc = TripleConstraint(pred="")
+            self.parse_value_expr_or(nc, shape_level=True)
+            if not _has_any_value_field(nc):
+                raise ValueError(
+                    f"ShExC: expected node constraint or '{{' after shape {label!r}"
+                )
+            shape.node_constraint = nc
+            k, v = self.peek()
+        if shape.node_constraint is not None and not (
+            (k == "kw" and v.upper() in ("CLOSED", "EXTRA"))
+            or (k == "punct" and v == "{")
+        ):
+            # bare node-constraint shape (no braced body): references to it
+            # are inlined by the post-pass in parse()
+            self.shapes[label] = shape
+            return
         if k == "kw" and v.upper() == "CLOSED":
             self.next()
             shape.closed = True
@@ -225,7 +253,7 @@ class _ShexParser:
                     self.iri_or_pname()
         return tc
 
-    def parse_value_expr_or(self, tc: TripleConstraint):
+    def parse_value_expr_or(self, tc: TripleConstraint, shape_level: bool = False):
         """valueExpr := [NOT] atom (OR [NOT] atom)* — AND between primitives
         inside an atom is the implicit conjunction the atom parser already
         accumulates; an explicit AND keyword between primitives is consumed
@@ -233,7 +261,7 @@ class _ShexParser:
         if self.peek() == ("kw", "NOT"):
             self.next()
             tc.negated = True
-        self.parse_value_expr(tc)
+        self.parse_value_expr(tc, shape_level=shape_level)
         if self.peek()[0] == "kw" and self.peek()[1].upper() == "OR":
             disjuncts = [tc_value_copy(tc)]
             tc.negated = False
@@ -244,7 +272,7 @@ class _ShexParser:
                 if self.peek() == ("kw", "NOT"):
                     self.next()
                     d.negated = True
-                self.parse_value_expr(d)
+                self.parse_value_expr(d, shape_level=shape_level)
                 if d.ref_shape is not None:
                     raise ValueError("ShExC: shape references inside OR are not supported")
                 disjuncts.append(d)
@@ -252,7 +280,7 @@ class _ShexParser:
                 raise ValueError("ShExC: shape references inside OR are not supported")
             tc.disjuncts = disjuncts
 
-    def parse_value_expr(self, tc: TripleConstraint):
+    def parse_value_expr(self, tc: TripleConstraint, shape_level: bool = False):
         while True:
             if self.peek()[0] == "kw" and self.peek()[1].upper() == "AND":
                 self.next()  # explicit AND — same conjunction
@@ -327,6 +355,10 @@ class _ShexParser:
                 tc.pattern = _unquote(s)
                 continue
             if k in ("iri", "pname"):
+                if shape_level and _has_any_value_field(tc):
+                    # shape-level boundary: once a primitive is consumed, a
+                    # bare iri/pname is the NEXT shape's label, not a datatype
+                    return
                 tc.datatype = self.iri_or_pname()
                 continue
             return
@@ -362,6 +394,51 @@ _VALUE_FIELDS = (
     "min_exclusive", "max_exclusive", "pattern", "min_length", "max_length",
     "ref_shape", "negated",
 )
+
+
+def _has_any_value_field(tc: TripleConstraint) -> bool:
+    return any(getattr(tc, f) not in (None, False) for f in _VALUE_FIELDS) or bool(
+        tc.disjuncts
+    )
+
+
+def _inline_node_constraint_refs(shapes: dict[str, Shape]) -> None:
+    """References to bare node-constraint shapes (`ex:v @ex:T` where
+    ``ex:T IRI`` has no braced body) are semantically the inlined
+    constraint — rewrite them at parse time so the evaluator never needs
+    literal-valued conformance sets."""
+    bare = {
+        sid
+        for sid, sh in shapes.items()
+        if sh.node_constraint is not None and not sh.constraints and not sh.alternatives
+    }
+
+    def _tcs(sh: Shape):
+        yield from sh.constraints
+        for grp in sh.alternatives or []:
+            yield from grp
+
+    for sh in shapes.values():
+        for tc in _tcs(sh):
+            if tc.ref_shape not in bare:
+                continue
+            nc = shapes[tc.ref_shape].node_constraint
+            others = [
+                f
+                for f in _VALUE_FIELDS
+                if f not in ("ref_shape", "negated")
+                and getattr(tc, f) not in (None, False)
+            ]
+            if others or tc.disjuncts:
+                raise ValueError(
+                    "ShExC: a node-constraint shape reference combined with "
+                    "other value constraints on one triple constraint is unsupported"
+                )
+            neg = tc.negated != nc.negated  # NOT @T over a NOT-constraint composes
+            for f in _VALUE_FIELDS:
+                setattr(tc, f, getattr(nc, f))
+            tc.disjuncts = [tc_value_copy(d) for d in nc.disjuncts] if nc.disjuncts else None
+            tc.negated = neg
 
 
 def tc_value_copy(tc: TripleConstraint) -> TripleConstraint:

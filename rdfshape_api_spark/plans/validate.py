@@ -201,6 +201,53 @@ def _value_ok(
     return ~F.coalesce(ok, F.lit(False)) if tc.negated else ok
 
 
+def _node_constraint_gate(nc: TripleConstraint) -> Column:
+    """Shape-level node constraint over the FOCUS node term (always an IRI
+    or a blank node — subjects can't be literals, so literal-only
+    constraints like a datatype are unsatisfiable here, per ShEx
+    semantics)."""
+    from rdfshape_api_spark.model import SKOLEM_PREFIX
+
+    node = F.col("node")
+    is_bnode = node.startswith("_:") | node.startswith(SKOLEM_PREFIX)
+    if nc.disjuncts:
+        ok = F.lit(False)
+        for d in nc.disjuncts:
+            ok = ok | F.coalesce(_node_constraint_gate(d), F.lit(False))
+        return ~ok if nc.negated else ok
+    ok = F.lit(True)
+    if nc.node_kind:
+        ok = ok & {
+            "iri": ~is_bnode,
+            "bnode": is_bnode,
+            "literal": F.lit(False),
+            "nonliteral": F.lit(True),
+        }[nc.node_kind]
+    if nc.datatype or nc.language_in:
+        ok = ok & F.lit(False)  # focus nodes are never literals
+    if nc.value_set is not None:
+        member = F.lit(True) if nc.value_set_has_wildcard else F.lit(False)
+        for kind, val in nc.value_set:
+            if kind == "iri":
+                member = member | (node == val)
+            elif kind == "iri_stem":
+                member = member | node.startswith(val)
+            # literal / language members can't match an iri/bnode focus
+        for kind, val in nc.value_set_excl or []:
+            if kind == "iri":
+                member = member & (node != val)
+            elif kind == "iri_stem":
+                member = member & ~node.startswith(val)
+        ok = ok & member
+    if nc.pattern is not None:
+        ok = ok & node.rlike(nc.pattern)
+    if nc.min_length is not None:
+        ok = ok & (F.length(node) >= nc.min_length)
+    if nc.max_length is not None:
+        ok = ok & (F.length(node) <= nc.max_length)
+    return ~F.coalesce(ok, F.lit(False)) if nc.negated else ok
+
+
 def _count_ok(
     tc: TripleConstraint,
     ref_ok_col: str | None,
@@ -799,6 +846,15 @@ def evaluate_shape(
         un = F.coalesce(F.col("unmentioned"), F.lit(0))
         ok = ok & (un == 0)
         reasons.append(F.when(un > 0, F.lit("closed shape: unmentioned predicates present")))
+    if shape.node_constraint is not None:
+        # shape-level node constraint (`ex:S IRI AND { … }` / a bare
+        # node-constraint shape validated directly): evaluated on the focus
+        # node's own term — focus nodes are subjects, hence iri or bnode
+        gate = F.coalesce(_node_constraint_gate(shape.node_constraint), F.lit(False))
+        ok = ok & gate
+        reasons.append(
+            F.when(~gate, F.lit("focus node fails the shape's node constraint"))
+        )
 
     return res.select(
         "doc_sha256",

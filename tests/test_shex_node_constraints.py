@@ -1,0 +1,104 @@
+"""ShEx shape-level node constraints: bare node-constraint shapes
+(`ex:T IRI`, inlined into referencing triple constraints) and braced
+shapes gated on the focus node (`ex:S IRI AND { … }`)."""
+
+from __future__ import annotations
+
+from rdfshape_api_spark.plans import parse_shexc, validate
+
+E = "http://e/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _tri(spark, rows):
+    cols = "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    return spark.createDataFrame([("d", *r) for r in rows], cols)
+
+
+def test_bare_node_constraint_shape_inlined():
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nPREFIX xsd: <{XSD}>\n"
+        "ex:DateT xsd:date\n"
+        "ex:S { ex:born @ex:DateT }"
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert tc.ref_shape is None
+    assert tc.datatype == XSD + "date"
+
+
+def test_bare_node_constraint_nodekind_inlined(spark):
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nex:IriT IRI\nex:S {{ ex:link @ex:IriT }}"
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "link", "iri", E + "x", None, None),
+            (E + "b", E + "link", "literal", "nope", None, None),
+        ],
+    )
+    smap = f"<{E}a>@<{E}S>, <{E}b>@<{E}S>"
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant"}
+
+
+def test_bare_valueset_shape_inlined(spark):
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nex:StatusT [ \"OK\" \"RUNNING\" ]\n"
+        f"ex:S {{ ex:status @ex:StatusT }}"
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "status", "literal", "OK", None, None),
+            (E + "b", E + "status", "literal", "BROKEN", None, None),
+        ],
+    )
+    smap = f"<{E}a>@<{E}S>, <{E}b>@<{E}S>"
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant"}
+
+
+def test_braced_shape_with_node_kind_gate(spark):
+    # IRI AND { … }: a blank-node focus fails regardless of its triples
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nex:S IRI AND {{ ex:v [ \"OK\" ] }}"
+    )
+    assert schema.shapes[E + "S"].node_constraint.node_kind == "iri"
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "OK", None, None),
+            ("_:b1", E + "v", "literal", "OK", None, None),
+        ],
+    )
+    smap = f"<{E}a>@<{E}S>, _:b1@<{E}S>"
+    out = {r["node"]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out[E + "a"] == "conformant"
+    assert out["_:b1"] == "nonconformant"
+
+
+def test_node_constraint_pattern_gate(spark):
+    # bare node-constraint shape validated DIRECTLY via shapemap: the
+    # focus node's own IRI must match the pattern
+    schema = parse_shexc(f"PREFIX ex: <{E}>\nex:T PATTERN \"^http://e/good\"")
+    tri = _tri(
+        spark,
+        [
+            (E + "good1", E + "p", "iri", E + "x", None, None),
+            (E + "bad1", E + "p", "iri", E + "x", None, None),
+        ],
+    )
+    smap = f"<{E}good1>@<{E}T>, <{E}bad1>@<{E}T>"
+    out = {r["node"].rsplit("/", 1)[-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"good1": "conformant", "bad1": "nonconformant"}
+
+
+def test_next_shape_label_not_eaten_as_datatype():
+    # `ex:T IRI` followed directly by another shape declaration: the next
+    # label must not be consumed as a datatype of T's node constraint
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nex:T IRI\nex:S {{ ex:v . }}"
+    )
+    assert schema.shapes[E + "T"].node_constraint.datatype is None
+    assert E + "S" in schema.shapes

@@ -50,8 +50,10 @@ def test_shex_parse_features():
 
 
 def test_shex_rejects_out_of_subset():
+    # `start` is supported now; IMPORT stays a clean reject (needs
+    # external resolution)
     with pytest.raises(ValueError):
-        parse_shexc("PREFIX ex: <http://e/>\nstart = @ex:S\nex:S { ex:p . }")
+        parse_shexc("PREFIX ex: <http://e/>\nIMPORT <http://e/other.shex>\nex:S { ex:p . }")
 
 
 def test_shacl_parse():
