@@ -1441,9 +1441,22 @@ def _select_result(model: DataFrame, q: SparqlQuery) -> DataFrame:
             else:
                 col = F.col(arg).try_cast("double")
                 if agg_distinct:
-                    raise SparqlParseError(f"DISTINCT not supported for {func}")
-                fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
-                aggs.append(fn(col).alias(alias))
+                    # MIN/MAX are insensitive to DISTINCT; SUM/AVG aggregate
+                    # the distinct value set (partial distinct sets merge
+                    # map-side — Catalyst plans these as a two-phase
+                    # distinct aggregate, no extra exchange vs pre-distinct)
+                    if func == "SUM":
+                        agg_col = F.sum_distinct(col)
+                    elif func == "AVG":
+                        # no avg_distinct builtin in this pyspark; the
+                        # distinct-set ratio is equivalent and stays JVM-side
+                        agg_col = F.sum_distinct(col) / F.count_distinct(col)
+                    else:
+                        agg_col = {"MIN": F.min, "MAX": F.max}[func](col)
+                    aggs.append(agg_col.alias(alias))
+                else:
+                    fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
+                    aggs.append(fn(col).alias(alias))
         grouped = acc.groupBy(*q.group_by) if q.group_by else acc.groupBy()
         out = grouped.agg(*aggs)
         for htoks in q.having:

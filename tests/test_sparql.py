@@ -224,6 +224,24 @@ def test_min_max_avg(spark, triples_001):
     assert abs(out["mean"] - sum(vals) / len(vals)) < 1e-9
 
 
+def test_sum_avg_distinct(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT (SUM(DISTINCT ?t) AS ?s) (AVG(DISTINCT ?t) AS ?a)
+                   (MIN(DISTINCT ?t) AS ?lo)
+            WHERE { ?r ex:readingTemperature ?t . }""",
+    ).collect()[0]
+    vals = {
+        float(r["obj_value"])
+        for r in triples_001.filter(F.col("pred") == EX + "readingTemperature")
+        .select("obj_value").collect()
+    }
+    assert abs(out["s"] - sum(vals)) < 1e-6
+    assert abs(out["a"] - sum(vals) / len(vals)) < 1e-9
+    assert out["lo"] == min(vals)
+
+
 def test_filter_logical_ops(spark, triples_001):
     out = sparql_select(
         triples_001,
