@@ -273,11 +273,10 @@ class _ShexParser:
                     self.next()
                     d.negated = True
                 self.parse_value_expr(d, shape_level=shape_level)
-                if d.ref_shape is not None:
-                    raise ValueError("ShExC: shape references inside OR are not supported")
                 disjuncts.append(d)
-            if any(d.ref_shape is not None for d in disjuncts):
-                raise ValueError("ShExC: shape references inside OR are not supported")
+            # shape references inside OR (`@<A> OR @<B>`, `[ "x" ] OR @<A>`)
+            # are first-class: the evaluator threads one conformance column
+            # per disjunct (validate._ref_reqs / disjunct_ref_cols)
             tc.disjuncts = disjuncts
 
     def parse_value_expr(self, tc: TripleConstraint, shape_level: bool = False):
@@ -418,8 +417,38 @@ def _inline_node_constraint_refs(shapes: dict[str, Shape]) -> None:
         for grp in sh.alternatives or []:
             yield from grp
 
+    def _inline_into(d: TripleConstraint) -> None:
+        nc = shapes[d.ref_shape].node_constraint
+        others = [
+            f
+            for f in _VALUE_FIELDS
+            if f not in ("ref_shape", "negated")
+            and getattr(d, f) not in (None, False)
+        ]
+        if others or d.disjuncts:
+            raise ValueError(
+                "ShExC: a node-constraint shape reference combined with "
+                "other value constraints on one disjunct is unsupported"
+            )
+        if nc.disjuncts and any(x.ref_shape is not None for x in nc.disjuncts):
+            raise ValueError(
+                "ShExC: shape references nested two OR-levels deep are unsupported"
+            )
+        neg = d.negated != nc.negated
+        for f in _VALUE_FIELDS:
+            setattr(d, f, getattr(nc, f))
+        d.disjuncts = [tc_value_copy(x) for x in nc.disjuncts] if nc.disjuncts else None
+        d.negated = neg
+
     for sh in shapes.values():
         for tc in _tcs(sh):
+            # disjunct-level refs to bare node-constraint shapes inline the
+            # same way the top-level ones below do (`ex:v @ex:T OR IRI`
+            # where ex:T is `xsd:integer` — literal values can never sit in
+            # a shape's conformance set, so the constraint must be inlined)
+            for d in tc.disjuncts or []:
+                if d.ref_shape in bare:
+                    _inline_into(d)
             if tc.ref_shape not in bare:
                 continue
             nc = shapes[tc.ref_shape].node_constraint

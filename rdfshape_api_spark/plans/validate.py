@@ -452,6 +452,14 @@ def evaluate_shape(
             class_cols[i] = f"_cls_ok_{i}"
             reqs.append((class_cols[i], _class_inst(tc.class_iri)))
         for j, d in enumerate(tc.disjuncts or []):
+            if d.disjuncts and any(
+                x.ref_shape is not None or x.class_iri is not None
+                for x in d.disjuncts
+            ):
+                raise ValueError(
+                    "shape/class references nested two disjunct levels "
+                    "deep are unsupported"
+                )
             if d.ref_shape is not None:
                 disj_ref_cols.setdefault(i, {})[j] = f"_ref_ok_{i}_d{j}"
                 reqs.append((disj_ref_cols[i][j], conformant_refs[d.ref_shape]))
@@ -1140,7 +1148,13 @@ def validate(
         # conformant sets are final.
         for sid in sorted(cyclic):
             for tc in _tcs(schema.shapes[sid]):
-                if tc.negated and any(ref in cyclic for ref in _refs_of(tc)):
+                neg_in_cycle = (
+                    tc.negated and any(ref in cyclic for ref in _refs_of(tc))
+                ) or any(
+                    d.negated and d.ref_shape in cyclic
+                    for d in tc.disjuncts or []
+                )
+                if neg_in_cycle:
                     raise ValueError(
                         f"shape {sid!r}: negated reference "
                         "inside a reference cycle is not stratifiable (unsupported)"

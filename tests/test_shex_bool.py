@@ -102,3 +102,137 @@ def test_or_roundtrips_through_shexc():
     tc = re2.shapes[E + "S"].constraints[0]
     assert tc.disjuncts and len(tc.disjuncts) == 2
     assert re2.shapes[E + "S"].constraints[1].negated
+
+
+def test_or_of_shape_refs(spark):
+    """`@<P> OR @<O>` — one conformance column per disjunct
+    (reference surface: shexs ShapeOr over ShapeRefs, used by e.g. the
+    rdfshape-api ShEx demos; SURVEY §2.7)."""
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\n"
+        "ex:S { ex:v @ex:P OR @ex:O }\n"
+        "ex:P { ex:name . }\n"
+        "ex:O { ex:org . }"
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "iri", E + "pa", None, None),
+            (E + "pa", E + "name", "literal", "Ann", None, None),
+            (E + "b", E + "v", "iri", E + "ob", None, None),
+            (E + "ob", E + "org", "literal", "ACME", None, None),
+            (E + "c", E + "v", "iri", E + "xc", None, None),
+            (E + "xc", E + "other", "literal", "?", None, None),
+        ],
+    )
+    smap = ", ".join(f"<{E}{n}>@<{E}S>" for n in "abc")
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "conformant", "c": "nonconformant"}
+
+
+def test_or_mixes_value_set_and_shape_ref(spark):
+    schema = parse_shexc(
+        f'PREFIX ex: <{E}>\n'
+        'ex:S { ex:v [ "none" ] OR @ex:P }\n'
+        "ex:P { ex:name . }"
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "none", None, None),
+            (E + "b", E + "v", "iri", E + "pb", None, None),
+            (E + "pb", E + "name", "literal", "Bea", None, None),
+            (E + "c", E + "v", "literal", "some", None, None),
+        ],
+    )
+    smap = ", ".join(f"<{E}{n}>@<{E}S>" for n in "abc")
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "conformant", "c": "nonconformant"}
+
+
+def test_or_negated_shape_ref_disjunct(spark):
+    """`[ "x" ] OR NOT @<P>` — a value conforms if it is "x" or fails P."""
+    schema = parse_shexc(
+        f'PREFIX ex: <{E}>\n'
+        'ex:S { ex:v [ "x" ] OR NOT @ex:P }\n'
+        "ex:P { ex:name . }"
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "x", None, None),
+            (E + "b", E + "v", "iri", E + "nb", None, None),  # nb fails P
+            (E + "nb", E + "other", "literal", "?", None, None),
+            (E + "c", E + "v", "iri", E + "pc", None, None),  # pc passes P
+            (E + "pc", E + "name", "literal", "Cy", None, None),
+        ],
+    )
+    smap = ", ".join(f"<{E}{n}>@<{E}S>" for n in "abc")
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "conformant", "c": "nonconformant"}
+
+
+def test_or_ref_to_bare_node_constraint_inlines(spark):
+    """`@ex:T OR IRI` where ex:T is a bare xsd:integer node constraint —
+    the literal branch must be inlined (literals never sit in a shape's
+    conformance set)."""
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nPREFIX xsd: <{XSD}>\n"
+        "ex:S { ex:v @ex:T OR IRI }\n"
+        "ex:T xsd:integer"
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "5", None, XSD + "integer"),
+            (E + "b", E + "v", "iri", E + "thing", None, None),
+            (E + "c", E + "v", "literal", "zz", None, XSD + "string"),
+        ],
+    )
+    smap = ", ".join(f"<{E}{n}>@<{E}S>" for n in "abc")
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "conformant", "c": "nonconformant"}
+
+
+def test_or_negated_ref_in_cycle_rejected(spark):
+    """Disjunct-level negated ref whose target sits in a reference cycle
+    is non-stratifiable — must reject, same as the top-level NOT case."""
+    import pytest
+
+    schema = parse_shexc(
+        f'PREFIX ex: <{E}>\n'
+        'ex:S { ex:v [ "x" ] OR NOT @ex:S }'
+    )
+    tri = _tri(spark, [(E + "a", E + "v", "iri", E + "a", None, None)])
+    with pytest.raises(ValueError, match="not stratifiable"):
+        validate(tri, schema, shapemap=f"<{E}a>@<{E}S>").collect()
+
+
+def test_or_of_refs_with_recursion(spark):
+    """Positive disjunct refs participate in the fixpoint like top-level
+    refs: S requires v → (P OR S) — a chain ending at a P-node conforms."""
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\n"
+        "ex:S { ex:v @ex:P OR @ex:S }\n"
+        "ex:P { ex:name . }"
+    )
+    tri = _tri(
+        spark,
+        [
+            # a → b → p (p conforms to P) — both a and b conform to S
+            (E + "a", E + "v", "iri", E + "b", None, None),
+            (E + "b", E + "v", "iri", E + "p", None, None),
+            (E + "p", E + "name", "literal", "end", None, None),
+            # c → d, d → c: a pure 2-cycle with no P anchor; greatest
+            # fixpoint admits it (standard gfp recursion semantics)
+            (E + "c", E + "v", "iri", E + "d", None, None),
+            (E + "d", E + "v", "iri", E + "c", None, None),
+            # e → nothing: no ex:v at all — nonconformant
+            (E + "e", E + "other", "literal", "?", None, None),
+        ],
+    )
+    smap = ", ".join(f"<{E}{n}>@<{E}S>" for n in "abcde")
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out["a"] == "conformant" and out["b"] == "conformant"
+    assert out["e"] == "nonconformant"
+    assert out["c"] == out["d"] == "conformant"
