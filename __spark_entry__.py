@@ -287,6 +287,33 @@ def _q_social_validate(spark, sf_dir):
     ).select("doc_sha256", "node", "status")
 
 
+# ShEx disjunction of shape references (`@<A> OR @<B>` inside a value
+# expression — reference surface: shexs ShapeOr over ShapeRefs, SURVEY
+# §2.7): every person someone knows must be reachable as an email-contact
+# or a phone-contact person.  Per-disjunct conformance columns are
+# broadcast-joined into the neighbourhood scan (plans/validate._ref_reqs).
+SHEX_KNOWS_TYPED = f"""\
+PREFIX ex: <{EX}>
+
+ex:KnowsTyped {{
+  ex:knows @ex:EmailPerson OR @ex:PhonePerson *
+}}
+ex:EmailPerson {{ ex:email . }}
+ex:PhonePerson {{ ex:phone . }}
+"""
+
+
+def _q_social_or_refs(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(
+        tri,
+        parse_shexc(SHEX_KNOWS_TYPED),
+        shapemap="{FOCUS a ex:Person}@ex:KnowsTyped",
+    ).select("doc_sha256", "node", "status")
+
+
 def _q_html_extract(spark, sf_dir):
     """HTML→RDF (RDFa-lite + Microdata) through the standard extract →
     canonicalize path (S2; reference HtmlToRdf.scala:50-122)."""
@@ -324,6 +351,13 @@ def _q_text_features(spark, sf_dir):
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return text_features(docs)
+
+
+def _q_text_repetition(spark, sf_dir):
+    from rdfshape_api_spark.functions.textops import repetition_signals
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return repetition_signals(docs)
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -957,11 +991,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_stream_validate": _q_stream_validate,       # T1 streaming validation
         "social_extract": _q_social_extract,             # S1 incl. N-Quads/TriG
         "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
+        "social_shex_or_refs": _q_social_or_refs,        # §2.7 @<A> OR @<B> disjunct refs
         "catalog_validate_item": _q_catalog_validate,    # §2.7 repeated-prop EachOf
         "rdf_html_extract": _q_html_extract,             # S2 HTML→RDF (RDFa/Microdata)
         # training-data pipeline operators
         "text_features": _q_text_features,
         "text_redact": _q_text_redact,
+        "text_repetition": _q_text_repetition,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_pairs": _q_dedup_lsh,
         "dedup_lsh_keep": _q_dedup_lsh_keep,
@@ -1428,6 +1464,36 @@ def oracle_sql() -> dict[str, str]:
         "catalog_validate_item": (
             f"SELECT doc_sha256, node, status FROM '{_CAT_VERDICTS}'"
         ),
+        "social_shex_or_refs": f"""
+            -- @ex:EmailPerson OR @ex:PhonePerson over every ex:knows value:
+            -- a known node conforms to a disjunct iff it has EXACTLY ONE
+            -- email (resp. phone) triple ({{ ex:email . }} is a {{1,1}}
+            -- EachOf); focus conforms iff no known node fails both
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_value FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{EX}Person'
+            ), e1 AS (
+              SELECT doc_sha256, subj FROM m WHERE pred = '{EX}email'
+              GROUP BY 1, 2 HAVING count(*) = 1
+            ), p1 AS (
+              SELECT doc_sha256, subj FROM m WHERE pred = '{EX}phone'
+              GROUP BY 1, 2 HAVING count(*) = 1
+            ), bad AS (
+              SELECT DISTINCT k.doc_sha256, k.subj AS node
+              FROM m k
+              LEFT JOIN e1 ON e1.doc_sha256 = k.doc_sha256 AND e1.subj = k.obj_value
+              LEFT JOIN p1 ON p1.doc_sha256 = k.doc_sha256 AND p1.subj = k.obj_value
+              WHERE k.pred = '{EX}knows' AND e1.subj IS NULL AND p1.subj IS NULL
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN b.node IS NULL
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f
+            LEFT JOIN bad b ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
+        """,
         "rdf_html_extract": f"SELECT DISTINCT * FROM '{_WEB_TRIPLES}'",
         "text_features": """
             SELECT doc_id,
@@ -1487,6 +1553,35 @@ def oracle_sql() -> dict[str, str]:
                    + 0.3 * least(n_chars::DOUBLE / 500.0, 1.0), 4) AS quality,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents
+        """,
+        "text_repetition": r"""
+            -- Gopher-style repetition signals: integer numerators only
+            -- (floats would hash differently across engines); bigram
+            -- frequencies via list functions, mirroring the Spark
+            -- zip_with/transform expression exactly
+            WITH d AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), p AS (
+              SELECT doc_id,
+                list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+                list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS words
+              FROM d
+            ), g AS (
+              SELECT doc_id, lines, words,
+                list_transform(range(1, greatest(len(words), 1)),
+                               i -> words[i] || ' ' || words[i+1]) AS grams
+              FROM p
+            )
+            SELECT doc_id,
+              len(lines)::BIGINT AS n_lines,
+              (len(lines) - len(list_distinct(lines)))::BIGINT AS n_dup_lines,
+              (length(array_to_string(lines, ''))
+               - length(array_to_string(list_distinct(lines), '')))::BIGINT AS n_dup_line_chars,
+              len(words)::BIGINT AS n_words,
+              (len(words) - len(list_distinct(words)))::BIGINT AS n_dup_words,
+              coalesce(list_max(list_transform(list_distinct(grams),
+                       gg -> len(list_filter(grams, x -> x = gg)))), 0)::BIGINT AS top_bigram_count
+            FROM g
         """,
         "text_redact": r"""
             -- identical RE2-safe patterns as functions/textops.py redact_pii;

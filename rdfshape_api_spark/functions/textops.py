@@ -126,6 +126,53 @@ def text_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    map-only and JVM-side: duplicate-line and duplicate-word counts plus
+    the most-frequent-bigram count.  Integer numerators are returned
+    (not fractions) so results hash identically across engines; callers
+    derive e.g. ``dup_word_frac = n_dup_words / n_words``.  The
+    per-bigram frequency scan is O(distinct²) within one row — per-row
+    compute with no shuffle, so it parallelizes embarrassingly at any
+    scale."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    # bigrams: words zipped against their own tail (zip_with pads the
+    # shorter side with null; the null pair is filtered out)
+    grams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    c = lambda e: e.cast("bigint")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        c(F.size(lines)).alias("n_lines"),
+        c(F.size(lines) - F.size(F.array_distinct(lines))).alias("n_dup_lines"),
+        c(
+            F.length(F.concat_ws("", lines))
+            - F.length(F.concat_ws("", F.array_distinct(lines)))
+        ).alias("n_dup_line_chars"),
+        c(F.size(words)).alias("n_words"),
+        c(F.size(words) - F.size(F.array_distinct(words))).alias("n_dup_words"),
+        c(
+            F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(grams),
+                        lambda d: F.size(F.filter(grams, lambda x: x == d)),
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("top_bigram_count"),
+    )
+
+
 # PII patterns shared with the DuckDB oracle: RE2-compatible (no
 # backreferences/lookaround), identical semantics under Java regex
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -117,6 +117,10 @@ def _read_value_constraints(g: "_Graph", node: str, tc: TripleConstraint) -> Non
             setattr(tc, field, _num(v[1]))
     if (v := g.obj1(node, SH + "pattern")) is not None:
         tc.pattern = v[1]
+        # sh:flags (e.g. "i"): inline as an embedded-flag group — the
+        # evaluator's rlike and Java regex both accept (?i)/(?s)/(?m)
+        if (fl := g.obj1(node, SH + "flags")) is not None and fl[1]:
+            tc.pattern = f"(?{fl[1]}){tc.pattern}"
     if (v := g.obj1(node, SH + "minLength")) is not None:
         tc.min_length = int(v[1])
     if (v := g.obj1(node, SH + "maxLength")) is not None:
@@ -140,6 +144,26 @@ def _pure_value_predicate(tc: TripleConstraint) -> bool:
 
 def _has_value_fields(tc: TripleConstraint) -> bool:
     return any(getattr(tc, f) is not None for f in _VALUE_FIELDS)
+
+
+def _distribute_siblings(
+    tc: TripleConstraint, members: list[TripleConstraint], comp: str
+) -> None:
+    """Move ``tc``'s sibling value fields into every disjunction member
+    (SHACL components are independent conjuncts; distribution over OR is
+    semantics-preserving because members are never negated)."""
+    for f in _VALUE_FIELDS:
+        sv = getattr(tc, f)
+        if sv is None:
+            continue
+        for m in members:
+            if getattr(m, f) is not None:
+                raise ValueError(
+                    f"SHACL: {comp} member and a sibling constraint both "
+                    f"set {f} — no single-slot encoding in this subset"
+                )
+            setattr(m, f, sv)
+        setattr(tc, f, None)
 
 
 def _path_ast(g: "_Graph", k: str, v: str) -> PathNode:
@@ -219,6 +243,9 @@ def parse_shacl(text: str) -> CompiledSchema:
         or SH + "targetClass" in preds
     ]
     for s in node_shapes:
+        # sh:deactivated true (spec §2.1.3.3): the shape validates nothing
+        if (da := g.obj1(s, SH + "deactivated")) is not None and da[1] == "true":
+            continue
         shape = Shape(shape_id=s)
         shape.target_class = [v for _, v, _, _ in g.objs(s, SH + "targetClass")]
         shape.target_node = [v for _, v, _, _ in g.objs(s, SH + "targetNode")]
@@ -236,6 +263,8 @@ def parse_shacl(text: str) -> CompiledSchema:
         qvs_tcs: list[tuple[TripleConstraint, bool]] = []
 
         for _, pshape, _, _ in g.objs(s, SH + "property"):
+            if (pda := g.obj1(pshape, SH + "deactivated")) is not None and pda[1] == "true":
+                continue
             for bad in g.spo.get(pshape, {}):
                 if bad in _UNSUPPORTED:
                     raise ValueError(f"SHACL: unsupported constraint {bad}")
@@ -313,33 +342,38 @@ def parse_shacl(text: str) -> CompiledSchema:
                     )
 
             # sh:or ( m1 m2 … ): value disjunction — each member is a
-            # value-only blank node lifted into a disjunct TC
+            # value-only blank node lifted into a disjunct TC.  SHACL
+            # components on one property shape are independent conjuncts,
+            # so sibling value constraints distribute into every member:
+            # s AND (m1 OR m2) ≡ (s AND m1) OR (s AND m2)  (members carry
+            # no negation, so the fold is sound; a field set on both sides
+            # has no single-slot encoding and stays rejected)
             if (v := g.obj1(pshape, SH + "or")) is not None:
-                if _has_value_fields(tc):
-                    raise ValueError(
-                        "SHACL: sh:or combined with sibling value constraints "
-                        "is not supported in this subset"
-                    )
                 members = []
                 for _, mnode, _, _ in g.rdf_list(v[1]):
                     m = TripleConstraint(pred=tc.pred)
                     _read_value_constraints(g, mnode, m)
                     members.append(m)
+                _distribute_siblings(tc, members, "sh:or")
                 tc.disjuncts = members
 
             # sh:xone ( m1 m2 … ): exactly-one-of value disjunction — same
-            # member lifting as sh:or, exclusive verdict per value
+            # member lifting as sh:or, exclusive verdict per value.  The
+            # sibling fold is still sound for the xone count: a value
+            # failing the sibling satisfies zero folded members (≠ 1),
+            # matching the independent-conjunct verdict.
             if (v := g.obj1(pshape, SH + "xone")) is not None:
-                if _has_value_fields(tc) or tc.disjuncts:
+                if tc.disjuncts:
                     raise ValueError(
-                        "SHACL: sh:xone combined with sibling value "
-                        "constraints is not supported in this subset"
+                        "SHACL: sh:xone combined with sh:or on one property "
+                        "shape is not supported in this subset"
                     )
                 members = []
                 for _, mnode, _, _ in g.rdf_list(v[1]):
                     m = TripleConstraint(pred=tc.pred)
                     _read_value_constraints(g, mnode, m)
                     members.append(m)
+                _distribute_siblings(tc, members, "sh:xone")
                 tc.disjuncts = members
                 tc.xone = True
 

@@ -291,6 +291,11 @@ class _ShexParser:
             if k == "atref":
                 self.next()
                 ref = v[1:]
+                if tc.ref_shape is not None:
+                    raise ValueError(
+                        "ShExC: a conjunction of two shape references on one "
+                        "value expression is unsupported (one @<ref> slot)"
+                    )
                 tc.ref_shape = ref[1:-1] if ref.startswith("<") else self.expand(ref)
                 continue
             if k == "punct" and v == "[":

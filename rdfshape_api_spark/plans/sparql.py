@@ -903,6 +903,30 @@ def _compile_expr(toks: list[str]) -> F.Column:
 
     def cmp_level() -> tuple[F.Column, bool]:
         l, ln = additive()
+        # IN / NOT IN (§17.4.1.9-10): sugar for an =-comparison disjunction
+        up = peek().upper() if isinstance(peek(), str) else None
+        neg_in = False
+        if up == "NOT" and pos["i"] + 1 < len(toks) and toks[pos["i"] + 1].upper() == "IN":
+            nxt()
+            up, neg_in = "IN", True
+        if up == "IN":
+            nxt()
+            expect("(")
+            member = F.lit(False)
+            if peek() != ")":
+                while True:
+                    r, rn = additive()
+                    if ln or rn:
+                        le, re_ = l.try_cast("double"), r.try_cast("double")
+                    else:
+                        le, re_ = l, r
+                    member = member | F.coalesce(le == re_, F.lit(False))
+                    if peek() == ",":
+                        nxt()
+                        continue
+                    break
+            expect(")")
+            return (~member if neg_in else member), False
         if peek() in _CMP_OPS:
             op = nxt()
             r, rn = additive()

@@ -208,3 +208,29 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"recall@5 = {recall:.2f}"
+
+
+def test_repetition_signals(spark):
+    from rdfshape_api_spark.functions.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b c\nx y\nx y"),
+            (2, "one two three"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+    r1 = out[1]
+    # lines: ["a b a b c", "x y", "x y"] → 1 dup line of 3 chars
+    assert r1["n_lines"] == 3 and r1["n_dup_lines"] == 1 and r1["n_dup_line_chars"] == 3
+    # words: a b a b c x y x y → 9 words, distinct 5 → 4 dups
+    assert r1["n_words"] == 9 and r1["n_dup_words"] == 4
+    # bigrams: "a b","b a","a b","b c","c x","x y","y x","x y" → "a b"/"x y" ×2
+    assert r1["top_bigram_count"] == 2
+    r2 = out[2]
+    assert r2["n_words"] == 3 and r2["n_dup_words"] == 0 and r2["top_bigram_count"] == 1
+    for d in (3, 4):
+        assert out[d]["n_words"] == 0 and out[d]["top_bigram_count"] == 0

@@ -86,3 +86,141 @@ def test_sh_xone_parses_as_exclusive_disjunction():
     )
     tc = schema.shapes[E + "S"].constraints[0]
     assert tc.xone and tc.disjuncts and len(tc.disjuncts) == 1
+
+
+def test_sh_or_with_sibling_constraints(spark):
+    """Sibling value components AND with sh:or (independent conjuncts,
+    SHACL spec §4.6.2): sh:nodeKind sh:Literal ; sh:or (integer|decimal)."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ;
+    sh:pattern "^[0-9.]+$" ;
+    sh:or ( [ sh:datatype xsd:integer ] [ sh:datatype xsd:decimal ] ) ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "5", None, XSD + "integer"),
+            (E + "b", E + "v", "literal", "5.5", None, XSD + "decimal"),
+            # integer datatype but fails the sibling pattern
+            (E + "c", E + "v", "literal", "x", None, XSD + "integer"),
+            # passes pattern but neither datatype
+            (E + "d", E + "v", "literal", "7", None, XSD + "string"),
+        ],
+    )
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema).collect()}
+    assert out == {
+        "a": "conformant",
+        "b": "conformant",
+        "c": "nonconformant",
+        "d": "nonconformant",
+    }
+
+
+def test_sh_xone_with_sibling_constraints(spark):
+    """Sibling + sh:xone: value must satisfy the sibling AND exactly one
+    member."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ;
+    sh:minLength 2 ;
+    sh:xone ( [ sh:pattern "^a" ] [ sh:pattern "b$" ] ) ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "ax", None, None),   # first only
+            (E + "b", E + "v", "literal", "xb", None, None),   # second only
+            (E + "c", E + "v", "literal", "ab", None, None),   # both → fail
+            (E + "d", E + "v", "literal", "a", None, None),    # sibling fails
+        ],
+    )
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema).collect()}
+    assert out == {
+        "a": "conformant",
+        "b": "conformant",
+        "c": "nonconformant",
+        "d": "nonconformant",
+    }
+
+
+def test_sh_or_sibling_conflict_rejected(spark):
+    """A field set on both the sibling and a member has no single-slot
+    encoding — clear reject."""
+    with pytest.raises(ValueError, match="both"):
+        parse_shacl(
+            PRELUDE
+            + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:datatype xsd:string ;
+    sh:or ( [ sh:datatype xsd:integer ] [ sh:datatype xsd:decimal ] ) ] ."""
+        )
+
+
+def test_sh_or_sibling_node_ref(spark):
+    """A sibling sh:node distributes into sh:or members (ref columns are
+    threaded per disjunct)."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ; sh:node ex:N ;
+    sh:or ( [ sh:pattern "ok" ] [ sh:pattern "fine" ] ) ] .
+ex:N a sh:NodeShape ; sh:property [ sh:path ex:tag ; sh:minCount 1 ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            # value node passes ex:N and matches a member pattern
+            (E + "a", E + "v", "iri", E + "ok1", None, None),
+            (E + "ok1", E + "tag", "literal", "t", None, None),
+            # value node matches a member pattern but fails ex:N
+            (E + "b", E + "v", "iri", E + "ok2", None, None),
+            # value node passes ex:N but matches no member
+            (E + "c", E + "v", "iri", E + "zz3", None, None),
+            (E + "zz3", E + "tag", "literal", "t", None, None),
+        ],
+    )
+    out = {
+        r["node"][-1]: r["status"]
+        for r in validate(tri, schema).collect()
+        if r["node"] in (E + "a", E + "b", E + "c")
+    }
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "nonconformant"}
+
+
+def test_sh_deactivated(spark):
+    """sh:deactivated true (spec §2.1.3.3): the shape validates nothing;
+    a deactivated property shape is skipped inside an active node shape."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:Dead a sh:NodeShape ; sh:deactivated true ;
+  sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:datatype xsd:integer ] .
+ex:Live a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ] ;
+  sh:property [ sh:path ex:v ; sh:datatype xsd:integer ;
+                sh:deactivated true ] ."""
+    )
+    assert E + "Dead" not in schema.shapes
+    tri = _tri(spark, [(E + "a", E + "v", "literal", "zz", None, XSD + "string")])
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema).collect()}
+    # the integer constraint is deactivated, so the string value conforms
+    assert out == {"a": "conformant"}
+
+
+def test_sh_pattern_flags(spark):
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:pattern "^ok" ; sh:flags "i" ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "OKAY", None, None),
+            (E + "b", E + "v", "literal", "nope", None, None),
+        ],
+    )
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant"}

@@ -744,3 +744,23 @@ def test_describe_var_with_where(spark):
         (EX + "a", EX + "status", "OK"),
         (EX + "a", EX + "name", "A"),
     }
+
+
+def test_filter_in_not_in(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT DISTINCT ?s ?st WHERE {
+              ?s ex:status ?st . FILTER (?st IN ("OK", "RUNNING"))
+            }""",
+    )
+    assert {r["st"] for r in out.collect()} == {"OK", "RUNNING"}
+    out2 = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT DISTINCT ?st WHERE {
+              ?s ex:status ?st . FILTER (?st NOT IN ("OK"))
+            }""",
+    )
+    sts = {r["st"] for r in out2.collect()}
+    assert "OK" not in sts and sts
