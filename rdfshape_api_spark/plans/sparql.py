@@ -100,7 +100,8 @@ class SparqlQuery:
     patterns: list[_Pattern]
     optionals: list[_Group] = field(default_factory=list)
     filters: list[list[str]] = field(default_factory=list)  # top-level scope
-    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    # (var-name | expression token list, desc)
+    order_by: list[tuple[str | list[str], bool]] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     # UNION blocks: each block is a list of alternative branches (each a
@@ -327,16 +328,36 @@ def _parse_modifiers(p: _Parser, prefixes: dict[str, str], q: SparqlQuery) -> No
         elif kw == "ORDER":
             p.expect("BY")
             while p.peek() and (
-                p.peek().startswith("?") or p.peek().upper() in ("ASC", "DESC")
+                p.peek().startswith("?")
+                or p.peek().upper() in ("ASC", "DESC")
+                or p.peek() == "("
             ):
                 t = p.next()
                 desc = False
-                if t.upper() in ("ASC", "DESC"):
-                    desc = t.upper() == "DESC"
-                    p.expect("(")
-                    t = p.next()
-                    p.expect(")")
-                q.order_by.append((t[1:], desc))
+                if t.upper() in ("ASC", "DESC") or t == "(":
+                    # ASC(expr) / DESC(expr) / bare (expr): capture the
+                    # balanced token run, compiled by _compile_expr at
+                    # sort time (numeric when arithmetic is involved)
+                    if t != "(":
+                        desc = t.upper() == "DESC"
+                        p.expect("(")
+                    toks: list[str] = []
+                    depth = 1
+                    while depth:
+                        tk = p.next()
+                        if tk == "(":
+                            depth += 1
+                        elif tk == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        toks.append(tk)
+                    if len(toks) == 1 and toks[0].startswith("?"):
+                        q.order_by.append((toks[0][1:], desc))
+                    else:
+                        q.order_by.append((toks, desc))
+                else:
+                    q.order_by.append((t[1:], desc))
         elif kw == "LIMIT":
             q.limit = int(p.next())
         elif kw == "OFFSET":
@@ -1492,9 +1513,11 @@ def _select_result(model: DataFrame, q: SparqlQuery) -> DataFrame:
     if q.distinct:
         out = out.distinct()
     if q.order_by:
-        out = out.orderBy(
-            *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in q.order_by]
-        )
+        keys = []
+        for v, desc in q.order_by:
+            col = _compile_expr(v) if isinstance(v, list) else F.col(v)
+            keys.append(col.desc() if desc else col.asc())
+        out = out.orderBy(*keys)
     if q.offset is not None:
         out = out.offset(q.offset)
     if q.limit is not None:

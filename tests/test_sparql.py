@@ -764,3 +764,21 @@ def test_filter_in_not_in(spark, triples_001):
     )
     sts = {r["st"] for r in out2.collect()}
     assert "OK" not in sts and sts
+
+
+def test_order_by_expression(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT DISTINCT ?st WHERE { ?s ex:status ?st . }
+            ORDER BY DESC(STRLEN(?st)) LIMIT 3""",
+    )
+    assert [r["st"] for r in out.collect()] == ["RUNNING", "BROKEN", "OK"]
+    out2 = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT DISTINCT ?t WHERE { ?s ex:readingTemperature ?t . }
+            ORDER BY (0 - ?t) LIMIT 2""",
+    )
+    vals = [float(r["t"]) for r in out2.collect()]
+    assert vals == sorted(vals, reverse=True)
