@@ -992,22 +992,33 @@ def _path_pairs(df: DataFrame, path: _Path, max_iters: int = 25) -> DataFrame:
     triples.  'plus' is a bounded distinct-pairs fixpoint (SPARQL arbitrary-
     length paths are set-semantics) with localCheckpoint per round to keep
     the plan flat; at store scale the base pairs are predicate-pruned scans."""
+    # per-document mode (sh:sparql): the doc id rides along in the pair
+    # tables as `_g_doc` and every composition joins on it, so paths never
+    # cross document boundaries
+    g = "_g_doc" in df.columns
+    gsel = [F.col("_g_doc")] if g else []
     if path.op == "iri":
         return df.filter(F.col("pred") == path.iri).select(
-            F.col("subj").alias("s"), F.col("obj_value").alias("o")
+            *gsel, F.col("subj").alias("s"), F.col("obj_value").alias("o")
         )
     if path.op == "inv":
         c = _path_pairs(df, path.children[0], max_iters)
-        return c.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        return c.select(*gsel, F.col("o").alias("s"), F.col("s").alias("o"))
     if path.op == "seq":
         acc = _path_pairs(df, path.children[0], max_iters)
         for ch in path.children[1:]:
             nxt = _path_pairs(df, ch, max_iters).select(
-                F.col("s").alias("_m"), F.col("o").alias("_o2")
+                *([F.col("_g_doc").alias("_g2")] if g else []),
+                F.col("s").alias("_m"),
+                F.col("o").alias("_o2"),
             )
-            acc = (
-                acc.join(nxt, acc["o"] == nxt["_m"])
-                .select(acc["s"].alias("s"), F.col("_o2").alias("o"))
+            cond = acc["o"] == nxt["_m"]
+            if g:
+                cond = cond & (acc["_g_doc"] == nxt["_g2"])
+            acc = acc.join(nxt, cond).select(
+                *([acc["_g_doc"]] if g else []),
+                acc["s"].alias("s"),
+                F.col("_o2").alias("o"),
             )
         return acc
     if path.op == "alt":
@@ -1023,11 +1034,11 @@ def _path_pairs(df: DataFrame, path: _Path, max_iters: int = 25) -> DataFrame:
         # every term of the graph — subjects AND objects, literals included
         # — is connected to itself
         terms = (
-            df.select(F.col("subj").alias("t"))
-            .unionByName(df.select(F.col("obj_value").alias("t")))
+            df.select(*gsel, F.col("subj").alias("t"))
+            .unionByName(df.select(*gsel, F.col("obj_value").alias("t")))
             .distinct()
         )
-        zero = terms.select(F.col("t").alias("s"), F.col("t").alias("o"))
+        zero = terms.select(*gsel, F.col("t").alias("s"), F.col("t").alias("o"))
         one_or_more = (
             _plus_pairs(df, path.children[0], max_iters)
             if path.op == "star"
@@ -1039,13 +1050,25 @@ def _path_pairs(df: DataFrame, path: _Path, max_iters: int = 25) -> DataFrame:
 
 def _plus_pairs(df: DataFrame, child: _Path, max_iters: int) -> DataFrame:
     """OneOrMore fixpoint: bounded semi-naive distinct-pairs expansion."""
+    g = "_g_doc" in df.columns
     base = _path_pairs(df, child, max_iters).distinct().localCheckpoint()
     acc, frontier = base, base
     for _ in range(max_iters):
-        step = base.select(F.col("s").alias("_m"), F.col("o").alias("_o2"))
+        step = base.select(
+            *([F.col("_g_doc").alias("_g2")] if g else []),
+            F.col("s").alias("_m"),
+            F.col("o").alias("_o2"),
+        )
+        cond = frontier["o"] == step["_m"]
+        if g:
+            cond = cond & (frontier["_g_doc"] == step["_g2"])
         nxt = (
-            frontier.join(step, frontier["o"] == step["_m"])
-            .select(frontier["s"].alias("s"), F.col("_o2").alias("o"))
+            frontier.join(step, cond)
+            .select(
+                *([frontier["_g_doc"]] if g else []),
+                frontier["s"].alias("s"),
+                F.col("_o2").alias("o"),
+            )
             .distinct()
         )
         new = nxt.subtract(acc).localCheckpoint()
@@ -1061,6 +1084,11 @@ def _path_pattern_df(df: DataFrame, pat: _Pattern) -> tuple[DataFrame, list[str]
     out_cols: list[F.Column] = []
     vars_: list[str] = []
     cond = F.lit(True)
+    if "_g_doc" in df.columns:
+        # per-document scoping (sh:sparql): same pseudo-variable threading
+        # as _pattern_df, over the doc-scoped path pairs
+        vars_.append("_g_doc")
+        out_cols.append(F.col("_g_doc"))
     if pat.subj.startswith("?"):
         vars_.append(pat.subj[1:])
         out_cols.append(F.col("s").alias(pat.subj[1:]))
@@ -1461,8 +1489,18 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
 
 def _select_result(model: DataFrame, q: SparqlQuery) -> DataFrame:
     """SELECT evaluation over an already-merged model — shared by the
-    top-level query and subqueries (§12)."""
+    top-level query and subqueries (§12).  In per-document mode (the model
+    carries ``_g_doc``, sh:sparql evaluation) the doc id threads through
+    the projection and becomes an implicit grouping key, matching the
+    spec's per-focus-graph evaluation; LIMIT/OFFSET would then need
+    per-document application, which this subset rejects."""
     acc = _solutions(model, q)
+    gdoc = "_g_doc" in acc.columns
+    if gdoc and (q.limit is not None or q.offset is not None):
+        raise SparqlParseError(
+            "sh:sparql subset: LIMIT/OFFSET inside a doc-scoped subquery "
+            "is unsupported (would need per-document application)"
+        )
     if q.aggregates:
         aggs = []
         for func, arg, agg_distinct, alias, sep in q.aggregates:
@@ -1502,14 +1540,15 @@ def _select_result(model: DataFrame, q: SparqlQuery) -> DataFrame:
                 else:
                     fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[func]
                     aggs.append(fn(col).alias(alias))
-        grouped = acc.groupBy(*q.group_by) if q.group_by else acc.groupBy()
+        gkeys = (["_g_doc"] if gdoc else []) + q.group_by
+        grouped = acc.groupBy(*gkeys) if gkeys else acc.groupBy()
         out = grouped.agg(*aggs)
         for htoks in q.having:
             out = _apply_filter(out, htoks)
         proj = (q.select_vars or q.group_by) + [t[3] for t in q.aggregates]
-        out = out.select(*proj)
+        out = out.select(*((["_g_doc"] if gdoc else []) + proj))
     else:
-        out = acc.select(*q.select_vars)
+        out = acc.select(*((["_g_doc"] if gdoc else []) + q.select_vars))
     if q.distinct:
         out = out.distinct()
     if q.order_by:
@@ -1533,19 +1572,20 @@ def sparql_violators(triples: DataFrame, query_text: str) -> DataFrame:
     every document's graph at once; per-document scoping comes from
     threading the doc id through every BGP join as the ``_g_doc``
     pseudo-variable — the set-based equivalent of the spec's per-focus-node
-    evaluation, with no driver-side loop.  Subset: property paths and
-    subqueries inside the constraint query are rejected (their solution
-    tables don't carry the document id)."""
+    evaluation, with no driver-side loop.  Property paths compute their
+    pair fixpoints per document (``_path_pairs`` joins on ``_g_doc``);
+    subqueries group implicitly by document (``_select_result``), so
+    aggregates are scoped to one graph as the spec's per-focus evaluation
+    requires — LIMIT/OFFSET inside a subquery stays rejected."""
     q = parse_sparql(query_text.replace("$this", "?this"))
-    pattern_lists = [q.patterns]
-    pattern_lists += [br.patterns for blk in q.union_groups for br in blk]
-    pattern_lists += [grp.patterns for grp in q.optionals]
-    pattern_lists += [eg.patterns for _, eg in q.exists_groups]
-    pattern_lists += [mg.patterns for mg in q.minus_groups]
-    if any(p.path is not None for pl in pattern_lists for p in pl):
-        raise SparqlParseError("sh:sparql subset: property paths not supported")
-    if q.subqueries:
-        raise SparqlParseError("sh:sparql subset: subqueries not supported")
+    if q.group_by or q.having or q.limit is not None or q.offset is not None:
+        # the violator set is ?this bindings only; top-level solution
+        # modifiers would be silently dropped — reject instead (push the
+        # aggregation into a subquery, which groups per document)
+        raise SparqlParseError(
+            "sh:sparql subset: top-level GROUP BY/HAVING/LIMIT/OFFSET in a "
+            "constraint query is unsupported — use a subquery"
+        )
     model = triples.select(
         F.col("doc_sha256").alias("_g_doc"),
         "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype",

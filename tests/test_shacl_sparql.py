@@ -129,3 +129,81 @@ def test_sh_sparql_exists_scoped(spark):
     )
     out = {r["node"][-1]: r["status"] for r in validate(tri, parse_shacl(shapes)).collect()}
     assert out == {"a": "conformant", "c": "nonconformant"}
+
+
+SHAPES_PATH = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{E}> .
+ex:ReachShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:sparql [
+    sh:message "reaches a banned node via knows+" ;
+    sh:select \"\"\"SELECT ?this WHERE {{
+      ?this ex:knows+ ?x .
+      ?x a ex:Banned .
+    }}\"\"\" ;
+  ] .
+"""
+
+
+def test_sh_sparql_property_path_doc_scoped(spark):
+    """knows+ fixpoint runs per document: the d1 chain reaches a banned
+    node, the d2 copy of the same start node does NOT (its doc has no
+    banned member) — cross-doc leakage would flag it too."""
+    rows_d1 = [
+        (E + "a", RDF_TYPE, "iri", E + "Person", None, None),
+        (E + "a", E + "knows", "iri", E + "b", None, None),
+        (E + "b", E + "knows", "iri", E + "c", None, None),
+        (E + "c", RDF_TYPE, "iri", E + "Banned", None, None),
+    ]
+    rows_d2 = [
+        (E + "a", RDF_TYPE, "iri", E + "Person", None, None),
+        (E + "a", E + "knows", "iri", E + "b", None, None),
+    ]
+    tri = _tri(spark, rows_d1, doc="d1").unionByName(_tri(spark, rows_d2, doc="d2"))
+    schema = parse_shacl(SHAPES_PATH)
+    out = {
+        (r["doc_sha256"], r["node"].rsplit("/", 1)[-1]): r["status"]
+        for r in validate(tri, schema).collect()
+    }
+    assert out[("d1", "a")] == "nonconformant"
+    assert out[("d2", "a")] == "conformant"
+
+
+SHAPES_SUBQ = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{E}> .
+ex:CrowdShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:sparql [
+    sh:message "document lists 3 or more persons" ;
+    sh:select \"\"\"SELECT ?this WHERE {{
+      ?this a ex:Person .
+      {{ SELECT (COUNT(?p) AS ?n) WHERE {{ ?p a ex:Person . }} }}
+      FILTER (?n >= 3)
+    }}\"\"\" ;
+  ] .
+"""
+
+
+def test_sh_sparql_subquery_doc_scoped(spark):
+    """The inner COUNT aggregates per document (implicit _g_doc grouping):
+    d1 has 2 persons (conformant), d2 has 3 (all violators).  A global
+    count (5) would flag every node in both docs."""
+    rows_d1 = [
+        (E + "a", RDF_TYPE, "iri", E + "Person", None, None),
+        (E + "b", RDF_TYPE, "iri", E + "Person", None, None),
+    ]
+    rows_d2 = [
+        (E + "a", RDF_TYPE, "iri", E + "Person", None, None),
+        (E + "b", RDF_TYPE, "iri", E + "Person", None, None),
+        (E + "c", RDF_TYPE, "iri", E + "Person", None, None),
+    ]
+    tri = _tri(spark, rows_d1, doc="d1").unionByName(_tri(spark, rows_d2, doc="d2"))
+    schema = parse_shacl(SHAPES_SUBQ)
+    out = {
+        (r["doc_sha256"], r["node"].rsplit("/", 1)[-1]): r["status"]
+        for r in validate(tri, schema).collect()
+    }
+    assert out[("d1", "a")] == out[("d1", "b")] == "conformant"
+    assert out[("d2", "a")] == out[("d2", "b")] == out[("d2", "c")] == "nonconformant"
