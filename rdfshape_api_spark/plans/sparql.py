@@ -695,6 +695,7 @@ _EXPR_FUNCS = {
     "MD5", "SHA1", "SHA256", "SHA384", "SHA512",
     "ENCODE_FOR_URI", "ISNUMERIC", "SAMETERM", "IRI", "URI",
     "STRLANG", "STRDT",
+    "NOW", "UUID", "STRUUID", "RAND", "TZ",
 }
 _CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
 
@@ -854,6 +855,22 @@ def _compile_expr(toks: list[str]) -> F.Column:
             # on the lexical form (relative resolution needs a base; none
             # in the merged-model subset)
             return s(cols[0]), False
+        if up == "NOW":
+            # xsd:dateTime lexical form; constant within one query
+            # execution per §17.4.5.1 (current_timestamp is plan-constant)
+            return F.date_format(
+                F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+            ), False
+        if up == "UUID":
+            return F.concat(F.lit("urn:uuid:"), F.expr("uuid()")), False
+        if up == "STRUUID":
+            return F.expr("uuid()"), False
+        if up == "RAND":
+            return F.rand(), True
+        if up == "TZ":
+            # timezone designator of an xsd:dateTime lexical form:
+            # trailing 'Z' or ±HH:MM, "" when absent (§17.4.5.8)
+            return F.regexp_extract(s(cols[0]), r"(Z|[+-]\d{2}:\d{2})$", 1), False
         if up in ("STRLANG", "STRDT"):
             # the VALUE is the lexical form; the constructed term's
             # lang/datatype lives in sidecar columns when this call is the

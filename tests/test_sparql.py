@@ -782,3 +782,26 @@ def test_order_by_expression(spark, triples_001):
     )
     vals = [float(r["t"]) for r in out2.collect()]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_nondeterministic_and_tz_builtins(spark, triples_001):
+    out = sparql_select(
+        triples_001,
+        PREFIX
+        + """SELECT ?s ?u ?r ?now ?tz1 ?tz2 WHERE {
+              ?s a ex:Reading .
+              BIND (STRUUID() AS ?u)
+              BIND (RAND() AS ?r)
+              BIND (NOW() AS ?now)
+              BIND (TZ("2011-01-10T14:45:13.815-05:00") AS ?tz1)
+              BIND (TZ("2011-01-10T14:45:13Z") AS ?tz2)
+            } LIMIT 4""",
+    ).collect()
+    assert len(out) == 4
+    import re
+
+    for r in out:
+        assert re.match(r"^[0-9a-f-]{36}$", r["u"])
+        assert 0.0 <= float(r["r"]) < 1.0
+        assert re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:", r["now"])
+        assert r["tz1"] == "-05:00" and r["tz2"] == "Z"
