@@ -101,3 +101,28 @@ def test_fused_store_write_single_exchange(spark, store):
     )
     plan = _plan(fused)
     assert plan.count("Exchange") == 1
+
+
+def test_repetition_signals_is_map_only(spark):
+    """text_repetition must stay a single map-only stage: no Exchange in
+    the physical plan — per-row array expressions, shuffle-free at any
+    scale.  (Higher-order array lambdas opt out of whole-stage codegen by
+    design; the interpreted Project is still JVM-side and vectorizable.)"""
+    from rdfshape_api_spark.functions.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "x y")], "doc_id bigint, text string"
+    )
+    plan = _plan(repetition_signals(docs))
+    assert "Exchange" not in plan
+    assert "Project" in plan
+
+
+def test_text_features_is_map_only(spark):
+    from rdfshape_api_spark.functions.textops import text_features
+
+    docs = spark.createDataFrame(
+        [(1, "the cat", 7)], "doc_id bigint, text string, n_chars bigint"
+    )
+    plan = _plan(text_features(docs))
+    assert "Exchange" not in plan
