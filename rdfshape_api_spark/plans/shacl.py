@@ -150,8 +150,9 @@ def _distribute_siblings(
     tc: TripleConstraint, members: list[TripleConstraint], comp: str
 ) -> None:
     """Move ``tc``'s sibling value fields into every disjunction member
-    (SHACL components are independent conjuncts; distribution over OR is
-    semantics-preserving because members are never negated)."""
+    (SHACL components are independent conjuncts, spec §4.6.2; distribution
+    over OR is semantics-preserving because members are never negated).
+    Reference parity: shaclex core behind SchemaService.scala:80-84."""
     for f in _VALUE_FIELDS:
         sv = getattr(tc, f)
         if sv is None:

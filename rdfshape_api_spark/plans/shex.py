@@ -276,7 +276,9 @@ class _ShexParser:
                 disjuncts.append(d)
             # shape references inside OR (`@<A> OR @<B>`, `[ "x" ] OR @<A>`)
             # are first-class: the evaluator threads one conformance column
-            # per disjunct (validate._ref_reqs / disjunct_ref_cols)
+            # per disjunct (validate._ref_reqs / disjunct_ref_cols).
+            # Reference parity: shexs ShapeOr over ShapeRefs behind
+            # SchemaValidate.scala:97-99
             tc.disjuncts = disjuncts
 
     def parse_value_expr(self, tc: TripleConstraint, shape_level: bool = False):
