@@ -550,6 +550,22 @@ def _q_sparql_having(spark, sf_dir):
     return sparql_select(_merged_triples(spark, sf_dir), q)
 
 
+def _q_sparql_in(spark, sf_dir):
+    """IN / NOT IN expression operators (§17.4.1.9-10) + an ORDER BY
+    expression — both compiled to Column logic."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT DISTINCT ?s ?st WHERE {{
+      ?s ex:status ?st .
+      FILTER (?st IN ("OK", "BROKEN") && ?s NOT IN (<{EX}nothing>))
+    }}
+    ORDER BY DESC(STRLEN(?st)) ?s
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
 def _q_sparql_subquery(spark, sf_dir):
     """SPARQL 1.1 §12 subquery: per-status max temperature (aggregated in
     the subquery) joined back onto every reading of that status."""
@@ -966,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_sparql_agg": _q_sparql_agg,                 # Q1 aggregates/GROUP BY
         "rdf_sparql_bind": _q_sparql_bind,               # Q1 BIND expressions
         "rdf_sparql_having": _q_sparql_having,           # Q1 HAVING post-agg
+        "rdf_sparql_in": _q_sparql_in,                   # Q1 IN/NOT IN + ORDER BY expr
         "rdf_sparql_lang": _q_sparql_lang,               # Q1 LANG/DATATYPE accessors
         "rdf_sparql_values": _q_sparql_values,           # Q1 VALUES inline data
         "rdf_sparql_subquery": _q_sparql_subquery,       # Q1 §12 subqueries
@@ -1154,6 +1171,13 @@ def oracle_sql() -> dict[str, str]:
                               obj_datatype FROM {_T})
             SELECT obj_value AS st, count(*)::BIGINT AS n
             FROM m WHERE pred = '{ex}status' GROUP BY 1 HAVING count(*) > 4000
+        """,
+        "rdf_sparql_in": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_value FROM {_T})
+            SELECT subj AS s, obj_value AS st
+            FROM m WHERE pred = '{ex}status'
+              AND obj_value IN ('OK', 'BROKEN')
+              AND subj NOT IN ('{ex}nothing')
         """,
         "rdf_sparql_subquery": f"""
             WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,
