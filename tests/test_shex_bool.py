@@ -236,3 +236,22 @@ def test_or_of_refs_with_recursion(spark):
     assert out["a"] == "conformant" and out["b"] == "conformant"
     assert out["e"] == "nonconformant"
     assert out["c"] == out["d"] == "conformant"
+
+
+def test_or_ref_conjunction_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="conjunction of two shape references"):
+        parse_shexc(f"PREFIX ex: <{E}>\nex:S {{ ex:v @ex:A AND @ex:B }}")
+
+
+def test_or_refs_two_levels_deep_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="two OR-levels deep"):
+        parse_shexc(
+            f'PREFIX ex: <{E}>\n'
+            'ex:S { ex:v [ "x" ] OR @ex:T }\n'
+            "ex:T @ex:A OR IRI\n"
+            "ex:A { ex:name . }"
+        )
