@@ -52,6 +52,9 @@ class TripleConstraint:
     language_in: list[str] | None = None
     # SHACL sh:uniqueLang true: no two values share a language tag
     unique_lang: bool = False
+    # SHACL sh:message on the property shape: overrides the generated
+    # violation reason text in the report (spec §2.3.2.3)
+    message: str | None = None
     extra: bool = False  # ShEx EXTRA on this predicate
     negated: bool = False  # ShEx NOT on this value expression
     # SHACL sh:path [ sh:inversePath p ]: the constraint ranges over the

@@ -296,6 +296,11 @@ def parse_shacl(text: str) -> CompiledSchema:
             _read_value_constraints(g, pshape, tc)
             if (v := g.obj1(pshape, SH + "uniqueLang")) is not None and v[1] == "true":
                 tc.unique_lang = True
+            # sh:message: custom violation text carried into the report's
+            # reasons column (sh:severity is parsed and ignored — the
+            # verdict schema is binary conformant/nonconformant)
+            if (v := g.obj1(pshape, SH + "message")) is not None:
+                tc.message = v[1]
 
             # sh:hasValue: the value set must INCLUDE the term — count-only
             # semantics over a one-member value set (other values are never

@@ -790,7 +790,10 @@ def evaluate_shape(
         pred_disp = tc.pred if tc.path is not None else f"<{tc.pred}>"
         if shape.alternatives is None:
             reasons.append(
-                F.when(~c_ok, F.lit(f"{kind} on {pred_disp} {card} violated"))
+                F.when(
+                    ~c_ok,
+                    F.lit(tc.message or f"{kind} on {pred_disp} {card} violated"),
+                )
             )
     for key, idxs in sorted(rep_groups.items()):
         gi = rep_ids[key]
@@ -987,7 +990,12 @@ def validate_batch(
                     c_ok = c_ok & (m == t)
                 ok = ok & c_ok
                 card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
-                reasons.append(F.when(~c_ok, F.lit(f"constraint on <{tc.pred}> {card} violated")))
+                reasons.append(
+                    F.when(
+                        ~c_ok,
+                        F.lit(tc.message or f"constraint on <{tc.pred}> {card} violated"),
+                    )
+                )
             tag_is = F.col("_tag") == i
             label_expr = F.when(tag_is, F.lit(label)).otherwise(label_expr)
             status_expr = F.when(

@@ -224,3 +224,16 @@ def test_sh_pattern_flags(spark):
     )
     out = {r["node"][-1]: r["status"] for r in validate(tri, schema).collect()}
     assert out == {"a": "conformant", "b": "nonconformant"}
+
+
+def test_sh_message_in_reasons(spark):
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:datatype xsd:integer ;
+                sh:message "v must be an integer" ] ."""
+    )
+    tri = _tri(spark, [(E + "a", E + "v", "literal", "zz", None, None)])
+    rows = validate(tri, schema).collect()
+    assert rows[0]["status"] == "nonconformant"
+    assert "v must be an integer" in list(rows[0]["reasons"])
