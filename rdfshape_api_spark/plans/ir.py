@@ -122,6 +122,11 @@ class Shape:
     # constraint at parse time (plans/shex.py), so the evaluator only sees
     # this on braced shapes (where it gates on the focus node's string).
     node_constraint: "TripleConstraint | None" = None
+    # ShEx shape-level conjunction with shape references
+    # (`ex:S @ex:Base AND { … }` — the mixin/inheritance pattern, or a
+    # pure alias `ex:T @ex:Base`): the focus node must ALSO belong to
+    # every listed shape's conformant set (positive refs only)
+    conjunct_refs: list[str] = field(default_factory=list)
     # SHACL-SPARQL constraints (sh:sparql → sh:select): each entry is
     # (select_query_text, message) with ``$this`` still in the text — the
     # evaluator rewrites it to ?this and computes the violator set with ONE

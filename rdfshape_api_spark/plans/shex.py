@@ -168,9 +168,28 @@ class _ShexParser:
                 raise ValueError(
                     f"ShExC: expected node constraint or '{{' after shape {label!r}"
                 )
-            shape.node_constraint = nc
+            # shape-level shape reference (`ex:S @ex:Base AND { … }` /
+            # alias `ex:T @ex:Base`): a conjunct over the focus node's
+            # conformance in the referenced shape — lifted out of the node
+            # constraint into Shape.conjunct_refs (the node-constraint gate
+            # is a pure Column expression and can't carry a set membership)
+            if nc.ref_shape is not None:
+                if nc.negated:
+                    raise ValueError(
+                        "ShExC: negated shape-level shape reference "
+                        "(`NOT @<ref> AND { … }`) is unsupported"
+                    )
+                shape.conjunct_refs.append(nc.ref_shape)
+                nc.ref_shape = None
+            if nc.disjuncts and any(d.ref_shape is not None for d in nc.disjuncts):
+                raise ValueError(
+                    "ShExC: shape references inside a shape-level OR are "
+                    "unsupported"
+                )
+            if _has_any_value_field(nc):
+                shape.node_constraint = nc
             k, v = self.peek()
-        if shape.node_constraint is not None and not (
+        if (shape.node_constraint is not None or shape.conjunct_refs) and not (
             (k == "kw" and v.upper() in ("CLOSED", "EXTRA"))
             or (k == "punct" and v == "{")
         ):

@@ -302,11 +302,12 @@ def _ref_order(schema: CompiledSchema, roots: list[str]) -> tuple[list[str], set
         all_tcs = list(sh.constraints) + [
             tc for grp in (sh.alternatives or []) for tc in grp
         ]
-        for tc in all_tcs:
-            for ref in _refs_of(tc):
-                if ref not in schema.shapes:
-                    raise ValueError(f"unknown shape reference {ref}")
-                visit(ref, stack + (sid,))
+        shape_refs = [ref for tc in all_tcs for ref in _refs_of(tc)]
+        shape_refs += sh.conjunct_refs
+        for ref in shape_refs:
+            if ref not in schema.shapes:
+                raise ValueError(f"unknown shape reference {ref}")
+            visit(ref, stack + (sid,))
         state[sid] = 2
         order.append(sid)
 
@@ -866,6 +867,19 @@ def evaluate_shape(
         reasons.append(
             F.when(~gate, F.lit("focus node fails the shape's node constraint"))
         )
+    for j, cref in enumerate(shape.conjunct_refs):
+        # shape-level conjunct reference (`@<Base> AND { … }`): the focus
+        # node must sit in the referenced shape's conformant set — a
+        # left-join membership marker on the same (doc, node) key as the
+        # aggregate, so AQE can reuse the exchange
+        mark = f"_conj_ok_{j}"
+        cdf = conformant_refs[cref].withColumn(mark, F.lit(True))
+        res = res.join(cdf, on=["doc_sha256", "node"], how="left")
+        cg = F.coalesce(F.col(mark), F.lit(False))
+        ok = ok & cg
+        reasons.append(
+            F.when(~cg, F.lit(f"focus node does not conform to <{cref}>"))
+        )
 
     return res.select(
         "doc_sha256",
@@ -901,6 +915,9 @@ def validate_batch(
         complex_ = any(
             sh.closed
             or sh.alternatives is not None
+            or sh.node_constraint is not None
+            or sh.conjunct_refs
+            or sh.sparql_selects
             or any(
                 tc.ref_shape
                 or tc.class_iri
@@ -1119,8 +1136,9 @@ def validate(
     referenced = {
         ref
         for sh in schema.shapes.values()
-        for tc in _tcs(sh)
-        for ref in _refs_of(tc)
+        for ref in (
+            [r for tc in _tcs(sh) for r in _refs_of(tc)] + sh.conjunct_refs
+        )
     }
     # shapes that transitively depend on a cycle member must evaluate AFTER
     # the fixpoint (their referenced conformant sets don't exist yet);
@@ -1129,8 +1147,10 @@ def validate(
     for sid in order:
         if any(
             ref in cycle_dep
-            for tc in _tcs(schema.shapes[sid])
-            for ref in _refs_of(tc)
+            for ref in (
+                [r for tc in _tcs(schema.shapes[sid]) for r in _refs_of(tc)]
+                + schema.shapes[sid].conjunct_refs
+            )
         ):
             cycle_dep.add(sid)
 

@@ -248,7 +248,9 @@ def test_or_ref_conjunction_rejected():
 def test_or_refs_two_levels_deep_rejected():
     import pytest
 
-    with pytest.raises(ValueError, match="two OR-levels deep"):
+    # the bare target shape's own shape-level OR-of-refs rejects first;
+    # the inline pass's two-OR-levels guard backstops other routes
+    with pytest.raises(ValueError, match="shape-level OR|two OR-levels deep"):
         parse_shexc(
             f'PREFIX ex: <{E}>\n'
             'ex:S { ex:v [ "x" ] OR @ex:T }\n'

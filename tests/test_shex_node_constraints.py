@@ -102,3 +102,61 @@ def test_next_shape_label_not_eaten_as_datatype():
     )
     assert schema.shapes[E + "T"].node_constraint.datatype is None
     assert E + "S" in schema.shapes
+
+
+def test_shape_level_conjunct_ref(spark):
+    """`ex:Child @ex:Base AND { … }` — the ShEx mixin pattern: focus must
+    conform to Base AND satisfy the braced body."""
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\n"
+        "ex:Child @ex:Base AND { ex:age . }\n"
+        "ex:Base { ex:name . }"
+    )
+    assert schema.shapes[E + "Child"].conjunct_refs == [E + "Base"]
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "name", "literal", "Ann", None, None),
+            (E + "a", E + "age", "literal", "9", None, None),
+            (E + "b", E + "name", "literal", "Bob", None, None),  # no age
+            (E + "c", E + "age", "literal", "7", None, None),     # no name
+        ],
+    )
+    smap = ", ".join(f"<{E}{n}>@<{E}Child>" for n in "abc")
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "nonconformant"}
+
+
+def test_shape_alias_via_conjunct_ref(spark):
+    """`ex:T @ex:Base` with no body: pure alias — conformance to T equals
+    conformance to Base."""
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nex:T @ex:Base\nex:Base {{ ex:name . }}"
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "name", "literal", "Ann", None, None),
+            (E + "b", E + "other", "literal", "x", None, None),
+        ],
+    )
+    smap = f"<{E}a>@<{E}T>, <{E}b>@<{E}T>"
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant"}
+
+
+def test_negated_shape_level_ref_rejected():
+    import pytest
+
+    from rdfshape_api_spark.plans import parse_shexc
+
+    with pytest.raises(ValueError, match="negated shape-level"):
+        parse_shexc(
+            f"PREFIX ex: <{E}>\n"
+            "ex:S NOT @ex:Base AND { ex:age . }\n"
+            "ex:Base { ex:name . }"
+        )
