@@ -314,6 +314,25 @@ def _q_social_or_refs(spark, sf_dir):
     ).select("doc_sha256", "node", "status")
 
 
+def _q_entity_link(spark, sf_dir):
+    """Entity linking (north-star): identity-edge components → canonical
+    representative rewrite.  The social fixture carries no owl:sameAs, so
+    the ex:knows graph stands in as the identity-edge source — the
+    operator takes any (a, b) edge set (owl:sameAs extraction is the
+    default path, unit-tested in test_canonicalize.py)."""
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.operators.canonicalize import link_entities
+
+    tri = _social_triples(spark, sf_dir).select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+    ).distinct()
+    edges = tri.filter(
+        (F.col("pred") == EX + "knows") & (F.col("obj_kind") != "literal")
+    ).select(F.col("subj").alias("a"), F.col("obj_value").alias("b"))
+    return link_entities(tri, edges=edges).distinct()
+
+
 def _q_html_extract(spark, sf_dir):
     """HTML→RDF (RDFa-lite + Microdata) through the standard extract →
     canonicalize path (S2; reference HtmlToRdf.scala:50-122)."""
@@ -1009,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_extract": _q_social_extract,             # S1 incl. N-Quads/TriG
         "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
         "social_shex_or_refs": _q_social_or_refs,        # §2.7 @<A> OR @<B> disjunct refs
+        "rdf_entity_link": _q_entity_link,               # north-star entity linking
         "catalog_validate_item": _q_catalog_validate,    # §2.7 repeated-prop EachOf
         "rdf_html_extract": _q_html_extract,             # S2 HTML→RDF (RDFa/Microdata)
         # training-data pipeline operators
@@ -1488,6 +1508,39 @@ def oracle_sql() -> dict[str, str]:
         "catalog_validate_item": (
             f"SELECT doc_sha256, node, status FROM '{_CAT_VERDICTS}'"
         ),
+        "rdf_entity_link": f"""
+            -- entity linking: connected components over the (symmetric)
+            -- knows graph via a recursive CTE, min-label canon, then the
+            -- subject/IRI-object rewrite the Spark operator performs
+            WITH RECURSIVE m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value,
+                     obj_lang, obj_datatype FROM '{_SOC_TRIPLES}'
+            ), e AS (
+              SELECT DISTINCT subj AS a, obj_value AS b FROM m
+              WHERE pred = '{EX}knows' AND obj_kind <> 'literal'
+              UNION
+              SELECT DISTINCT obj_value, subj FROM m
+              WHERE pred = '{EX}knows' AND obj_kind <> 'literal'
+            ), nodes AS (
+              SELECT DISTINCT a AS n FROM e
+            ), r AS (
+              SELECT n, n AS reach FROM nodes
+              UNION
+              SELECT r.n, e.b FROM r JOIN e ON e.a = r.reach
+            ), comp AS (
+              SELECT n, min(reach) AS canon FROM r GROUP BY n
+            )
+            SELECT DISTINCT m.doc_sha256,
+                   coalesce(cs.canon, m.subj) AS subj,
+                   m.pred, m.obj_kind,
+                   CASE WHEN m.obj_kind <> 'literal'
+                        THEN coalesce(co.canon, m.obj_value)
+                        ELSE m.obj_value END AS obj_value,
+                   m.obj_lang, m.obj_datatype
+            FROM m
+            LEFT JOIN comp cs ON cs.n = m.subj
+            LEFT JOIN comp co ON co.n = m.obj_value AND m.obj_kind <> 'literal'
+        """,
         "social_shex_or_refs": f"""
             -- @ex:EmailPerson OR @ex:PhonePerson over every ex:knows value:
             -- a known node conforms to a disjunct iff it has EXACTLY ONE

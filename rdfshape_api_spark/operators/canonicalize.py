@@ -140,6 +140,76 @@ def entity_degree(df: DataFrame, salt_buckets: int = 32) -> DataFrame:
     return partial.groupBy("entity").agg(F.sum("_c").alias("degree"))
 
 
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def link_entities(
+    triples: DataFrame,
+    edges: DataFrame | None = None,
+    drop_identity_triples: bool = True,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Entity linking (north-star: "entity linking plus IRI
+    canonicalization"): resolve identity edges to connected components
+    and rewrite every subject/IRI-object to its component's canonical
+    (lexicographic-min) representative.
+
+    ``edges`` defaults to the triple set's own ``owl:sameAs`` statements;
+    pass any ``(a, b)`` DataFrame to link on other evidence (e.g. a
+    blocking/dedup candidate-pair set).  Identity is global — IRIs are
+    document-independent, so the rewrite applies across documents.
+
+    100 TB design: components via distributed min-label propagation
+    (``functions.dedup.connected_components`` — one key join + one
+    map-side-combined min-agg per round, O(component diameter) rounds;
+    sameAs clusters are near-cliques so 2-3 rounds), then two left joins
+    of the triple set against the (entity → canon) mapping, both on the
+    join key Catalyst already shuffles for the store layout.  No
+    driver-side state, no collect.
+    """
+    from rdfshape_api_spark.functions.dedup import connected_components
+
+    if edges is None:
+        ident = (F.col("pred") == OWL_SAMEAS) & (F.col("obj_kind") != "literal")
+        edges = triples.filter(ident).select(
+            F.col("subj").alias("a"), F.col("obj_value").alias("b")
+        )
+        if drop_identity_triples:
+            triples = triples.filter(~ident)
+        comp = connected_components(edges, max_iters=max_iters, a="a", b="b")
+    else:
+        cols = edges.columns
+        comp = connected_components(
+            edges, max_iters=max_iters, a=cols[0], b=cols[1]
+        )
+    mapping = comp.filter(F.col("doc_id") != F.col("component"))
+    smap = mapping.select(
+        F.col("doc_id").alias("subj"), F.col("component").alias("_canon_s")
+    )
+    omap = mapping.select(
+        F.col("doc_id").alias("obj_value"), F.col("component").alias("_canon_o")
+    )
+    out = (
+        triples.join(smap, on="subj", how="left")
+        .join(omap, on="obj_value", how="left")
+        .select(
+            *[
+                c
+                for c in triples.columns
+                if c not in ("subj", "obj_value")
+            ],
+            F.coalesce(F.col("_canon_s"), F.col("subj")).alias("subj"),
+            F.when(
+                F.col("obj_kind") != "literal",
+                F.coalesce(F.col("_canon_o"), F.col("obj_value")),
+            )
+            .otherwise(F.col("obj_value"))
+            .alias("obj_value"),
+        )
+    )
+    return out.select(*triples.columns)
+
+
 def pred_partition_key(pred=None):
     """Filesystem-safe predicate partition key: local name + 8-hex md5
     disambiguator (IRIs contain '/' and '#', unusable as directory names)."""

@@ -86,3 +86,43 @@ def test_entity_degree_skew_agg(spark):
     rows += [("d", "hub", "http://e/p", "literal", "x", None, None)]
     deg = {r["entity"]: r["degree"] for r in C.entity_degree(_raw(spark, rows)).collect()}
     assert deg["hub"] == 101
+
+
+def test_link_entities_sameas(spark):
+    from rdfshape_api_spark.operators.canonicalize import OWL_SAMEAS, link_entities
+
+    E = "http://e/"
+    cols = "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            ("d", E + "b", OWL_SAMEAS, "iri", E + "a", None, None),
+            ("d", E + "c", OWL_SAMEAS, "iri", E + "b", None, None),
+            ("d", E + "c", E + "name", "literal", "Carl", None, None),
+            ("d", E + "x", E + "knows", "iri", E + "b", None, None),
+            ("d2", E + "a", E + "age", "literal", "9", None, None),
+            ("d2", E + "z", E + "other", "iri", E + "w", None, None),
+        ],
+        cols,
+    )
+    out = link_entities(tri)
+    rows = {(r["doc_sha256"], r["subj"], r["pred"], r["obj_value"]) for r in out.collect()}
+    # a is the lexicographic-min representative of {a, b, c}
+    assert ("d", E + "a", E + "name", "Carl") in rows       # subj rewritten
+    assert ("d", E + "x", E + "knows", E + "a") in rows     # obj rewritten
+    assert ("d2", E + "a", E + "age", "9") in rows          # already canonical
+    assert ("d2", E + "z", E + "other", E + "w") in rows    # untouched
+    assert not any(r["pred"] == OWL_SAMEAS for r in out.collect())
+    assert out.count() == 4
+
+
+def test_link_entities_explicit_edges(spark):
+    from rdfshape_api_spark.operators.canonicalize import link_entities
+
+    E = "http://e/"
+    cols = "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [("d", E + "q", E + "p", "literal", "v", None, None)], cols
+    )
+    edges = spark.createDataFrame([(E + "q", E + "m")], "a string, b string")
+    out = link_entities(tri, edges=edges)
+    assert out.collect()[0]["subj"] == E + "m"
