@@ -159,6 +159,18 @@ def run_pipeline(
             canon = canonicalize(
                 raw.filter(F.col("error").isNull()).select(*TRIPLE_COLUMNS)
             )
+            # entity linking (north-star): resolve owl:sameAs identity
+            # edges to canonical representatives before the store write.
+            # One pushdown-pruned scan decides whether the corpus carries
+            # identity triples at all; without them the stage is a no-op
+            # and adds no join to the plan.
+            from rdfshape_api_spark.operators.canonicalize import (
+                OWL_SAMEAS,
+                link_entities,
+            )
+
+            if not canon.filter(F.col("pred") == OWL_SAMEAS).isEmpty():
+                canon = link_entities(canon)
             # dedup is fused into the store's layout shuffle (one exchange)
             write_canonical_store(
                 canon, store_dir, subj_buckets=store_subj_buckets, dedup=True

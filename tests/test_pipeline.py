@@ -55,3 +55,28 @@ def test_entry_contract(spark):
     # every SURVEY §2 headline family is represented
     for prefix in ("rdf_extract", "rdf_validate_shex", "rdf_validate_shacl", "dedup_", "sim_", "text_"):
         assert any(k.startswith(prefix) for k in qs), prefix
+
+
+def test_pipeline_links_sameas_entities(spark, tmp_path):
+    """A corpus carrying owl:sameAs triples gets entity-linked before the
+    store write: aliased subjects collapse onto the canonical IRI."""
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.operators.canonicalize import OWL_SAMEAS
+
+    nt = (
+        "<http://e/b> <http://www.w3.org/2002/07/owl#sameAs> <http://e/a> .\n"
+        '<http://e/b> <http://e/name> "Al" .\n'
+        "<http://e/x> <http://e/knows> <http://e/b> .\n"
+    )
+    docs = spark.createDataFrame(
+        [("r1", "f.nt", "c1", "ntriples", nt)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = str(tmp_path / "linkrun")
+    run_pipeline(spark, docs, out)
+    store = spark.read.parquet(os.path.join(out, "triple_store"))
+    rows = {(r["subj"], r["pred"], r["obj_value"]) for r in store.collect()}
+    assert ("http://e/a", "http://e/name", "Al") in rows
+    assert ("http://e/x", "http://e/knows", "http://e/a") in rows
+    assert not any(p == OWL_SAMEAS for _, p, _ in rows)
