@@ -170,19 +170,25 @@ def connected_components(
         msgs = edges.join(
             labels, on=edges["src"] == labels["doc_id"]
         ).select(F.col("dst").alias("doc_id"), "component")
-        nxt = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
+        # fold old label + best neighbor offer in ONE frame: nxt and the
+        # convergence check both derive from it, saving the second
+        # label-vs-label join per round
+        mins = msgs.groupBy("doc_id").agg(F.min("component").alias("_offer"))
+        joined = (
+            labels.join(mins, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.col("component").alias("_old"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_offer"), F.col("component"))
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
         changed = (
-            nxt.join(labels.withColumnRenamed("component", "_old"), on="doc_id")
-            .filter(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
+            joined.filter(F.col("component") != F.col("_old")).limit(1).count()
         )
-        labels = nxt
+        labels = joined.select("doc_id", "component")
         if changed == 0:
             return labels
     raise ValueError(f"connected_components did not converge in {max_iters} rounds")
