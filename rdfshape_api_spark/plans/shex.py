@@ -312,12 +312,23 @@ class _ShexParser:
             if k == "atref":
                 self.next()
                 ref = v[1:]
+                target = ref[1:-1] if ref.startswith("<") else self.expand(ref)
                 if tc.ref_shape is not None:
-                    raise ValueError(
-                        "ShExC: a conjunction of two shape references on one "
-                        "value expression is unsupported (one @<ref> slot)"
-                    )
-                tc.ref_shape = ref[1:-1] if ref.startswith("<") else self.expand(ref)
+                    # `@<A> AND @<B>`: rewrite to one reference to a
+                    # synthetic conjunct shape (empty body + shape-level
+                    # conjunct_refs = [A, B]) — the evaluator's shape-level
+                    # conjunction machinery does the set intersection
+                    cur = self.shapes.get(tc.ref_shape)
+                    if cur is not None and cur.shape_id.startswith("urn:shex:and:"):
+                        cur.conjunct_refs.append(target)
+                    else:
+                        sid = f"urn:shex:and:{len(self.shapes)}"
+                        self.shapes[sid] = Shape(
+                            shape_id=sid, conjunct_refs=[tc.ref_shape, target]
+                        )
+                        tc.ref_shape = sid
+                    continue
+                tc.ref_shape = target
                 continue
             if k == "punct" and v == "[":
                 # value set: members, stems (`member~`), wildcard (`.`),

@@ -238,11 +238,19 @@ def test_or_of_refs_with_recursion(spark):
     assert out["c"] == out["d"] == "conformant"
 
 
-def test_or_ref_conjunction_rejected():
-    import pytest
-
-    with pytest.raises(ValueError, match="conjunction of two shape references"):
-        parse_shexc(f"PREFIX ex: <{E}>\nex:S {{ ex:v @ex:A AND @ex:B }}")
+def test_ref_conjunction_rewrites_to_synthetic_shape():
+    """`@<A> AND @<B>` parses to one reference to a synthetic conjunct
+    shape carrying both targets (evaluation tested in
+    test_shex_node_constraints.test_value_level_ref_conjunction)."""
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\n"
+        "ex:S { ex:v @ex:A AND @ex:B }\n"
+        "ex:A { ex:name . }\n"
+        "ex:B { ex:age . }"
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert tc.ref_shape.startswith("urn:shex:and:")
+    assert schema.shapes[tc.ref_shape].conjunct_refs == [E + "A", E + "B"]
 
 
 def test_or_refs_two_levels_deep_rejected():

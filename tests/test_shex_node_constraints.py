@@ -160,3 +160,31 @@ def test_negated_shape_level_ref_rejected():
             "ex:S NOT @ex:Base AND { ex:age . }\n"
             "ex:Base { ex:name . }"
         )
+
+
+def test_value_level_ref_conjunction(spark):
+    """`ex:v @ex:A AND @ex:B` — rewritten at parse to a synthetic conjunct
+    shape; a value conforms iff it conforms to BOTH referenced shapes."""
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\n"
+        "ex:S { ex:v @ex:A AND @ex:B }\n"
+        "ex:A { ex:name . }\n"
+        "ex:B { ex:age . }"
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "s1", E + "v", "iri", E + "both", None, None),
+            (E + "both", E + "name", "literal", "N", None, None),
+            (E + "both", E + "age", "literal", "5", None, None),
+            (E + "s2", E + "v", "iri", E + "only_a", None, None),
+            (E + "only_a", E + "name", "literal", "N", None, None),
+            (E + "s3", E + "v", "iri", E + "neither", None, None),
+            (E + "neither", E + "x", "literal", "?", None, None),
+        ],
+    )
+    smap = ", ".join(f"<{E}s{n}>@<{E}S>" for n in "123")
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"1": "conformant", "2": "nonconformant", "3": "nonconformant"}
