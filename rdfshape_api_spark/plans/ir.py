@@ -127,6 +127,10 @@ class Shape:
     # pure alias `ex:T @ex:Base`): the focus node must ALSO belong to
     # every listed shape's conformant set (positive refs only)
     conjunct_refs: list[str] = field(default_factory=list)
+    # ShEx shape-level disjunction of shape references (`ex:T @ex:A OR
+    # @ex:B` — ShapeOr): the focus node must belong to AT LEAST ONE of
+    # the listed shapes' conformant sets (positive refs only)
+    disjunct_refs: list[str] = field(default_factory=list)
     # SHACL-SPARQL constraints (sh:sparql → sh:select): each entry is
     # (select_query_text, message) with ``$this`` still in the text — the
     # evaluator rewrites it to ?this and computes the violator set with ONE

@@ -182,14 +182,41 @@ class _ShexParser:
                 shape.conjunct_refs.append(nc.ref_shape)
                 nc.ref_shape = None
             if nc.disjuncts and any(d.ref_shape is not None for d in nc.disjuncts):
-                raise ValueError(
-                    "ShExC: shape references inside a shape-level OR are "
-                    "unsupported"
+                # shape-level ShapeOr of refs (`ex:T @ex:A OR @ex:B`):
+                # every disjunct must be a pure reference — lifted into
+                # Shape.disjunct_refs (at-least-one set membership).
+                # Mixing ref and value disjuncts at shape level stays
+                # rejected (one gate can't mix set membership with a
+                # focus-term predicate without per-disjunct columns).
+                if nc.negated:
+                    raise ValueError(
+                        "ShExC: negated shape-level OR of shape references "
+                        "is unsupported"
+                    )
+                pure = all(
+                    d.ref_shape is not None
+                    and not d.negated
+                    and not any(
+                        f != "ref_shape" and getattr(d, f) not in (None, False)
+                        for f in _VALUE_FIELDS
+                    )
+                    for d in nc.disjuncts
                 )
+                if not pure:
+                    raise ValueError(
+                        "ShExC: a shape-level OR mixing shape references "
+                        "with value constraints is unsupported"
+                    )
+                shape.disjunct_refs = [d.ref_shape for d in nc.disjuncts]
+                nc.disjuncts = None
             if _has_any_value_field(nc):
                 shape.node_constraint = nc
             k, v = self.peek()
-        if (shape.node_constraint is not None or shape.conjunct_refs) and not (
+        if (
+            shape.node_constraint is not None
+            or shape.conjunct_refs
+            or shape.disjunct_refs
+        ) and not (
             (k == "kw" and v.upper() in ("CLOSED", "EXTRA"))
             or (k == "punct" and v == "{")
         ):

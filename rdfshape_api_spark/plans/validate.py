@@ -303,7 +303,7 @@ def _ref_order(schema: CompiledSchema, roots: list[str]) -> tuple[list[str], set
             tc for grp in (sh.alternatives or []) for tc in grp
         ]
         shape_refs = [ref for tc in all_tcs for ref in _refs_of(tc)]
-        shape_refs += sh.conjunct_refs
+        shape_refs += sh.conjunct_refs + sh.disjunct_refs
         for ref in shape_refs:
             if ref not in schema.shapes:
                 raise ValueError(f"unknown shape reference {ref}")
@@ -867,6 +867,25 @@ def evaluate_shape(
         reasons.append(
             F.when(~gate, F.lit("focus node fails the shape's node constraint"))
         )
+    if shape.disjunct_refs:
+        # shape-level ShapeOr of refs: at-least-one membership across the
+        # referenced conformant sets (same join key as the aggregate)
+        dis_ok = F.lit(False)
+        for j, dref in enumerate(shape.disjunct_refs):
+            mark = f"_disj_ok_{j}"
+            ddf = conformant_refs[dref].withColumn(mark, F.lit(True))
+            res = res.join(ddf, on=["doc_sha256", "node"], how="left")
+            dis_ok = dis_ok | F.coalesce(F.col(mark), F.lit(False))
+        ok = ok & dis_ok
+        reasons.append(
+            F.when(
+                ~dis_ok,
+                F.lit(
+                    "focus node conforms to none of "
+                    + ", ".join(f"<{r}>" for r in shape.disjunct_refs)
+                ),
+            )
+        )
     for j, cref in enumerate(shape.conjunct_refs):
         # shape-level conjunct reference (`@<Base> AND { … }`): the focus
         # node must sit in the referenced shape's conformant set — a
@@ -917,6 +936,7 @@ def validate_batch(
             or sh.alternatives is not None
             or sh.node_constraint is not None
             or sh.conjunct_refs
+            or sh.disjunct_refs
             or sh.sparql_selects
             or any(
                 tc.ref_shape
@@ -1137,7 +1157,9 @@ def validate(
         ref
         for sh in schema.shapes.values()
         for ref in (
-            [r for tc in _tcs(sh) for r in _refs_of(tc)] + sh.conjunct_refs
+            [r for tc in _tcs(sh) for r in _refs_of(tc)]
+            + sh.conjunct_refs
+            + sh.disjunct_refs
         )
     }
     # shapes that transitively depend on a cycle member must evaluate AFTER
@@ -1150,6 +1172,7 @@ def validate(
             for ref in (
                 [r for tc in _tcs(schema.shapes[sid]) for r in _refs_of(tc)]
                 + schema.shapes[sid].conjunct_refs
+                + schema.shapes[sid].disjunct_refs
             )
         ):
             cycle_dep.add(sid)

@@ -188,3 +188,39 @@ def test_value_level_ref_conjunction(spark):
     smap = ", ".join(f"<{E}s{n}>@<{E}S>" for n in "123")
     out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
     assert out == {"1": "conformant", "2": "nonconformant", "3": "nonconformant"}
+
+
+def test_shape_level_disjunct_refs(spark):
+    """`ex:T @ex:A OR @ex:B` — ShapeOr of refs: conformance to T is
+    membership in at least one referenced conformant set."""
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\n"
+        "ex:T @ex:A OR @ex:B\n"
+        "ex:A { ex:name . }\n"
+        "ex:B { ex:age . }"
+    )
+    assert schema.shapes[E + "T"].disjunct_refs == [E + "A", E + "B"]
+    tri = _tri(
+        spark,
+        [
+            (E + "n1", E + "name", "literal", "N", None, None),
+            (E + "n2", E + "age", "literal", "7", None, None),
+            (E + "n3", E + "other", "literal", "?", None, None),
+        ],
+    )
+    smap = ", ".join(f"<{E}n{n}>@<{E}T>" for n in "123")
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"1": "conformant", "2": "conformant", "3": "nonconformant"}
+
+
+def test_shape_level_mixed_or_rejected(spark):
+    import pytest
+
+    from rdfshape_api_spark.plans import parse_shexc
+
+    with pytest.raises(ValueError, match="mixing shape references"):
+        parse_shexc(
+            f"PREFIX ex: <{E}>\nex:T @ex:A OR IRI\nex:A {{ ex:name . }}"
+        )
