@@ -123,6 +123,9 @@ def to_shexc(schema: CompiledSchema) -> str:
     if schema.start is not None:
         lines.append(f"start = @{_pname(schema.start, schema.prefixes)}")
         lines.append("")
+    def _ref_name(r: str) -> str:
+        return "@" + (_pname(r, schema.prefixes) if r.startswith("http") else f"<{r}>")
+
     for sid in sorted(schema.shapes):
         sh = schema.shapes[sid]
         head = _pname(sid, schema.prefixes) if sid.startswith("http") else f"<{sid}>"
@@ -133,7 +136,28 @@ def to_shexc(schema: CompiledSchema) -> str:
             ))
         if sh.closed:
             mods.append("CLOSED")
-        lines.append(f"{head} {' '.join(mods) + ' ' if mods else ''}{{")
+        # shape-level prefix: node constraint, conjunct refs (`@Base AND`),
+        # ShapeOr of refs — ANDed before the braced body (semantics-
+        # preserving; a multi-ref conjunction re-parses through a synthetic
+        # conjunct shape, structurally different but equivalent)
+        pre_parts = []
+        if sh.node_constraint is not None:
+            nc_txt = _value_expr(sh.node_constraint, schema.prefixes).strip()
+            if nc_txt and nc_txt != ".":
+                pre_parts.append(nc_txt)
+        pre_parts += [_ref_name(r) for r in sh.conjunct_refs]
+        if sh.disjunct_refs:
+            pre_parts.append(" OR ".join(_ref_name(r) for r in sh.disjunct_refs))
+        pre = " AND ".join(pre_parts)
+        if not (sh.constraints or sh.alternatives is not None or mods) and pre:
+            # bodyless shape (bare node constraint / alias / ShapeOr)
+            lines.append(f"{head} {pre}")
+            lines.append("")
+            continue
+        lines.append(
+            f"{head} {pre + ' AND ' if pre else ''}"
+            f"{' '.join(mods) + ' ' if mods else ''}{{"
+        )
 
         def _group(tcs) -> str:
             return " ;\n".join(

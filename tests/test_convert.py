@@ -95,3 +95,22 @@ def test_check_datatype(spark, triples_001):
     assert all(
         not r["datatype_ok"] for r in rows if r["pred"] == EX + "status"
     )
+
+
+def test_to_shexc_renders_shape_level_refs_and_nc():
+    from rdfshape_api_spark.plans import parse_shexc
+    from rdfshape_api_spark.plans.convert import to_shexc
+
+    E = "http://e/"
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\n"
+        "ex:Child @ex:Base AND { ex:age . }\n"
+        "ex:Base { ex:name . }\n"
+        "ex:T @ex:Base OR @ex:Child\n"
+        "ex:N IRI"
+    )
+    text = to_shexc(schema)
+    re2 = parse_shexc(text)
+    assert re2.shapes[E + "Child"].conjunct_refs == [E + "Base"]
+    assert re2.shapes[E + "T"].disjunct_refs == [E + "Base", E + "Child"]
+    assert re2.shapes[E + "N"].node_constraint.node_kind == "iri"
