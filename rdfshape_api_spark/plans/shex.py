@@ -11,13 +11,29 @@ cardinalities ``? * + {m} {m,n} {m,}``, CLOSED and EXTRA modifiers,
 recursion (greatest fixpoint) with stratified negation, ``a`` keyword,
 comments.
 
+Shape-reference algebra (all compiled to conformant-set joins in
+plans/validate.py):
+
+* value-level ``@<Ref>``, ``@<A> OR @<B>`` (per-disjunct ref columns),
+  ``NOT @<Ref>`` (incl. inside OR), ``@<A> AND @<B>`` (parse-time
+  rewrite to a synthetic ``urn:shex:and:N`` conjunct shape);
+* shape-level ``@<Base> AND { … }`` mixins and ``@<Base>`` aliases
+  (``Shape.conjunct_refs``), ``@<A> OR @<B>`` ShapeOr
+  (``Shape.disjunct_refs``);
+* bare node-constraint shapes (``ex:T IRI``) inline into referencing
+  constraints — including through OR disjuncts; ``IRI AND { … }`` gates
+  the focus term.
+
 Semantic actions (``%ext{…%}``) and annotations (``// pred value``) are
 parsed and dropped — the spec's no-op treatment for validators without
 the extension.  Out of subset (rejected with a clear error, SURVEY §7.3):
-negated references inside a reference cycle (non-stratifiable), IMPORT.
+negated references inside a reference cycle (non-stratifiable; applies
+at disjunct level too), refs nested two OR-levels deep, shape-level OR
+mixing refs with value constraints, negated shape-level refs, IMPORT.
+Known grammar deviation: AND/OR at one nesting level associate left
+(``@A OR @B AND { … }`` reads as ``(A OR B) AND { … }``), whereas the
+ShEx grammar binds AND tighter.
 ``start = @<Shape>`` is supported; shapemaps may use ``node@start``.
-Shape-level node constraints: bare shapes (``ex:T IRI``) are inlined
-into referencing triple constraints; ``IRI AND { … }`` gates the focus.
 """
 
 from __future__ import annotations
