@@ -379,6 +379,13 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_signals(docs)
 
 
+def _q_text_quality(spark, sf_dir):
+    from rdfshape_api_spark.functions.textops import quality_filter
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return quality_filter(docs)
+
+
 def _q_dedup_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1035,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": _q_text_features,
         "text_redact": _q_text_redact,
         "text_repetition": _q_text_repetition,
+        "text_quality": _q_text_quality,
         "dedup_exact": _q_dedup_exact,
         "dedup_lsh_pairs": _q_dedup_lsh,
         "dedup_lsh_keep": _q_dedup_lsh_keep,
@@ -1659,6 +1667,40 @@ def oracle_sql() -> dict[str, str]:
               coalesce(list_max(list_transform(list_distinct(grams),
                        gg -> len(list_filter(grams, x -> x = gg)))), 0)::BIGINT AS top_bigram_count
             FROM g
+        """,
+        "text_quality": r"""
+            -- C4/Gopher-style keep/drop: floor() is the portable
+            -- double->int path (Spark casts truncate, DuckDB casts round)
+            WITH p AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\s+'),
+                            x -> x <> '') AS words
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                len(words)::BIGINT AS n_words,
+                CASE WHEN len(words) > 0
+                     THEN CAST(floor(length(array_to_string(words,'')) * 100.0 / len(words)) AS BIGINT)
+                     ELSE 0 END AS mean_word_len_x100,
+                CASE WHEN len(words) > 0
+                     THEN CAST(floor((len(words) - len(list_distinct(words))) * 100.0 / len(words)) AS BIGINT)
+                     ELSE 0 END AS dup_word_pct
+              FROM p
+            ), r AS (
+              SELECT doc_id, n_words, mean_word_len_x100, dup_word_pct,
+                list_filter([
+                  CASE WHEN n_words < 20 THEN 'too_few_words' END,
+                  CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+                  CASE WHEN mean_word_len_x100 < 200 THEN 'mean_word_too_short' END,
+                  CASE WHEN mean_word_len_x100 > 1200 THEN 'mean_word_too_long' END,
+                  CASE WHEN dup_word_pct > 60 THEN 'repetitive' END
+                ], x -> x IS NOT NULL) AS reasons
+              FROM m
+            )
+            SELECT doc_id, n_words, mean_word_len_x100, dup_word_pct,
+                   len(reasons) = 0 AS keep,
+                   coalesce(array_to_string(reasons, ','), '') AS drop_reasons
+            FROM r
         """,
         "text_redact": r"""
             -- identical RE2-safe patterns as functions/textops.py redact_pii;

@@ -173,6 +173,53 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_word_frac: float = 0.6,
+) -> DataFrame:
+    """C4/Gopher-style document keep/drop decision (Raffel et al. 2020 §2.2,
+    Rae et al. 2021 §A1.1 thresholds adapted): word-count bounds, mean
+    word length window, duplicate-word fraction cap.  Map-only Column
+    logic; returns ``(doc_id, n_words, mean_word_len_x100, dup_word_pct,
+    keep, drop_reasons)`` with integer-scaled metrics (hash-portable) and
+    reasons as a comma-joined string (driver-hashable, unlike arrays)."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    total_chars = F.length(F.concat_ws("", words))
+    # integer-scaled metrics via explicit floor: floats hash differently
+    # across engines, and double→int casts truncate in Spark but round in
+    # DuckDB — floor is the portable operation
+    mean_x100 = F.when(
+        n_words > 0, F.floor(total_chars * 100 / n_words)
+    ).otherwise(F.lit(0)).cast("bigint")
+    dup_pct = F.when(
+        n_words > 0,
+        F.floor((n_words - F.size(F.array_distinct(words))) * 100 / n_words),
+    ).otherwise(F.lit(0)).cast("bigint")
+    reasons = F.array_compact(
+        F.array(
+            F.when(n_words < min_words, F.lit("too_few_words")),
+            F.when(n_words > max_words, F.lit("too_many_words")),
+            F.when(mean_x100 < int(min_mean_word_len * 100), F.lit("mean_word_too_short")),
+            F.when(mean_x100 > int(max_mean_word_len * 100), F.lit("mean_word_too_long")),
+            F.when(dup_pct > int(max_dup_word_frac * 100), F.lit("repetitive")),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_x100.alias("mean_word_len_x100"),
+        dup_pct.alias("dup_word_pct"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("drop_reasons"),
+    )
+
+
 # PII patterns shared with the DuckDB oracle: RE2-compatible (no
 # backreferences/lookaround), identical semantics under Java regex
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

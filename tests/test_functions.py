@@ -234,3 +234,23 @@ def test_repetition_signals(spark):
     assert r2["n_words"] == 3 and r2["n_dup_words"] == 0 and r2["top_bigram_count"] == 1
     for d in (3, 4):
         assert out[d]["n_words"] == 0 and out[d]["top_bigram_count"] == 0
+
+
+def test_quality_filter(spark):
+    from rdfshape_api_spark.functions.textops import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over one lazy dog and then "
+                "naps beside the river bank for a while longer today ok"),
+            (2, "short doc"),                       # too few words
+            (3, "spam " * 50),                      # repetitive
+            (4, "a b c d e f g h i j k l m n o p q r s t u v"),  # mean too short
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert out[1]["keep"] and out[1]["drop_reasons"] == ""
+    assert not out[2]["keep"] and "too_few_words" in out[2]["drop_reasons"]
+    assert not out[3]["keep"] and "repetitive" in out[3]["drop_reasons"]
+    assert not out[4]["keep"] and "mean_word_too_short" in out[4]["drop_reasons"]
