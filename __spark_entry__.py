@@ -953,6 +953,46 @@ def _q_stream_validate(spark, sf_dir):
     )
 
 
+def _q_events_windowed_stream(spark, sf_dir):
+    """Structured-Streaming tumbling-window aggregation (watermark +
+    event-time windows, streaming/windowed_events.py) driven over the
+    events table as a bounded file stream; complete output mode emits
+    every window, so the result equals the batch tumbling aggregation —
+    which is exactly the DuckDB oracle."""
+    from rdfshape_api_spark.streaming.windowed_events import windowed_event_counts
+
+    ev_schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    # events.parquet is a single file; file streams want a directory —
+    # stream the sf dir with a glob pinned to the one table
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = windowed_event_counts(stream, window_minutes=60, watermark_minutes=120)
+    name = "events_windowed_stream_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
@@ -1056,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _q_mm_features,
         "mm_frame_samples": _q_mm_frames,
         "events_hourly": _q_events_hourly,
+        "events_windowed_stream": _q_events_windowed_stream,  # T1+ watermarked windows
         "events_sessions": _q_events_sessions,
         "events_sessionize_gap": _q_events_sessionize,
     }
@@ -1960,6 +2001,12 @@ def oracle_sql() -> dict[str, str]:
             FROM idx
         """,
         "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                   event_type, count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_windowed_stream": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
                    event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 4) AS sum_value
