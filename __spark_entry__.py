@@ -414,15 +414,14 @@ def _q_dedup_lsh_keep(spark, sf_dir):
 
 
 def _q_dedup_clusters(spark, sf_dir):
-    """Duplicate clusters: connected components over the LSH candidate
-    pairs (iterative min-label propagation; oracle = recursive CTE)."""
-    from rdfshape_api_spark.functions.dedup import (
-        connected_components,
-        lsh_candidate_pairs,
-    )
+    """Duplicate clusters: connected components of the LSH candidate-pair
+    graph, computed by contracting each bucket-clique to a star before the
+    min-label fixpoint (Σ|bucket| edges, not Σ|bucket|²) — row-identical
+    to CC over the enumerated pairs (oracle = recursive CTE over them)."""
+    from rdfshape_api_spark.functions.dedup import lsh_duplicate_clusters
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return connected_components(lsh_candidate_pairs(docs))
+    return lsh_duplicate_clusters(docs)
 
 
 def _q_dedup_ngram(spark, sf_dir):
@@ -868,6 +867,41 @@ def _q_shacl_seqpath(spark, sf_dir):
     )
 
 
+# Disjoint qualified sh:node siblings over an INVERSE path (r3's last SHACL
+# clean reject, lifted in r4): every Person needs (a) ≥ 1 bnode follower
+# with an email — the sh:nodeKind IRI sibling excludes IRI-named followers
+# from that count — and (b) ≥ 1 IRI-named follower WITHOUT an email (the
+# EmailedShape sibling excludes emailed ones).  Followers = inverse
+# ex:knows neighbourhood (subjects pointing at the focus node).
+SHACL_QUALIFIED_INV_SOCIAL = f"""\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{EX}> .
+
+ex:EmailedShape a sh:NodeShape ;
+  sh:property [ sh:path ex:email ; sh:minCount 1 ] .
+
+ex:AudienceShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path [ sh:inversePath ex:knows ] ;
+    sh:qualifiedValueShape [ sh:node ex:EmailedShape ] ;
+    sh:qualifiedMinCount 1 ;
+    sh:qualifiedValueShapesDisjoint true ] ;
+  sh:property [ sh:path [ sh:inversePath ex:knows ] ;
+    sh:qualifiedValueShape [ sh:nodeKind sh:IRI ] ;
+    sh:qualifiedMinCount 1 ;
+    sh:qualifiedValueShapesDisjoint true ] .
+"""
+
+
+def _q_shacl_qualified_inverse(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_QUALIFIED_INV_SOCIAL)).select(
+        "doc_sha256", "node", "status"
+    )
+
+
 def _q_infer_profile(spark, sf_dir):
     from rdfshape_api_spark.operators.infer_schema import (
         infer_shape_profile,
@@ -1024,8 +1058,56 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+# Driver-verification rotation: the driver runs the FIRST 50 queries() keys
+# per round, so entries past the window never get a CORRECTNESS row.  Keys
+# listed here are moved to the FRONT of the dict (in this order) so
+# never-verified and least-recently-verified entries get their green row.
+# Maintenance: each round, lead with (a) entries new this round, (b) entries
+# with no green row in any CORRECTNESS_r*.json, (c) entries whose last green
+# row is oldest.  r4 ordering: 4 never-verified (r3 additions), then the 17
+# LLM-pipeline entries last green in r2.
+_VERIFY_FIRST = [
+    # (a) new in r4 — never verified
+    "social_shacl_qualified_inverse",
+    "social_shex_nested_or",
+    "rdf_sparql_graph",
+    "rdf_sparql_construct_limit",
+    # (b) registered in r3, never driver-verified
+    "text_repetition",
+    "text_quality",
+    "dedup_clusters",
+    "events_windowed_stream",
+    # (c) last green in r2
+    "rdf_html_extract",
+    "text_features",
+    "text_redact",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_lsh_keep",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "sim_cosine_topk",
+    "sim_embedding_near_dups",
+    "sim_lsh_ann",
+    "mm_payload_meta",
+    "mm_features",
+    "mm_frame_samples",
+    "events_hourly",
+    "events_sessions",
+    "events_sessionize_gap",
+]
+
+
+def _rotate_for_verification(
+    d: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = {k: d[k] for k in _VERIFY_FIRST if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _rotate_for_verification({
         # SURVEY §2 operators (RDF engine)
         "rdf_extract_canonical": _q_rdf_extract,         # S1+S4, canonicalize
         "rdf_validate_shex": _q_validate_shex,           # §2.7 flagship + J1
@@ -1066,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_shacl_xone": _q_shacl_xone,                   # §2.7 sh:xone
         "rdf_shacl_hasvalue": _q_shacl_hasvalue,           # §2.7 sh:hasValue
         "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
+        "social_shacl_qualified_inverse": _q_shacl_qualified_inverse,  # §2.7 disjoint qualified over inverse path (r4)
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
         "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint
@@ -1099,7 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_stream": _q_events_windowed_stream,  # T1+ watermarked windows
         "events_sessions": _q_events_sessions,
         "events_sessionize_gap": _q_events_sessionize,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -1490,6 +1573,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN coalesce(q.n, 0) >= 1
                         THEN 'conformant' ELSE 'nonconformant' END AS status
             FROM focus f LEFT JOIN q ON q.doc_sha256 = f.doc_sha256 AND q.node = f.node
+        """,
+        "social_shacl_qualified_inverse": f"""
+            -- disjoint qualified sh:node/sh:nodeKind siblings over an
+            -- inverse path: followers = knows-subjects pointing at the
+            -- focus; bnode kind = '_:'/skolem prefix (evaluator's
+            -- subject-kind rule); disjointness excludes values conforming
+            -- to the sibling shape from each count
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value
+              FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{ex}Person'
+            ), emailed AS (
+              SELECT DISTINCT doc_sha256, subj FROM m WHERE pred = '{ex}email'
+            ), followers AS (
+              SELECT k.doc_sha256, k.obj_value AS node, k.subj AS val,
+                     (k.subj LIKE '\\_:%' ESCAPE '\\'
+                      OR k.subj LIKE 'urn:skolem:%') AS is_bnode,
+                     (e.subj IS NOT NULL) AS has_email
+              FROM m k LEFT JOIN emailed e
+                ON e.doc_sha256 = k.doc_sha256 AND e.subj = k.subj
+              WHERE k.pred = '{ex}knows'
+            ), counts AS (
+              SELECT doc_sha256, node,
+                     SUM(CASE WHEN has_email AND is_bnode THEN 1 ELSE 0 END) AS n_em,
+                     SUM(CASE WHEN NOT has_email AND NOT is_bnode THEN 1 ELSE 0 END) AS n_iri
+              FROM followers GROUP BY 1, 2
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN coalesce(c.n_em, 0) >= 1
+                         AND coalesce(c.n_iri, 0) >= 1
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f LEFT JOIN counts c
+              ON c.doc_sha256 = f.doc_sha256 AND c.node = f.node
         """,
         "rdf_infer_profile": f"""
             WITH m AS (SELECT DISTINCT subj, pred, obj_kind, obj_value, obj_lang,

@@ -27,8 +27,10 @@ Non-trivial
 nested ``sh:inversePath`` — compile to a path AST (plans/paths.py)
 evaluated by a focus-seeded reachability join.  ``sh:sparql``/``sh:select``
 constraints compile to set-based violator queries (plans/sparql.
-sparql_violators).  The remaining clean reject: disjoint qualified
-siblings carrying sh:node/sh:class over inverse or non-trivial paths.
+sparql_violators).  Disjoint qualified siblings carrying sh:node/sh:class
+are supported over every path shape (forward, inverse, non-trivial) —
+the sibling's value shape evaluates against the constraint's own value
+neighbourhood via dedicated conformance joins.
 """
 
 from __future__ import annotations
@@ -448,26 +450,27 @@ def parse_shacl(text: str) -> CompiledSchema:
         # sh:qualifiedValueShapesDisjoint (spec §4.7): a value counts toward
         # a disjoint qualified constraint only if it conforms to NO sibling
         # qualified value shape.  Siblings carrying sh:node / sh:class are
-        # supported over direct forward paths — their conformance columns
-        # are attached in the same aggregation (plans/validate._sib_cols);
-        # inverse / non-trivial-path members would need the ref join on a
-        # different neighbourhood, so those stay a clean reject.
+        # supported over ANY path shape (forward, inverse, sequence/alt/
+        # closure): the sibling's VALUE SHAPE applies to this constraint's
+        # values regardless of the sibling's own path, so the evaluator
+        # attaches dedicated per-(constraint, sibling) conformance columns
+        # to each constraint's own value neighbourhood
+        # (plans/validate._sib_reqs).  Only refs nested two disjunct levels
+        # deep stay rejected (mirrors the general _ref_reqs limit).
         for qtc, disjoint in qvs_tcs:
             if not disjoint:
                 continue
             sibs = [o for o, _ in qvs_tcs if o is not qtc]
             for sib in sibs:
-                if not _pure_value_predicate(sib) and (
-                    qtc.inverse
-                    or qtc.path is not None
-                    or sib.inverse
-                    or sib.path is not None
-                ):
-                    raise ValueError(
-                        "SHACL: sh:qualifiedValueShapesDisjoint with "
-                        "sh:node/sh:class siblings is only supported over "
-                        "direct forward sh:path predicates"
-                    )
+                for d in sib.disjuncts or []:
+                    if d.disjuncts and not all(
+                        _pure_value_predicate(x) for x in d.disjuncts
+                    ):
+                        raise ValueError(
+                            "SHACL: sh:qualifiedValueShapesDisjoint sibling "
+                            "references nested two disjunct levels deep are "
+                            "unsupported"
+                        )
             qtc.disjoint_siblings = sibs
         shapes[s] = shape
 

@@ -91,6 +91,12 @@ class _Group:
 
     patterns: list[_Pattern] = field(default_factory=list)
     filters: list[list[str]] = field(default_factory=list)  # token lists
+    # group-scoped FILTER [NOT] EXISTS / MINUS: an EXISTS written inside an
+    # OPTIONAL or UNION branch restricts THAT branch's solutions before the
+    # branch joins outward (SPARQL 1.1 §8 group semantics), not the final
+    # solution set
+    exists_groups: list[tuple[bool, "_Group"]] = field(default_factory=list)
+    minus_groups: list["_Group"] = field(default_factory=list)
 
 
 @dataclass
@@ -245,6 +251,8 @@ def parse_sparql(text: str) -> SparqlQuery:
         _parse_group(p, prefixes, top, q)
         q.patterns = top.patterns
         q.filters = top.filters
+        q.exists_groups = top.exists_groups
+        q.minus_groups = top.minus_groups
         # variables the solution must carry: every template var
         seen: list[str] = []
         for pat in q.patterns + [x for grp in q.optionals for x in grp.patterns]:
@@ -252,6 +260,16 @@ def parse_sparql(text: str) -> SparqlQuery:
                 if t.startswith("?") and t[1:] not in seen:
                     seen.append(t[1:])
         q.select_vars = seen
+        # trailing solution modifiers (SPARQL 1.1 grammar gives CONSTRUCT/
+        # ASK/DESCRIBE the same SolutionModifier as SELECT) — parse them so
+        # `CONSTRUCT … LIMIT 10` limits instead of silently returning the
+        # unlimited result; GROUP BY/HAVING need a projection to aggregate
+        # into, so they stay a clean reject on these forms
+        _parse_modifiers(p, prefixes, q)
+        if q.group_by or q.having:
+            raise SparqlParseError(
+                f"GROUP BY/HAVING is unsupported on {form} queries"
+            )
         return q
     select_vars, aggregates = _parse_projection(p)
     p.expect("WHERE")
@@ -263,6 +281,8 @@ def parse_sparql(text: str) -> SparqlQuery:
     _parse_group(p, prefixes, top, q)
     q.patterns = top.patterns
     q.filters = top.filters
+    q.exists_groups = top.exists_groups
+    q.minus_groups = top.minus_groups
     _parse_modifiers(p, prefixes, q)
     _resolve_select_star(q)
     return q
@@ -415,6 +435,8 @@ def _parse_subselect(p: _Parser, prefixes: dict[str, str]) -> SparqlQuery:
     _parse_group(p, prefixes, top, sq)
     sq.patterns = top.patterns
     sq.filters = top.filters
+    sq.exists_groups = top.exists_groups
+    sq.minus_groups = top.minus_groups
     _parse_modifiers(p, prefixes, sq)
     _resolve_select_star(sq)
     p.expect("}")
@@ -441,7 +463,7 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQue
                     p.expect("EXISTS")
                 eg = _Group()
                 _parse_group(p, prefixes, eg, q)
-                q.exists_groups.append((neg, eg))
+                grp.exists_groups.append((neg, eg))
                 continue
             # group-scoped: an OPTIONAL's filter applies to its branch
             # BEFORE the left join (null-binding rows survive)
@@ -465,7 +487,7 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQue
             p.next()
             mg = _Group()
             _parse_group(p, prefixes, mg, q)
-            q.minus_groups.append(mg)
+            grp.minus_groups.append(mg)
             continue
         if t == "{":
             nxt = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
@@ -487,6 +509,8 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQue
             if len(branches) == 1:
                 grp.patterns.extend(first.patterns)  # plain grouping braces
                 grp.filters.extend(first.filters)
+                grp.exists_groups.extend(first.exists_groups)
+                grp.minus_groups.extend(first.minus_groups)
             else:
                 q.union_groups.append(branches)
             if p.peek() == ".":
@@ -1251,17 +1275,25 @@ def _merged_model(triples: DataFrame) -> DataFrame:
     return triples
 
 
+def _group_toklists(grp: _Group, out: list[list[str]]) -> None:
+    out.extend(grp.filters)
+    for _, eg in grp.exists_groups:
+        _group_toklists(eg, out)
+    for mg in grp.minus_groups:
+        _group_toklists(mg, out)
+
+
 def _toklists(q: SparqlQuery) -> list[list[str]]:
     out = list(q.filters) + [toks for toks, _ in q.binds] + list(q.having)
     for blk in q.union_groups:
         for br in blk:
-            out.extend(br.filters)
+            _group_toklists(br, out)
     for grp in q.optionals:
-        out.extend(grp.filters)
+        _group_toklists(grp, out)
     for _, eg in q.exists_groups:
-        out.extend(eg.filters)
+        _group_toklists(eg, out)
     for mg in q.minus_groups:
-        out.extend(mg.filters)
+        _group_toklists(mg, out)
     return out
 
 
@@ -1339,6 +1371,80 @@ def _drop_dup_meta(keep: DataFrame, incoming: DataFrame) -> DataFrame:
     return incoming.drop(*dup) if dup else incoming
 
 
+def _group_df(triples: DataFrame, grp: _Group, meta: bool) -> DataFrame:
+    """One group pattern → its solution DataFrame: BGP joins, then the
+    group-scoped filters, then the group-scoped [NOT] EXISTS / MINUS —
+    recursion handles arbitrary nesting, so an EXISTS written inside an
+    OPTIONAL or UNION branch restricts that branch only."""
+    b = _join_patterns(triples, grp.patterns, with_meta=meta)
+    for ftoks in grp.filters:
+        b = _apply_filter(b, ftoks)
+    return _apply_exists_minus(
+        triples, b, grp.exists_groups, grp.minus_groups, grp.patterns, meta
+    )
+
+
+def _apply_exists_minus(
+    triples: DataFrame,
+    acc: DataFrame,
+    exists_groups: list[tuple[bool, _Group]],
+    minus_groups: list[_Group],
+    patterns: list[_Pattern],
+    meta: bool,
+) -> DataFrame:
+    """Apply [NOT] EXISTS and MINUS groups to a solution set.  ``patterns``
+    is the enclosing group's own BGP — the variables guaranteed bound in
+    every solution (the cheap anti-join is only sound for those)."""
+    for neg, eg in exists_groups:
+        # FILTER [NOT] EXISTS { … } → semi/anti join on the shared vars
+        # (SPARQL substitution semantics for BOUND correlated variables;
+        # rows with a null shared binding never match a semi join, which
+        # matches EXISTS over solutions where the variable is bound)
+        sub = _group_df(triples, eg, meta)
+        shared = _shared_vars(acc, sub)
+        if shared:
+            acc = acc.join(
+                sub.select(*shared).distinct(),
+                on=shared,
+                how="left_anti" if neg else "left_semi",
+            )
+        else:
+            # uncorrelated EXISTS: a global boolean gate
+            nonempty = not sub.limit(1).isEmpty()
+            if neg == nonempty:
+                acc = acc.limit(0)
+    if minus_groups:
+        # vars guaranteed bound in every solution: the enclosing BGP's —
+        # OPTIONAL / UNION-padded / BIND / VALUES-UNDEF vars may be null
+        bound = {
+            t[1:]
+            for pat in patterns
+            for t in (pat.subj, pat.pred, pat.obj)
+            if t.startswith("?")
+        }
+    for mg in minus_groups:
+        # MINUS { … } — SPARQL 1.1 §8.3: drop μ iff ∃μ' compatible with μ
+        # and dom(μ)∩dom(μ') ≠ ∅.  The subtrahend group is a plain BGP (+
+        # filters), so its vars are always bound; nulls can only occur on
+        # the accumulator side.
+        sub = _group_df(triples, mg, meta)
+        shared = _shared_vars(acc, sub)
+        if not shared:
+            continue  # disjoint domains: MINUS removes nothing
+        if all(v in bound for v in shared):
+            # hash anti-join — the scalable plan for the common case
+            acc = acc.join(sub.select(*shared).distinct(), on=shared, how="left_anti")
+            continue
+        sub2 = sub.select(*[F.col(v).alias(f"_m_{v}") for v in shared]).distinct()
+        compat = F.lit(True)
+        overlap = F.lit(False)
+        for v in shared:
+            compat = compat & (F.col(v).isNull() | (F.col(f"_m_{v}") == F.col(v)))
+            overlap = overlap | F.col(v).isNotNull()
+        acc = acc.join(sub2, on=compat & overlap, how="left_anti")
+    return acc
+
+
 def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
     """The WHERE-clause solution multiset: BGP joins, UNION, VALUES,
     OPTIONAL, BIND, EXISTS, filters — shared by SELECT/CONSTRUCT/ASK."""
@@ -1347,10 +1453,9 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
     for blk in q.union_groups:
         branch_dfs = []
         for br in blk:
-            b = _join_patterns(triples, br.patterns, with_meta=meta)
-            for ftoks in br.filters:  # branch-scoped filters
-                b = _apply_filter(b, ftoks)
-            branch_dfs.append(b)
+            # branch-scoped filters + EXISTS/MINUS evaluated inside the
+            # branch, before the UNION alignment
+            branch_dfs.append(_group_df(triples, br, meta))
         # align branch columns: union over the block's full variable set,
         # absent variables become null bindings (SPARQL UNION semantics)
         all_vars = sorted({c for b in branch_dfs for c in b.columns})
@@ -1421,11 +1526,9 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
     if acc is None:
         raise SparqlParseError("empty WHERE clause")
     for grp in q.optionals:
-        opt = _join_patterns(triples, grp.patterns, with_meta=meta)
-        for ftoks in grp.filters:
-            # OPTIONAL-scoped filter: restrict the optional branch BEFORE
-            # the left join so unmatched rows keep null bindings
-            opt = _apply_filter(opt, ftoks)
+        # OPTIONAL-scoped filters and EXISTS/MINUS restrict the optional
+        # branch BEFORE the left join so unmatched rows keep null bindings
+        opt = _group_df(triples, grp, meta)
         opt = _drop_dup_meta(acc, opt)
         shared = _shared_vars(acc, opt)
         acc = acc.join(opt, on=shared, how="left") if shared else acc.crossJoin(opt)
@@ -1440,57 +1543,9 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
                 .withColumn(lc, lang_e)
                 .withColumn(dc, dt_e)
             )
-    for neg, eg in q.exists_groups:
-        # FILTER [NOT] EXISTS { … } → semi/anti join on the shared vars
-        # (SPARQL substitution semantics for BOUND correlated variables;
-        # rows with a null shared binding never match a semi join, which
-        # matches EXISTS over solutions where the variable is bound)
-        sub = _join_patterns(triples, eg.patterns, with_meta=meta)
-        for ftoks in eg.filters:
-            sub = _apply_filter(sub, ftoks)
-        shared = _shared_vars(acc, sub)
-        if shared:
-            acc = acc.join(
-                sub.select(*shared).distinct(),
-                on=shared,
-                how="left_anti" if neg else "left_semi",
-            )
-        else:
-            # uncorrelated EXISTS: a global boolean gate
-            nonempty = not sub.limit(1).isEmpty()
-            if neg == nonempty:
-                acc = acc.limit(0)
-    if q.minus_groups:
-        # vars guaranteed bound in every solution: the top-level BGP's —
-        # OPTIONAL / UNION-padded / BIND / VALUES-UNDEF vars may be null
-        bound = {
-            t[1:]
-            for pat in q.patterns
-            for t in (pat.subj, pat.pred, pat.obj)
-            if t.startswith("?")
-        }
-    for mg in q.minus_groups:
-        # MINUS { … } — SPARQL 1.1 §8.3: drop μ iff ∃μ' compatible with μ
-        # and dom(μ)∩dom(μ') ≠ ∅.  The subtrahend group is a plain BGP (+
-        # filters), so its vars are always bound; nulls can only occur on
-        # the accumulator side.
-        sub = _join_patterns(triples, mg.patterns, with_meta=meta)
-        for ftoks in mg.filters:
-            sub = _apply_filter(sub, ftoks)
-        shared = _shared_vars(acc, sub)
-        if not shared:
-            continue  # disjoint domains: MINUS removes nothing
-        if all(v in bound for v in shared):
-            # hash anti-join — the scalable plan for the common case
-            acc = acc.join(sub.select(*shared).distinct(), on=shared, how="left_anti")
-            continue
-        sub2 = sub.select(*[F.col(v).alias(f"_m_{v}") for v in shared]).distinct()
-        compat = F.lit(True)
-        overlap = F.lit(False)
-        for v in shared:
-            compat = compat & (F.col(v).isNull() | (F.col(f"_m_{v}") == F.col(v)))
-            overlap = overlap | F.col(v).isNotNull()
-        acc = acc.join(sub2, on=compat & overlap, how="left_anti")
+    acc = _apply_exists_minus(
+        triples, acc, q.exists_groups, q.minus_groups, q.patterns, meta
+    )
     for ftoks in q.filters:
         acc = _apply_filter(acc, ftoks)
     return acc
@@ -1630,6 +1685,24 @@ def _term_kind(col: F.Column) -> F.Column:
     )
 
 
+def _apply_seq_modifiers(sols: DataFrame, q: SparqlQuery) -> DataFrame:
+    """ORDER BY / OFFSET / LIMIT over a raw solution sequence — the
+    SolutionModifier semantics the non-SELECT query forms share with
+    SELECT (SPARQL 1.1 §18.2.4-5).  GROUP BY/HAVING are rejected for
+    these forms at parse time."""
+    if q.order_by:
+        keys = []
+        for v, desc in q.order_by:
+            col = _compile_expr(v) if isinstance(v, list) else F.col(v)
+            keys.append(col.desc() if desc else col.asc())
+        sols = sols.orderBy(*keys)
+    if q.offset is not None:
+        sols = sols.offset(q.offset)
+    if q.limit is not None:
+        sols = sols.limit(q.limit)
+    return sols
+
+
 def sparql_construct(triples: DataFrame, query_text: str) -> DataFrame:
     """SPARQL CONSTRUCT: instantiate the template once per solution and
     union into a triple SET (a graph).  Returns the engine's flat triple
@@ -1639,7 +1712,7 @@ def sparql_construct(triples: DataFrame, query_text: str) -> DataFrame:
     q = parse_sparql(query_text)
     if q.query_form != "construct":
         raise SparqlParseError("sparql_construct requires a CONSTRUCT query")
-    sols = _solutions(_merged_model(triples), q)
+    sols = _apply_seq_modifiers(_solutions(_merged_model(triples), q), q)
     outs = []
     for pat in q.template:
         subj = F.col(pat.subj[1:]) if pat.subj.startswith("?") else F.lit(pat.subj)
@@ -1683,7 +1756,8 @@ def sparql_ask(triples: DataFrame, query_text: str) -> bool:
     q = parse_sparql(query_text)
     if q.query_form != "ask":
         raise SparqlParseError("sparql_ask requires an ask query")
-    return not _solutions(_merged_model(triples), q).limit(1).isEmpty()
+    sols = _apply_seq_modifiers(_solutions(_merged_model(triples), q), q)
+    return not sols.limit(1).isEmpty()
 
 
 def sparql_describe(triples: DataFrame, query_text: str) -> DataFrame:
@@ -1705,7 +1779,7 @@ def sparql_describe(triples: DataFrame, query_text: str) -> DataFrame:
         parts.append(spark.createDataFrame([(c,) for c in consts], "subj string"))
     vars_ = [t[1:] for t in q.describe_terms if t.startswith("?")]
     if vars_:
-        sols = _solutions(model, q)
+        sols = _apply_seq_modifiers(_solutions(model, q), q)
         for v in vars_:
             parts.append(
                 sols.select(F.col(v).alias("subj")).filter(F.col("subj").isNotNull())

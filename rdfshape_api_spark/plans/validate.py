@@ -473,29 +473,45 @@ def evaluate_shape(
     class_cols: dict[int, str] = {}
     disj_ref_cols: dict[int, dict[int, str]] = {}
     disj_class_cols: dict[int, dict[int, str]] = {}
+    # sh:qualifiedValueShapesDisjoint sibling conformance: per
+    # (constraint i, sibling k) DEDICATED columns, attached to constraint
+    # i's OWN value neighbourhood — the sibling's value shape applies to
+    # THIS constraint's values and the sibling's path is irrelevant to the
+    # disjointness test (spec §4.7), so this is sound for forward, inverse,
+    # and non-trivial-path aggregations alike.
+    sib_cols_map: dict[int, dict[int, tuple]] = {}
+
+    def _sib_reqs(i: int, tc: TripleConstraint) -> list[tuple[str, DataFrame]]:
+        reqs: list[tuple[str, DataFrame]] = []
+        for k, sib in enumerate(tc.disjoint_siblings or []):
+            rc = cc = None
+            drc: dict[int, str] = {}
+            dcc: dict[int, str] = {}
+            if sib.ref_shape is not None:
+                rc = f"_sib_ref_{i}_{k}"
+                reqs.append((rc, conformant_refs[sib.ref_shape]))
+            if sib.class_iri is not None:
+                cc = f"_sib_cls_{i}_{k}"
+                reqs.append((cc, _class_inst(sib.class_iri)))
+            for j2, d in enumerate(sib.disjuncts or []):
+                if d.ref_shape is not None:
+                    drc[j2] = f"_sib_ref_{i}_{k}_d{j2}"
+                    reqs.append((drc[j2], conformant_refs[d.ref_shape]))
+                if d.class_iri is not None:
+                    dcc[j2] = f"_sib_cls_{i}_{k}_d{j2}"
+                    reqs.append((dcc[j2], _class_inst(d.class_iri)))
+            if rc or cc or drc or dcc:
+                sib_cols_map.setdefault(i, {})[k] = (
+                    rc, drc or None, cc, dcc or None
+                )
+        return reqs
+
     fwd_reqs: list[tuple[str, DataFrame]] = []
     for i, tc in enumerate(flat_constraints):
         if not tc.inverse and tc.path is None:
             fwd_reqs.extend(_ref_reqs(i, tc))
+            fwd_reqs.extend(_sib_reqs(i, tc))
     nbr = _attach_refs(nbr, fwd_reqs)
-
-    def _sib_cols(tc: TripleConstraint) -> dict[int, tuple] | None:
-        """Per-sibling conformance column names for disjoint qualified
-        exclusions — siblings are members of flat_constraints, so their
-        ref/class columns were attached by the forward _ref_reqs pass."""
-        if not tc.disjoint_siblings:
-            return None
-        out: dict[int, tuple] = {}
-        for k, sib in enumerate(tc.disjoint_siblings):
-            j = next((jj for jj, c in enumerate(flat_constraints) if c is sib), None)
-            if j is not None:
-                out[k] = (
-                    ref_cols.get(j),
-                    disj_ref_cols.get(j),
-                    class_cols.get(j),
-                    disj_class_cols.get(j),
-                )
-        return out
 
     # constraints sharing (alternative, predicate) form a repeated-property
     # EachOf group: ShEx partition-matching semantics (each triple matched
@@ -554,7 +570,7 @@ def evaluate_shape(
                         disj_ref_cols.get(i),
                         class_cols.get(i),
                         disj_class_cols.get(i),
-                        _sib_cols(tc),
+                        sib_cols_map.get(i),
                     ),
                     1,
                 ).otherwise(0)
@@ -684,6 +700,7 @@ def evaluate_shape(
         inv_reqs: list[tuple[str, str]] = []
         for i in sorted(inv_indices):
             inv_reqs.extend(_ref_reqs(i, flat_constraints[i]))
+            inv_reqs.extend(_sib_reqs(i, flat_constraints[i]))
         inv_nbr = _attach_refs(inv_nbr, inv_reqs)
         inv_aggs = []
         for i in sorted(inv_indices):
@@ -699,6 +716,7 @@ def evaluate_shape(
                             disj_ref_cols.get(i),
                             class_cols.get(i),
                             disj_class_cols.get(i),
+                            sib_cols_map.get(i),
                         ),
                         1,
                     ).otherwise(0)
@@ -717,7 +735,7 @@ def evaluate_shape(
 
         tc = flat_constraints[i]
         rows = path_value_rows(full, tc.path, focus.select("doc_sha256", "node"))
-        rows = _attach_refs(rows, _ref_reqs(i, tc))
+        rows = _attach_refs(rows, _ref_reqs(i, tc) + _sib_reqs(i, tc))
         p_grouped = rows.groupBy("doc_sha256", "node").agg(
             F.sum(
                 F.when(
@@ -727,6 +745,7 @@ def evaluate_shape(
                         disj_ref_cols.get(i),
                         class_cols.get(i),
                         disj_class_cols.get(i),
+                        sib_cols_map.get(i),
                     ),
                     1,
                 ).otherwise(0)
@@ -944,6 +963,16 @@ def validate_batch(
                 or tc.inverse
                 or tc.unique_lang
                 or tc.path is not None
+                # property-pair and disjoint-qualified constraints compare
+                # value SETS across predicates — the batched agg only
+                # computes per-constraint m/t counts, so these must take
+                # the full validate() path (they'd otherwise be silently
+                # dropped: the verdict would read conformant regardless)
+                or tc.pair_equals is not None
+                or tc.pair_disjoint is not None
+                or tc.pair_less_than is not None
+                or tc.pair_less_than_eq is not None
+                or tc.disjoint_siblings
                 or any(d.ref_shape or d.class_iri for d in tc.disjuncts or [])
                 for tc in sh.constraints
             )

@@ -138,3 +138,55 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expected, f"trial {trial} mismatch"
+
+
+def test_lsh_duplicate_clusters_matches_pair_cc(spark):
+    """Star-contracted bucket CC is row-identical to CC over the
+    enumerated candidate pairs (a bucket is a clique; a clique and a star
+    around any member have the same components)."""
+    from rdfshape_api_spark.functions.dedup import (
+        connected_components,
+        lsh_duplicate_clusters,
+    )
+
+    rows = (
+        [(i, "the quick brown fox jumps over the lazy dog variant") for i in range(5)]
+        + [(20 + i, "spark catalyst optimizer plans are declarative stuff") for i in range(3)]
+        + [(50, "completely different text about parquet row groups"),
+           (51, "yet another unrelated note"),
+           (52, "")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    via_pairs = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(lsh_candidate_pairs(docs)).collect()
+    }
+    via_stars = {
+        (r["doc_id"], r["component"])
+        for r in lsh_duplicate_clusters(docs).collect()
+    }
+    assert via_stars == via_pairs and via_stars
+
+
+def test_lsh_duplicate_clusters_max_bucket(spark):
+    """max_bucket excludes over-limit buckets symmetrically with the
+    pair-enumeration guard."""
+    from rdfshape_api_spark.functions.dedup import (
+        connected_components,
+        lsh_duplicate_clusters,
+    )
+
+    rows = [(i, "same same template text body here") for i in range(6)] + [
+        (10, "alpha beta gamma delta one"),
+        (11, "alpha beta gamma delta one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    via_pairs = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(lsh_candidate_pairs(docs, max_bucket=3)).collect()
+    }
+    via_stars = {
+        (r["doc_id"], r["component"])
+        for r in lsh_duplicate_clusters(docs, max_bucket=3).collect()
+    }
+    assert via_stars == via_pairs and via_stars

@@ -358,23 +358,79 @@ def test_qualified_disjoint_sibling_underflow(spark):
     assert _verdicts(validate(tri, parse_shacl(HAND))) == {"h3": "nonconformant"}
 
 
-def test_qualified_disjoint_sibling_with_node_ref_rejected(spark):
-    # sh:node siblings are supported over direct forward paths (see
-    # test_disjoint_qualified_with_node_refs); the remaining clean reject
-    # is a ref-carrying member over an inverse/non-trivial path, whose
-    # conformance join lives on a different neighbourhood
-    with pytest.raises(ValueError, match="qualifiedValueShapesDisjoint"):
-        parse_shacl(PFX + """
-            ex:T a sh:NodeShape ; sh:property [ sh:path ex:q ; sh:minCount 0 ] .
-            ex:S a sh:NodeShape ; sh:targetClass ex:C ;
-              sh:property [ sh:path [ sh:inversePath ex:p ] ;
-                            sh:qualifiedValueShape [ sh:node ex:T ] ;
-                            sh:qualifiedMinCount 1 ] ;
-              sh:property [ sh:path [ sh:inversePath ex:p ] ;
-                            sh:qualifiedValueShape [ sh:pattern "x" ] ;
-                            sh:qualifiedMinCount 1 ;
-                            sh:qualifiedValueShapesDisjoint true ] .
-        """)
+def test_qualified_disjoint_node_ref_over_inverse_path(spark):
+    # r3's last clean reject, lifted in r4: disjoint qualified siblings
+    # carrying sh:node over an INVERSE path — the sibling's value shape
+    # evaluates against this constraint's own (inverse) neighbourhood via
+    # a dedicated conformance join (plans/validate._sib_reqs)
+    schema = parse_shacl(PFX + """
+        ex:ManagerShape a sh:NodeShape ;
+          sh:property [ sh:path ex:rank ; sh:minCount 1 ; sh:in ( "mgr" ) ] .
+        ex:TeamShape a sh:NodeShape ; sh:targetClass ex:Team ;
+          sh:property [ sh:path [ sh:inversePath ex:memberOf ] ;
+                        sh:qualifiedValueShape [ sh:node ex:ManagerShape ] ;
+                        sh:qualifiedMinCount 1 ;
+                        sh:qualifiedValueShapesDisjoint true ] ;
+          sh:property [ sh:path [ sh:inversePath ex:memberOf ] ;
+                        sh:qualifiedValueShape [ sh:pattern "dev" ] ;
+                        sh:qualifiedMinCount 2 ;
+                        sh:qualifiedValueShapesDisjoint true ] .
+    """)
+    tri = _tri(spark, [
+        # t1: one manager + two devs pointing AT the team → conformant
+        ("t1", "a", "iri", "Team", None),
+        ("boss1", "memberOf", "iri", "t1", None),
+        ("boss1", "rank", "literal", "mgr", None),
+        ("dev_a", "memberOf", "iri", "t1", None),
+        ("dev_b", "memberOf", "iri", "t1", None),
+        # t2: the would-be second dev ALSO conforms to ManagerShape —
+        # disjointness excludes it from the dev count → nonconformant
+        ("t2", "a", "iri", "Team", None),
+        ("boss2", "memberOf", "iri", "t2", None),
+        ("boss2", "rank", "literal", "mgr", None),
+        ("dev_c", "memberOf", "iri", "t2", None),
+        ("dev_mgr", "memberOf", "iri", "t2", None),
+        ("dev_mgr", "rank", "literal", "mgr", None),
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "t1": "conformant", "t2": "nonconformant"
+    }
+
+
+def test_qualified_disjoint_node_ref_over_sequence_path(spark):
+    # …and over a non-trivial (sequence) path: grandchild values, where
+    # the qualified count must exclude values conforming to the sh:class
+    # sibling
+    schema = parse_shacl(PFX + """
+        ex:S a sh:NodeShape ; sh:targetClass ex:Root ;
+          sh:property [ sh:path ( ex:child ex:child ) ;
+                        sh:qualifiedValueShape [ sh:class ex:Special ] ;
+                        sh:qualifiedMinCount 1 ;
+                        sh:qualifiedValueShapesDisjoint true ] ;
+          sh:property [ sh:path ( ex:child ex:child ) ;
+                        sh:qualifiedValueShape [ sh:pattern "g[0-9]" ] ;
+                        sh:qualifiedMinCount 2 ;
+                        sh:qualifiedValueShapesDisjoint true ] .
+    """)
+    tri = _tri(spark, [
+        # r1: grandchildren = {g_sp (Special), g1, g2} → special 1, plain 2
+        ("r1", "a", "iri", "Root", None),
+        ("r1", "child", "iri", "c1", None),
+        ("c1", "child", "iri", "g_sp", None),
+        ("g_sp", "a", "iri", "Special", None),
+        ("c1", "child", "iri", "g1", None),
+        ("r1", "child", "iri", "c2", None),
+        ("c2", "child", "iri", "g2", None),
+        # r2: only ONE plain grandchild after excluding the Special one
+        ("r2", "a", "iri", "Root", None),
+        ("r2", "child", "iri", "c3", None),
+        ("c3", "child", "iri", "g_sp2", None),
+        ("g_sp2", "a", "iri", "Special", None),
+        ("c3", "child", "iri", "g3", None),
+    ])
+    assert _verdicts(validate(tri, schema)) == {
+        "r1": "conformant", "r2": "nonconformant"
+    }
 
 
 RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"

@@ -805,3 +805,86 @@ def test_nondeterministic_and_tz_builtins(spark, triples_001):
         assert 0.0 <= float(r["r"]) < 1.0
         assert re.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:", r["now"])
         assert r["tz1"] == "-05:00" and r["tz2"] == "Z"
+
+
+def test_exists_scoped_inside_optional(spark):
+    """FILTER NOT EXISTS inside OPTIONAL restricts the optional BRANCH
+    (the row survives with a null binding), not the whole solution set
+    (ADVICE r3 low — was silently re-scoped to top level)."""
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "name", "literal", "A", None, None),
+        (EX + "a", EX + "nick", "literal", "Al", None, None),
+        (EX + "a", EX + "banned", "literal", "1", None, None),
+        (EX + "b", EX + "name", "literal", "B", None, None),
+        (EX + "b", EX + "nick", "literal", "Bee", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s ?k WHERE {
+            ?s ex:name ?n .
+            OPTIONAL { ?s ex:nick ?k . FILTER NOT EXISTS { ?s ex:banned ?x . } }
+        }""",
+    ).collect()
+    got = {(r["s"][len(EX):], r["k"]) for r in out}
+    # a keeps its row (null nick — its optional branch is suppressed by the
+    # scoped NOT EXISTS); b binds its nick.  Top-level re-scoping would
+    # have dropped a's row entirely.
+    assert got == {("a", None), ("b", "Bee")}
+
+
+def test_minus_scoped_inside_union_branch(spark):
+    """MINUS inside one UNION branch subtracts from that branch only."""
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "p", "literal", "1", None, None),
+        (EX + "a", EX + "bad", "literal", "1", None, None),
+        (EX + "b", EX + "p", "literal", "1", None, None),
+        (EX + "a", EX + "q", "literal", "1", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s WHERE {
+            { ?s ex:p ?v . MINUS { ?s ex:bad ?x . } }
+            UNION
+            { ?s ex:q ?v . }
+        }""",
+    ).collect()
+    got = sorted(r["s"][len(EX):] for r in out)
+    # branch 1 yields only b (a subtracted); branch 2 yields a via ex:q —
+    # a top-level MINUS would have removed a's ex:q solution too
+    assert got == ["a", "b"]
+
+
+def test_construct_limit_applies(spark):
+    """CONSTRUCT … LIMIT n limits the solution sequence before template
+    instantiation (ADVICE r3 medium — trailing modifiers were ignored)."""
+    from rdfshape_api_spark.plans.sparql import sparql_construct
+
+    tri = _mk_tri(spark, [
+        (EX + "a", EX + "p", "literal", "1", None, None),
+        (EX + "b", EX + "p", "literal", "2", None, None),
+        (EX + "c", EX + "p", "literal", "3", None, None),
+    ])
+    q = PREFIX + """CONSTRUCT { ?s ex:copied ?v . } WHERE { ?s ex:p ?v . }
+        ORDER BY ?v LIMIT 2"""
+    out = sparql_construct(tri, q).collect()
+    assert {(r["subj"], r["obj_value"]) for r in out} == {
+        (EX + "a", "1"),
+        (EX + "b", "2"),
+    }
+
+
+def test_construct_group_by_rejected(spark):
+    from rdfshape_api_spark.plans.sparql import SparqlParseError, parse_sparql
+
+    with pytest.raises(SparqlParseError, match="GROUP BY"):
+        parse_sparql(
+            PREFIX + "CONSTRUCT { ?s ex:p ?v . } WHERE { ?s ex:p ?v . } GROUP BY ?s"
+        )
+
+
+def test_ask_limit_zero_is_false(spark):
+    from rdfshape_api_spark.plans.sparql import sparql_ask
+
+    tri = _mk_tri(spark, [(EX + "a", EX + "p", "literal", "1", None, None)])
+    assert sparql_ask(tri, PREFIX + "ASK { ?s ex:p ?v . }") is True
+    assert sparql_ask(tri, PREFIX + "ASK { ?s ex:p ?v . } LIMIT 0") is False

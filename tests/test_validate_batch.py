@@ -112,3 +112,41 @@ def test_pruned_store_shacl_targets_from_focus_triples(spark):
     out = validate_batch(pruned, [(schema, None, "ts")], focus_triples=full).collect()
     by_node = {r["node"].split("/")[-1]: r["status"] for r in out}
     assert by_node == {"t1": "conformant", "t2": "nonconformant"}
+
+
+def test_batch_falls_back_for_pair_constraints(spark):
+    """A single-shape SHACL schema with sh:equals must NOT take the batched
+    m/t-count path (which has no set comparison): validate_batch and
+    validate must agree (ADVICE r3 high — pair constraints were silently
+    dropped by the batched aggregation)."""
+    cols = (
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string"
+    )
+    EX = "http://example.org/"
+    tri = spark.createDataFrame(
+        [
+            ("d1", EX + "a", EX + "given", "literal", "Ann", None, None),
+            ("d1", EX + "a", EX + "preferred", "literal", "Ann", None, None),
+            ("d1", EX + "b", EX + "given", "literal", "Bob", None, None),
+            ("d1", EX + "b", EX + "preferred", "literal", "Robert", None, None),
+        ],
+        cols,
+    )
+    schema = parse_shacl(
+        f"""
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <{EX}> .
+        ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:given ;
+          sh:property [ sh:path ex:given ; sh:equals ex:preferred ] .
+        """
+    )
+    batch = {
+        r["node"].split("/")[-1]: r["status"]
+        for r in validate_batch(tri, [(schema, None, "pairs")]).collect()
+    }
+    seq = {
+        r["node"].split("/")[-1]: r["status"]
+        for r in validate(tri, schema).collect()
+    }
+    assert batch == seq == {"a": "conformant", "b": "nonconformant"}
