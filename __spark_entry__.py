@@ -314,6 +314,60 @@ def _q_social_or_refs(spark, sf_dir):
     ).select("doc_sha256", "node", "status")
 
 
+# ShEx shape refs TWO OR-levels deep (r3's clean reject, lifted in r4):
+# the value-level OR's @ex:Reachable disjunct references a shape that is
+# ITSELF a mixed shape-level OR — `@ex:Emailed OR BNODE` normalizes at
+# parse time to Shape.disjunct_refs with the BNODE disjunct wrapped in a
+# synthetic urn:shex:or:N node-constraint shape.
+SHEX_NESTED_OR_SOCIAL = """\
+PREFIX ex: <http://example.org/>
+ex:CircleShape { ex:knows [ ex:nobody ] OR @ex:Reachable * ; ex:name . }
+ex:Reachable @ex:Emailed OR BNODE
+ex:Emailed { ex:email . }
+"""
+
+
+def _q_social_nested_or(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(
+        tri,
+        parse_shexc(SHEX_NESTED_OR_SOCIAL),
+        shapemap="{FOCUS a <http://example.org/Person>}@<http://example.org/CircleShape>",
+    ).select("doc_sha256", "node", "status")
+
+
+def _q_sparql_graph(spark, sf_dir):
+    """SPARQL GRAPH over per-document graphs (engine extension; the
+    reference's surface is the merged model, MergedModels.scala:182-191):
+    every document is a named graph `urn:doc:<doc_sha256>`; the inner BGP
+    matches within one document and ?g binds the graph name."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    tri = _rdf_triples(spark, sf_dir)
+    q = (
+        f"PREFIX ex: <{EX}>\n"
+        'SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:status "BROKEN" . } }'
+    )
+    return sparql_select(tri, q)
+
+
+def _q_sparql_construct_limit(spark, sf_dir):
+    """CONSTRUCT with trailing ORDER BY/LIMIT (ADVICE r3 medium: solution
+    modifiers on non-SELECT forms now apply to the solution sequence
+    before template instantiation)."""
+    from rdfshape_api_spark.plans.sparql import sparql_construct
+
+    tri = _rdf_triples(spark, sf_dir)
+    q = (
+        f"PREFIX ex: <{EX}>\n"
+        'CONSTRUCT { ?s ex:flagged "BROKEN" . } '
+        'WHERE { ?s ex:status "BROKEN" . } ORDER BY ?s LIMIT 100'
+    )
+    return sparql_construct(tri, q)
+
+
 def _q_entity_link(spark, sf_dir):
     """Entity linking (north-star): identity-edge components → canonical
     representative rewrite.  The social fixture carries no owl:sameAs, so
@@ -1158,6 +1212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_extract": _q_social_extract,             # S1 incl. N-Quads/TriG
         "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
         "social_shex_or_refs": _q_social_or_refs,        # §2.7 @<A> OR @<B> disjunct refs
+        "social_shex_nested_or": _q_social_nested_or,    # §2.7 refs two OR-levels deep (r4)
+        "rdf_sparql_graph": _q_sparql_graph,             # Q1 GRAPH doc-scoped BGPs (r4)
+        "rdf_sparql_construct_limit": _q_sparql_construct_limit,  # Q1 CONSTRUCT + modifiers (r4)
         "rdf_entity_link": _q_entity_link,               # north-star entity linking
         "catalog_validate_item": _q_catalog_validate,    # §2.7 repeated-prop EachOf
         "rdf_html_extract": _q_html_extract,             # S2 HTML→RDF (RDFa/Microdata)
@@ -1708,6 +1765,72 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             LEFT JOIN comp cs ON cs.n = m.subj
             LEFT JOIN comp co ON co.n = m.obj_value AND m.obj_kind <> 'literal'
+        """,
+        "rdf_sparql_construct_limit": f"""
+            -- CONSTRUCT template over the first 100 BROKEN subjects
+            -- (solution sequence ordered by ?s, then instantiated)
+            SELECT s AS subj, '{ex}flagged' AS pred, 'literal' AS obj_kind,
+                   'BROKEN' AS obj_value, CAST(NULL AS VARCHAR) AS obj_lang,
+                   CAST(NULL AS VARCHAR) AS obj_datatype
+            FROM (
+              SELECT DISTINCT subj AS s
+              FROM (SELECT DISTINCT subj, pred, obj_kind, obj_value,
+                           obj_lang, obj_datatype FROM {_T})
+              WHERE pred = '{ex}status' AND obj_kind = 'literal'
+                AND obj_value = 'BROKEN'
+              ORDER BY s LIMIT 100
+            )
+        """,
+        "rdf_sparql_graph": f"""
+            -- GRAPH ?g scopes the BGP to one document; ?g = urn:doc:<sha>
+            SELECT 'urn:doc:' || doc_sha256 AS g, subj AS s
+            FROM (SELECT DISTINCT doc_sha256, subj, pred, obj_kind,
+                         obj_value, obj_lang, obj_datatype FROM {_T})
+            WHERE pred = '{ex}status' AND obj_kind = 'literal'
+              AND obj_value = 'BROKEN'
+        """,
+        "social_shex_nested_or": f"""
+            -- refs two OR-levels deep: knows-value conforms iff it is
+            -- ex:nobody (never in the data), has EXACTLY ONE email
+            -- (@ex:Emailed), or is a bnode-kind subject (the synthetic
+            -- BNODE disjunct of @ex:Reachable); focus conforms iff no
+            -- knows value fails AND it has exactly one name
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value
+              FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{ex}Person'
+            ), emailed AS (
+              SELECT doc_sha256, subj AS node FROM m
+              WHERE pred = '{ex}email' GROUP BY 1, 2 HAVING count(*) = 1
+            ), subjects AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+            ), reachable AS (
+              SELECT node, doc_sha256 FROM emailed
+              UNION
+              SELECT node, doc_sha256 FROM subjects
+              WHERE node LIKE 'urn:skolem:%' OR node LIKE '\\_:%' ESCAPE '\\'
+            ), bad AS (
+              SELECT DISTINCT k.doc_sha256, k.subj AS node
+              FROM m k
+              WHERE k.pred = '{ex}knows'
+                AND k.obj_value <> '{ex}nobody'
+                AND NOT EXISTS (
+                  SELECT 1 FROM reachable r
+                  WHERE r.doc_sha256 = k.doc_sha256 AND r.node = k.obj_value
+                )
+            ), names AS (
+              SELECT doc_sha256, subj AS node, count(*) AS n FROM m
+              WHERE pred = '{ex}name' GROUP BY 1, 2
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN b.node IS NULL AND coalesce(nm.n, 0) = 1
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f
+            LEFT JOIN bad b ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
+            LEFT JOIN names nm ON nm.doc_sha256 = f.doc_sha256 AND nm.node = f.node
         """,
         "social_shex_or_refs": f"""
             -- @ex:EmailPerson OR @ex:PhonePerson over every ex:knows value:

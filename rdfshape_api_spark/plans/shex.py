@@ -22,14 +22,19 @@ plans/validate.py):
   (``Shape.disjunct_refs``);
 * bare node-constraint shapes (``ex:T IRI``) inline into referencing
   constraints — including through OR disjuncts; ``IRI AND { … }`` gates
-  the focus term.
+  the focus term;
+* nested disjunctions: shape-level ORs mixing refs with value
+  constraints (``ex:T @ex:A OR IRI``) wrap each value disjunct in a
+  synthetic ``urn:shex:or:N`` shape, and OR-valued bare-shape
+  references in disjunct position splice flat (OR associativity) — so
+  refs any number of OR-levels deep normalize to one level.
 
 Semantic actions (``%ext{…%}``) and annotations (``// pred value``) are
 parsed and dropped — the spec's no-op treatment for validators without
 the extension.  Out of subset (rejected with a clear error, SURVEY §7.3):
 negated references inside a reference cycle (non-stratifiable; applies
-at disjunct level too), refs nested two OR-levels deep, shape-level OR
-mixing refs with value constraints, negated shape-level refs, IMPORT.
+at disjunct level too), NOT over an OR-valued bare-shape reference
+(De Morgan conjunction), negated shape-level refs, IMPORT.
 Known grammar deviation: AND/OR at one nesting level associate left
 (``@A OR @B AND { … }`` reads as ``(A OR B) AND { … }``), whereas the
 ShEx grammar binds AND tighter.
@@ -198,32 +203,38 @@ class _ShexParser:
                 shape.conjunct_refs.append(nc.ref_shape)
                 nc.ref_shape = None
             if nc.disjuncts and any(d.ref_shape is not None for d in nc.disjuncts):
-                # shape-level ShapeOr of refs (`ex:T @ex:A OR @ex:B`):
-                # every disjunct must be a pure reference — lifted into
-                # Shape.disjunct_refs (at-least-one set membership).
-                # Mixing ref and value disjuncts at shape level stays
-                # rejected (one gate can't mix set membership with a
-                # focus-term predicate without per-disjunct columns).
+                # shape-level ShapeOr involving refs (`ex:T @ex:A OR @ex:B`,
+                # `ex:T @ex:A OR IRI`) lifts into Shape.disjunct_refs
+                # (at-least-one set membership).  A VALUE disjunct in a
+                # mixed OR wraps into a synthetic bare node-constraint
+                # shape (`urn:shex:or:N`) so the whole disjunction is
+                # uniformly refs — the same synthetic-shape trick as
+                # `@A AND @B` conjunctions.
                 if nc.negated:
                     raise ValueError(
                         "ShExC: negated shape-level OR of shape references "
                         "is unsupported"
                     )
-                pure = all(
-                    d.ref_shape is not None
-                    and not d.negated
-                    and not any(
-                        f != "ref_shape" and getattr(d, f) not in (None, False)
-                        for f in _VALUE_FIELDS
-                    )
-                    for d in nc.disjuncts
-                )
-                if not pure:
-                    raise ValueError(
-                        "ShExC: a shape-level OR mixing shape references "
-                        "with value constraints is unsupported"
-                    )
-                shape.disjunct_refs = [d.ref_shape for d in nc.disjuncts]
+                refs: list[str] = []
+                for d in nc.disjuncts:
+                    if d.ref_shape is not None:
+                        if d.negated or any(
+                            f != "ref_shape" and getattr(d, f) not in (None, False)
+                            for f in _VALUE_FIELDS
+                        ):
+                            raise ValueError(
+                                "ShExC: a negated or value-qualified shape "
+                                "reference inside a shape-level OR is "
+                                "unsupported"
+                            )
+                        refs.append(d.ref_shape)
+                    else:
+                        sid = f"urn:shex:or:{len(self.shapes)}"
+                        self.shapes[sid] = Shape(
+                            shape_id=sid, node_constraint=tc_value_copy(d)
+                        )
+                        refs.append(sid)
+                shape.disjunct_refs = refs
                 nc.disjuncts = None
             if _has_any_value_field(nc):
                 shape.node_constraint = nc
@@ -510,10 +521,6 @@ def _inline_node_constraint_refs(shapes: dict[str, Shape]) -> None:
                 "ShExC: a node-constraint shape reference combined with "
                 "other value constraints on one disjunct is unsupported"
             )
-        if nc.disjuncts and any(x.ref_shape is not None for x in nc.disjuncts):
-            raise ValueError(
-                "ShExC: shape references nested two OR-levels deep are unsupported"
-            )
         neg = d.negated != nc.negated
         for f in _VALUE_FIELDS:
             setattr(d, f, getattr(nc, f))
@@ -525,10 +532,41 @@ def _inline_node_constraint_refs(shapes: dict[str, Shape]) -> None:
             # disjunct-level refs to bare node-constraint shapes inline the
             # same way the top-level ones below do (`ex:v @ex:T OR IRI`
             # where ex:T is `xsd:integer` — literal values can never sit in
-            # a shape's conformance set, so the constraint must be inlined)
-            for d in tc.disjuncts or []:
-                if d.ref_shape in bare:
-                    _inline_into(d)
+            # a shape's conformance set, so the constraint must be inlined).
+            # When the bare shape is ITSELF an OR (`ex:T [ "x" ] OR
+            # xsd:integer`), its disjuncts SPLICE into the referring
+            # disjunct list — OR associativity, so refs never end up two
+            # OR-levels deep (shexs parity: arbitrary nesting behind
+            # SchemaValidate.scala:97-99)
+            if tc.disjuncts:
+                spliced: list[TripleConstraint] = []
+                for d in tc.disjuncts:
+                    if d.ref_shape in bare:
+                        nc = shapes[d.ref_shape].node_constraint
+                        if nc.disjuncts and not nc.negated:
+                            if d.negated:
+                                raise ValueError(
+                                    "ShExC: NOT over an OR-valued bare "
+                                    "node-constraint shape reference is "
+                                    "unsupported (De Morgan conjunction)"
+                                )
+                            others = [
+                                f
+                                for f in _VALUE_FIELDS
+                                if f not in ("ref_shape", "negated")
+                                and getattr(d, f) not in (None, False)
+                            ]
+                            if others:
+                                raise ValueError(
+                                    "ShExC: a node-constraint shape reference "
+                                    "combined with other value constraints on "
+                                    "one disjunct is unsupported"
+                                )
+                            spliced.extend(tc_value_copy(x) for x in nc.disjuncts)
+                            continue
+                        _inline_into(d)
+                    spliced.append(d)
+                tc.disjuncts = spliced
             if tc.ref_shape not in bare:
                 continue
             nc = shapes[tc.ref_shape].node_constraint

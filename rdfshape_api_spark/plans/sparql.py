@@ -97,6 +97,9 @@ class _Group:
     # solution set
     exists_groups: list[tuple[bool, "_Group"]] = field(default_factory=list)
     minus_groups: list["_Group"] = field(default_factory=list)
+    # GRAPH ?g { … } / GRAPH <iri> { … } blocks — only meaningful at the
+    # top level (the evaluator rejects them inside OPTIONAL/UNION/EXISTS)
+    graph_groups: list[tuple[str, "_Group"]] = field(default_factory=list)
 
 
 @dataclass
@@ -132,6 +135,11 @@ class SparqlQuery:
     # removes solutions compatible with the subtrahend on ≥1 shared
     # bound variable; disjoint domains remove nothing
     minus_groups: list["_Group"] = field(default_factory=list)
+    # GRAPH blocks (engine extension over the reference's merged-model
+    # query surface, MergedModels.scala:182-191): each source DOCUMENT is
+    # a named graph `urn:doc:<doc_sha256>`; patterns inside the block match
+    # within ONE document and ?g binds the document graph name
+    graph_groups: list[tuple[str, "_Group"]] = field(default_factory=list)
     # DESCRIBE targets: '?var' or absolute IRIs
     describe_terms: list[str] = field(default_factory=list)
     # query form: 'select' | 'construct' | 'ask' | 'describe'
@@ -253,6 +261,7 @@ def parse_sparql(text: str) -> SparqlQuery:
         q.filters = top.filters
         q.exists_groups = top.exists_groups
         q.minus_groups = top.minus_groups
+        q.graph_groups = top.graph_groups
         # variables the solution must carry: every template var
         seen: list[str] = []
         for pat in q.patterns + [x for grp in q.optionals for x in grp.patterns]:
@@ -283,6 +292,7 @@ def parse_sparql(text: str) -> SparqlQuery:
     q.filters = top.filters
     q.exists_groups = top.exists_groups
     q.minus_groups = top.minus_groups
+    q.graph_groups = top.graph_groups
     _parse_modifiers(p, prefixes, q)
     _resolve_select_star(q)
     return q
@@ -398,7 +408,11 @@ def _resolve_select_star(q: SparqlQuery) -> None:
         return
     seen: list[str] = []
     union_pats = [pat for blk in q.union_groups for br in blk for pat in br.patterns]
-    for pat in q.patterns + [x for grp in q.optionals for x in grp.patterns] + union_pats:
+    graph_pats = [pat for _, gg in q.graph_groups for pat in gg.patterns]
+    for gterm, _gg in q.graph_groups:
+        if gterm.startswith("?") and gterm[1:] not in seen:
+            seen.append(gterm[1:])
+    for pat in q.patterns + [x for grp in q.optionals for x in grp.patterns] + union_pats + graph_pats:
         for t in (pat.subj, pat.pred, pat.obj):
             if t.startswith("?") and t[1:] not in seen:
                 seen.append(t[1:])
@@ -437,6 +451,7 @@ def _parse_subselect(p: _Parser, prefixes: dict[str, str]) -> SparqlQuery:
     sq.filters = top.filters
     sq.exists_groups = top.exists_groups
     sq.minus_groups = top.minus_groups
+    sq.graph_groups = top.graph_groups
     _parse_modifiers(p, prefixes, sq)
     _resolve_select_star(sq)
     p.expect("}")
@@ -489,6 +504,19 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQue
             _parse_group(p, prefixes, mg, q)
             grp.minus_groups.append(mg)
             continue
+        if t.upper() == "GRAPH":
+            p.next()
+            gt = p.next()
+            if gt.startswith("?"):
+                gterm = gt
+            elif gt.startswith("<"):
+                gterm = gt[1:-1]
+            else:
+                gterm = _expand(gt, prefixes)
+            gg = _Group()
+            _parse_group(p, prefixes, gg, q)
+            grp.graph_groups.append((gterm, gg))
+            continue
         if t == "{":
             nxt = p.toks[p.i + 1] if p.i + 1 < len(p.toks) else None
             if nxt is not None and nxt.upper() == "SELECT":
@@ -511,6 +539,7 @@ def _parse_group(p: _Parser, prefixes: dict[str, str], grp: _Group, q: SparqlQue
                 grp.filters.extend(first.filters)
                 grp.exists_groups.extend(first.exists_groups)
                 grp.minus_groups.extend(first.minus_groups)
+                grp.graph_groups.extend(first.graph_groups)
             else:
                 q.union_groups.append(branches)
             if p.peek() == ".":
@@ -1294,6 +1323,8 @@ def _toklists(q: SparqlQuery) -> list[list[str]]:
         _group_toklists(eg, out)
     for mg in q.minus_groups:
         _group_toklists(mg, out)
+    for _, gg in q.graph_groups:
+        _group_toklists(gg, out)
     return out
 
 
@@ -1371,11 +1402,23 @@ def _drop_dup_meta(keep: DataFrame, incoming: DataFrame) -> DataFrame:
     return incoming.drop(*dup) if dup else incoming
 
 
+# Named-graph extension: the reference's query surface is the merged model
+# (graph labels dropped, MergedModels.scala:182-191); this engine keeps
+# doc_sha256 on every row, so each source DOCUMENT doubles as a named graph
+# with IRI `urn:doc:<doc_sha256>`.  GRAPH blocks evaluate over the per-doc
+# triple set; the default graph stays the merged model.
+DOC_GRAPH_PREFIX = "urn:doc:"
+
+
 def _group_df(triples: DataFrame, grp: _Group, meta: bool) -> DataFrame:
     """One group pattern → its solution DataFrame: BGP joins, then the
     group-scoped filters, then the group-scoped [NOT] EXISTS / MINUS —
     recursion handles arbitrary nesting, so an EXISTS written inside an
     OPTIONAL or UNION branch restricts that branch only."""
+    if grp.graph_groups:
+        raise SparqlParseError(
+            "GRAPH inside OPTIONAL/UNION/EXISTS/MINUS groups is unsupported"
+        )
     b = _join_patterns(triples, grp.patterns, with_meta=meta)
     for ftoks in grp.filters:
         b = _apply_filter(b, ftoks)
@@ -1445,9 +1488,13 @@ def _apply_exists_minus(
     return acc
 
 
-def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
-    """The WHERE-clause solution multiset: BGP joins, UNION, VALUES,
-    OPTIONAL, BIND, EXISTS, filters — shared by SELECT/CONSTRUCT/ASK."""
+def _solutions(
+    triples: DataFrame, q: SparqlQuery, doc_triples: DataFrame | None = None
+) -> DataFrame:
+    """The WHERE-clause solution multiset: BGP joins, UNION, GRAPH, VALUES,
+    OPTIONAL, BIND, EXISTS, filters — shared by SELECT/CONSTRUCT/ASK.
+    ``doc_triples``: the per-document (unmerged) triple source backing
+    GRAPH blocks; None when the caller has no document scope (sh:sparql)."""
     meta = _wants_term_meta(q)
     acc = _join_patterns(triples, q.patterns, with_meta=meta) if q.patterns else None
     for blk in q.union_groups:
@@ -1477,11 +1524,40 @@ def _solutions(triples: DataFrame, q: SparqlQuery) -> DataFrame:
             blk_df = _drop_dup_meta(acc, blk_df)
             shared = _shared_vars(acc, blk_df)
             acc = acc.join(blk_df, on=shared, how="inner") if shared else acc.crossJoin(blk_df)
+    for gterm, gg in q.graph_groups:
+        # GRAPH block: the inner group evaluates over the per-document
+        # triple SET with the doc id threaded through every BGP join as
+        # the _g_doc pseudo-variable (same mechanism as sh:sparql
+        # evaluation) — patterns match within ONE document's graph
+        if doc_triples is None or "doc_sha256" not in doc_triples.columns:
+            raise SparqlParseError(
+                "GRAPH requires a per-document triple source (merged or "
+                "doc-scoped inputs carry no graph labels)"
+            )
+        docm = doc_triples.select(
+            F.col("doc_sha256").alias("_g_doc"),
+            "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype",
+        ).distinct()
+        b = _group_df(docm, gg, meta)
+        gname = F.concat(F.lit(DOC_GRAPH_PREFIX), F.col("_g_doc"))
+        if gterm.startswith("?"):
+            b = b.withColumn(gterm[1:], gname)
+        else:
+            b = b.filter(gname == gterm)
+        b = b.drop("_g_doc")
+        if acc is None:
+            acc = b
+        else:
+            b = _drop_dup_meta(acc, b)
+            shared = _shared_vars(acc, b)
+            acc = acc.join(b, on=shared, how="inner") if shared else acc.crossJoin(b)
     for sq in q.subqueries:
         # subquery (§12): evaluated bottom-up over the same model; only its
         # projection joins outward (aggregates/LIMIT/DISTINCT applied
         # inside).  Join on the shared variable names — the same equi-join
         # the UNION-block composition uses.
+        if sq.graph_groups:
+            raise SparqlParseError("GRAPH inside a subquery is unsupported")
         sub = _select_result(triples, sq)
         if acc is None:
             acc = sub
@@ -1556,17 +1632,19 @@ def sparql_select(triples: DataFrame, query_text: str) -> DataFrame:
     Returns one column per selected variable (string-typed bindings, the
     JSON-bindings contract of ``DataQuery.scala:51-63``)."""
     q = parse_sparql(query_text)
-    return _select_result(_merged_model(triples), q)
+    return _select_result(_merged_model(triples), q, doc_triples=triples)
 
 
-def _select_result(model: DataFrame, q: SparqlQuery) -> DataFrame:
+def _select_result(
+    model: DataFrame, q: SparqlQuery, doc_triples: DataFrame | None = None
+) -> DataFrame:
     """SELECT evaluation over an already-merged model — shared by the
     top-level query and subqueries (§12).  In per-document mode (the model
     carries ``_g_doc``, sh:sparql evaluation) the doc id threads through
     the projection and becomes an implicit grouping key, matching the
     spec's per-focus-graph evaluation; LIMIT/OFFSET would then need
     per-document application, which this subset rejects."""
-    acc = _solutions(model, q)
+    acc = _solutions(model, q, doc_triples)
     gdoc = "_g_doc" in acc.columns
     if gdoc and (q.limit is not None or q.offset is not None):
         raise SparqlParseError(
@@ -1712,7 +1790,9 @@ def sparql_construct(triples: DataFrame, query_text: str) -> DataFrame:
     q = parse_sparql(query_text)
     if q.query_form != "construct":
         raise SparqlParseError("sparql_construct requires a CONSTRUCT query")
-    sols = _apply_seq_modifiers(_solutions(_merged_model(triples), q), q)
+    sols = _apply_seq_modifiers(
+        _solutions(_merged_model(triples), q, doc_triples=triples), q
+    )
     outs = []
     for pat in q.template:
         subj = F.col(pat.subj[1:]) if pat.subj.startswith("?") else F.lit(pat.subj)
@@ -1756,7 +1836,9 @@ def sparql_ask(triples: DataFrame, query_text: str) -> bool:
     q = parse_sparql(query_text)
     if q.query_form != "ask":
         raise SparqlParseError("sparql_ask requires an ask query")
-    sols = _apply_seq_modifiers(_solutions(_merged_model(triples), q), q)
+    sols = _apply_seq_modifiers(
+        _solutions(_merged_model(triples), q, doc_triples=triples), q
+    )
     return not sols.limit(1).isEmpty()
 
 
@@ -1779,7 +1861,7 @@ def sparql_describe(triples: DataFrame, query_text: str) -> DataFrame:
         parts.append(spark.createDataFrame([(c,) for c in consts], "subj string"))
     vars_ = [t[1:] for t in q.describe_terms if t.startswith("?")]
     if vars_:
-        sols = _apply_seq_modifiers(_solutions(model, q), q)
+        sols = _apply_seq_modifiers(_solutions(model, q, doc_triples=triples), q)
         for v in vars_:
             parts.append(
                 sols.select(F.col(v).alias("subj")).filter(F.col("subj").isNotNull())

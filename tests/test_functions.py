@@ -254,3 +254,113 @@ def test_quality_filter(spark):
     assert not out[2]["keep"] and "too_few_words" in out[2]["drop_reasons"]
     assert not out[3]["keep"] and "repetitive" in out[3]["drop_reasons"]
     assert not out[4]["keep"] and "mean_word_too_short" in out[4]["drop_reasons"]
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(pixels, color_type: int, filters=None) -> bytes:
+    """Encode an (H, W, C) uint8 array as a PNG, filtering each scanline
+    with the given filter types (defaults to 0/None)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = pixels.shape
+    bpp = c
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = bytes(w * c)
+    for y, ft in zip(range(h), filters):
+        line = bytearray(pixels[y].tobytes())
+        enc = bytearray(line)
+        if ft == 1:  # Sub
+            for i in range(len(line) - 1, bpp - 1, -1):
+                enc[i] = (line[i] - line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(line)):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            from rdfshape_api_spark.functions.multimodal import _paeth
+
+            for i in range(len(line)):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                enc[i] = (line[i] - _paeth(left, prev[i], ul)) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_rgb_all_filters():
+    import numpy as np
+
+    from rdfshape_api_spark.functions.multimodal import decode_png
+
+    rng = np.random.RandomState(7)
+    pixels = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        png = _make_png(pixels, color_type=2, filters=filters)
+        out = decode_png(png)
+        assert out.shape == (5, 4, 3)
+        assert (out == pixels).all(), f"filters={filters}"
+
+
+def test_decode_png_greyscale_and_rgba():
+    import numpy as np
+
+    from rdfshape_api_spark.functions.multimodal import decode_png
+
+    grey = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    assert (decode_png(_make_png(grey, 0, [4, 2, 1])) == grey).all()
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    assert (decode_png(_make_png(rgba, 6, [3, 4, 0])) == rgba).all()
+
+
+def test_decode_png_rejects_non_png():
+    import pytest
+
+    from rdfshape_api_spark.functions.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a....")
+
+
+def test_extract_features_real_png_decoder(spark):
+    """The real-decoder path runs end-to-end on PNG payloads without
+    Pillow: decode → pixel histogram features (mapInPandas batch)."""
+    import numpy as np
+
+    from rdfshape_api_spark.functions.multimodal import (
+        _fake_features,
+        extract_features,
+    )
+
+    rng = np.random.RandomState(11)
+    imgs = {i: rng.randint(0, 256, size=(4, 3, 3), dtype=np.uint8) for i in range(3)}
+    rows = [(i, _make_png(img, 2, [0, 1, 2, 4])) for i, img in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["features"] for r in
+           extract_features(df, use_real_decoder=True, normalize=False).collect()}
+    for i, img in imgs.items():
+        assert out[i] == _fake_features(img.tobytes(), normalize=False)

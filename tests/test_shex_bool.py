@@ -253,15 +253,80 @@ def test_ref_conjunction_rewrites_to_synthetic_shape():
     assert schema.shapes[tc.ref_shape].conjunct_refs == [E + "A", E + "B"]
 
 
-def test_or_refs_two_levels_deep_rejected():
-    import pytest
+def test_or_refs_two_levels_deep_accepted():
+    """r4: refs two OR-levels deep normalize at parse time — the mixed
+    shape-level OR `@ex:A OR IRI` lifts to Shape.disjunct_refs with the
+    IRI disjunct wrapped in a synthetic `urn:shex:or:N` shape, and the
+    value-level `[ "x" ] OR @ex:T` keeps @ex:T as an ordinary disjunct
+    ref (T is no longer a bare node-constraint shape)."""
+    schema = parse_shexc(
+        f'PREFIX ex: <{E}>\n'
+        'ex:S { ex:v [ "x" ] OR @ex:T }\n'
+        "ex:T @ex:A OR IRI\n"
+        "ex:A { ex:name . }"
+    )
+    t = schema.shapes[E + "T"]
+    assert t.disjunct_refs[0] == E + "A"
+    assert t.disjunct_refs[1].startswith("urn:shex:or:")
+    syn = schema.shapes[t.disjunct_refs[1]]
+    assert syn.node_constraint.node_kind == "iri"
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert [d.ref_shape for d in tc.disjuncts] == [None, E + "T"]
 
-    # the bare target shape's own shape-level OR-of-refs rejects first;
-    # the inline pass's two-OR-levels guard backstops other routes
-    with pytest.raises(ValueError, match="shape-level OR|two OR-levels deep"):
-        parse_shexc(
-            f'PREFIX ex: <{E}>\n'
-            'ex:S { ex:v [ "x" ] OR @ex:T }\n'
-            "ex:T @ex:A OR IRI\n"
-            "ex:A { ex:name . }"
-        )
+
+def test_or_valued_bare_shape_splices_in_disjunct_position():
+    """An OR-valued bare node-constraint shape referenced inside an OR
+    splices flat (OR associativity) — no 2-deep disjunct nesting."""
+    schema = parse_shexc(
+        f'PREFIX ex: <{E}>\n'
+        'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n'
+        'ex:S { ex:v [ "x" ] OR @ex:T }\n'
+        'ex:T [ "a"~ ] OR xsd:integer\n'
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert len(tc.disjuncts) == 3
+    assert all(d.disjuncts is None for d in tc.disjuncts)
+
+
+def test_nested_or_refs_validation(spark):
+    """End-to-end validation through the normalized nested OR: ex:v must
+    be "x" or a node conforming to T, where T = @ex:A OR IRI."""
+    from rdfshape_api_spark.plans.validate import validate
+
+    schema = parse_shexc(
+        f'PREFIX ex: <{E}>\n'
+        'ex:S { ex:v [ "x" ] OR @ex:T }\n'
+        "ex:T @ex:A OR IRI\n"
+        "ex:A { ex:name . }"
+    )
+    cols = (
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string"
+    )
+    tri = spark.createDataFrame(
+        [
+            # s1: literal "x" → first disjunct
+            ("d", E + "s1", E + "v", "literal", "x", None, None),
+            # s2: bnode value conforming to ex:A (has a name)
+            ("d", E + "s2", E + "v", "bnode", "_:n1", None, None),
+            ("d", "_:n1", E + "name", "literal", "N", None, None),
+            # s3: IRI value with no triples of its own — but it IS a
+            # subject elsewhere, so it sits in the all-subjects universe
+            ("d", E + "s3", E + "v", "iri", E + "w", None, None),
+            ("d", E + "w", E + "other", "literal", "1", None, None),
+            # s4: literal "y" — matches nothing
+            ("d", E + "s4", E + "v", "literal", "y", None, None),
+        ],
+        cols,
+    )
+    sm = ", ".join(f"<{E}s{i}>@<{E}S>" for i in range(1, 5))
+    out = {
+        r["node"][len(E):]: r["status"]
+        for r in validate(tri, schema, shapemap=sm).collect()
+    }
+    assert out == {
+        "s1": "conformant",
+        "s2": "conformant",
+        "s3": "conformant",
+        "s4": "nonconformant",
+    }

@@ -215,12 +215,16 @@ def test_shape_level_disjunct_refs(spark):
     assert out == {"1": "conformant", "2": "conformant", "3": "nonconformant"}
 
 
-def test_shape_level_mixed_or_rejected(spark):
-    import pytest
-
+def test_shape_level_mixed_or_accepted(spark):
+    """r4: a mixed shape-level OR lifts to Shape.disjunct_refs with the
+    value disjunct wrapped in a synthetic urn:shex:or:N shape (previously a
+    clean reject)."""
     from rdfshape_api_spark.plans import parse_shexc
 
-    with pytest.raises(ValueError, match="mixing shape references"):
-        parse_shexc(
-            f"PREFIX ex: <{E}>\nex:T @ex:A OR IRI\nex:A {{ ex:name . }}"
-        )
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nex:T @ex:A OR IRI\nex:A {{ ex:name . }}"
+    )
+    t = schema.shapes[E + "T"]
+    assert t.disjunct_refs[0] == E + "A"
+    syn = schema.shapes[t.disjunct_refs[1]]
+    assert syn.node_constraint.node_kind == "iri"

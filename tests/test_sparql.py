@@ -888,3 +888,73 @@ def test_ask_limit_zero_is_false(spark):
     tri = _mk_tri(spark, [(EX + "a", EX + "p", "literal", "1", None, None)])
     assert sparql_ask(tri, PREFIX + "ASK { ?s ex:p ?v . }") is True
     assert sparql_ask(tri, PREFIX + "ASK { ?s ex:p ?v . } LIMIT 0") is False
+
+
+def _mk_docs_tri(spark, rows):
+    cols = (
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string"
+    )
+    return spark.createDataFrame(rows, cols)
+
+
+def test_graph_var_binds_document(spark):
+    """GRAPH ?g { … } scopes the inner BGP to one document and binds ?g to
+    the urn:doc:<sha> graph name (engine extension — the reference queries
+    the merged model only)."""
+    tri = _mk_docs_tri(spark, [
+        ("d1", EX + "a", EX + "p", "literal", "1", None, None),
+        ("d1", EX + "a", EX + "q", "literal", "2", None, None),
+        # the p/q combination spans documents: merged-model match only
+        ("d2", EX + "b", EX + "p", "literal", "1", None, None),
+        ("d3", EX + "b", EX + "q", "literal", "2", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?v . ?s ex:q ?w . } }""",
+    ).collect()
+    # only d1 contains both triples for one subject IN THE SAME DOCUMENT
+    assert {(r["g"], r["s"]) for r in out} == {("urn:doc:d1", EX + "a")}
+    # the merged model (no GRAPH) also matches ?s = b across d2/d3
+    merged = sparql_select(
+        tri, PREFIX + "SELECT ?s WHERE { ?s ex:p ?v . ?s ex:q ?w . }"
+    ).collect()
+    assert {r["s"] for r in merged} == {EX + "a", EX + "b"}
+
+
+def test_graph_constant_iri(spark):
+    tri = _mk_docs_tri(spark, [
+        ("d1", EX + "a", EX + "p", "literal", "1", None, None),
+        ("d2", EX + "b", EX + "p", "literal", "1", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s WHERE { GRAPH <urn:doc:d2> { ?s ex:p ?v . } }""",
+    ).collect()
+    assert {r["s"] for r in out} == {EX + "b"}
+
+
+def test_graph_joins_default_graph_patterns(spark):
+    tri = _mk_docs_tri(spark, [
+        ("d1", EX + "a", EX + "p", "literal", "1", None, None),
+        ("d2", EX + "a", EX + "tag", "literal", "t", None, None),
+        ("d2", EX + "c", EX + "p", "literal", "1", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + """SELECT ?s ?t WHERE {
+            ?s ex:tag ?t .
+            GRAPH ?g { ?s ex:p ?v . }
+        }""",
+    ).collect()
+    # ?s must have ex:tag anywhere (merged) and ex:p in some single graph
+    assert {(r["s"], r["t"]) for r in out} == {(EX + "a", "t")}
+
+
+def test_graph_inside_optional_rejected(spark):
+    tri = _mk_docs_tri(spark, [("d1", EX + "a", EX + "p", "literal", "1", None, None)])
+    with pytest.raises(SparqlParseError, match="GRAPH inside"):
+        sparql_select(
+            tri,
+            PREFIX + "SELECT ?s WHERE { ?s ex:p ?v . OPTIONAL { GRAPH ?g { ?s ex:q ?w . } } }",
+        ).collect()
