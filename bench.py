@@ -329,6 +329,32 @@ def _kernels_for_session(spark, scaling_sf: str) -> dict:
             quad4, schema, shapemap=SHAPEMAP_QUERY, shape_label="s"
         ).count(),
     )
+    # 4x probes for the round-3 weak kernels (canonicalize_dedup 0.589,
+    # extract_nt_columnar 0.62): same plans on 4x input where compute
+    # dominates the per-run constant — the protocol that settled
+    # validate_shex (BENCH/ANALYSIS.md).  NT parse: 4 copies of the NT
+    # docs via a range cross-join (pure compute replication, no dedup in
+    # this kernel).  Dedup: the doc-salted quad keeps all rows distinct,
+    # so the dedup aggregation does 4x real work.
+    nt4 = docs.filter(lang.isin("ntriples", "nt", "n-triples")).crossJoin(
+        spark.range(4).select(F.col("id").alias("_cp"))
+    ).drop("_cp")
+    measure(
+        "extract_nt_4x",
+        lambda: extract_ntriples_columnar(nt4).count(),
+    )
+    raw4 = (
+        raw.filter(F.col("error").isNull())
+        .crossJoin(spark.range(4).select(F.col("id").cast("string").alias("_salt")))
+        .withColumn("doc_sha256", F.concat_ws("-", "doc_sha256", "_salt"))
+        .drop("_salt")
+    )
+    measure(
+        "canonicalize_dedup_4x",
+        lambda: dedup_triples(
+            canonicalize(raw4.select(*TRIPLE_COLUMNS)), scope_doc=True
+        ).count(),
+    )
     quad4.unpersist()
     docs.unpersist()
     raw.unpersist()
@@ -420,6 +446,11 @@ def _scaling(sf_dir: str) -> None:
     for name, r in kernels.items():
         r["efficiency"] = round((r["N"]["wall_s"] / r["4N"]["wall_s"]) / 4.0, 3)
     ceiling = _cpu_ceiling(4, 16)
+    # a single post-hoc burn can land in a different host-contention window
+    # than the level runs it is supposed to calibrate (round-3 run 7 read an
+    # impossible 11.94x); a second measurement brackets the window — report
+    # both and flag the pair sane only when they agree within noise
+    ceiling2 = _cpu_ceiling(4, 16)
     t_n = results["N(4)"]["total_wall_s"]
     t_4n = results["4N(16)"]["total_wall_s"]
     eff = round((t_n / t_4n) / 4.0, 3)
@@ -446,6 +477,12 @@ def _scaling(sf_dir: str) -> None:
         "kernels": kernels,
         "kernel_weighted_efficiency": kernel_weighted_eff,
         "cpu_ceiling_speedup": ceiling,
+        "cpu_ceiling_speedup_2nd": ceiling2,
+        "cpu_ceiling_sane": bool(
+            2.8 <= min(ceiling, ceiling2)
+            and max(ceiling, ceiling2) <= 4.4
+            and abs(ceiling - ceiling2) <= 0.6
+        ),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = [
