@@ -485,6 +485,22 @@ def _q_dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix-C style n-gram overlap).
+
+    The "benchmark" is a deterministic slice of the corpus itself
+    (doc_id % 97 == 0 — every eval set a lab guards against is drawn
+    from the same web distribution as the training data, so the slice is
+    a faithful stand-in and the check is self-contained)."""
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.functions.dedup import decontaminate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=3)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from rdfshape_api_spark.functions.dedup import simhash_bucket_pairs
 
@@ -1126,6 +1142,7 @@ _VERIFY_FIRST = [
     "social_shex_nested_or",
     "rdf_sparql_graph",
     "rdf_sparql_construct_limit",
+    "text_decontaminate",
     # (b) registered in r3, never driver-verified
     "text_repetition",
     "text_quality",
@@ -1228,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_keep": _q_dedup_lsh_keep,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram,
+        "text_decontaminate": _q_text_decontaminate,
         "dedup_simhash_pairs": _q_dedup_simhash,
         "sim_cosine_topk": _q_sim_topk,
         "sim_embedding_near_dups": _q_sim_near_dups,
@@ -2113,6 +2131,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        """,
+        "text_decontaminate": """
+            -- benchmark = deterministic corpus slice (doc_id % 97 = 0);
+            -- trigram fallback to distinct words for docs shorter than n
+            -- mirrors ngram_shingles
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(ws) >= 3
+                     THEN list_distinct(list_transform(range(0, len(ws)-2),
+                              i -> array_to_string(list_slice(ws, i+1, i+3), ' ')))
+                     ELSE list_distinct(ws) END) AS ngram
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT ngram FROM sh WHERE doc_id % 97 = 0
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_hit_ngrams
+            FROM sh JOIN bench USING (ngram)
+            GROUP BY doc_id
         """,
         "dedup_simhash_pairs": """
             -- portable simhash twin: same md5-derived 64-bit token hash

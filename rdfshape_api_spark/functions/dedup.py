@@ -297,6 +297,37 @@ def ngram_jaccard_pairs(
     return j.select("doc_a", "doc_b", "jaccard")
 
 
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Training-set decontamination: per-document count of word ``n``-grams
+    shared with a benchmark/eval set (the GPT-3 appendix-C / Gopher
+    13-gram-overlap check; ``n`` parametrized — the synthetic docs are
+    short, so tests use trigrams).
+
+    Returns ``(doc_id, n_hit_ngrams)`` for every document with ≥1 shared
+    n-gram; a downstream ``left_anti`` on ``doc_id`` is the drop step.
+
+    Scale design: eval sets are 10³-10⁵ rows against 10⁹+ training docs,
+    so the benchmark's distinct n-grams are the broadcast side; the
+    training side explodes to n-grams map-locally and LEFT SEMI
+    broadcast-joins — no shuffle of training data at all. The only
+    exchange is the per-doc hit count, which carries hit rows only
+    (near-empty for a clean corpus). ``ngram_shingles`` is
+    ``array_distinct``, so the count is distinct shared n-grams.
+    """
+    bench_ngrams = (
+        benchmark.select(F.explode(ngram_shingles(F.col(text_col), n)).alias("ngram"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", F.explode(ngram_shingles(F.col(text_col), n)).alias("ngram"))
+        .join(F.broadcast(bench_ngrams), on="ngram", how="leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit_ngrams"))
+    )
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash: per-bit majority vote over a portable token hash.
 

@@ -69,6 +69,21 @@ def test_ngram_jaccard(docs):
     assert (0, 3) not in pairs
 
 
+def test_decontaminate(docs, spark):
+    from rdfshape_api_spark.functions.dedup import decontaminate
+
+    # benchmark = doc 2 ("the quick brown fox jumps over a lazy dog"):
+    # docs 0/1 share trigrams with it, doc 3/4 share none
+    bench = docs.filter(F.col("doc_id") == 2)
+    hits = {r["doc_id"]: r["n_hit_ngrams"] for r in decontaminate(docs, bench, n=3).collect()}
+    assert hits[2] == 7  # self-match: all 7 trigrams of a 9-word doc
+    assert hits[0] == hits[1] > 0  # exact dups hit identically
+    assert 3 not in hits and 4 not in hits
+    # the broadcast side must be the benchmark: plan has no shuffle of docs
+    plan = decontaminate(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_simhash(docs):
     from rdfshape_api_spark.functions.dedup import simhash64, simhash_bucket_pairs
 
