@@ -501,6 +501,16 @@ def _q_text_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=3)
 
 
+def _q_text_span_dedup(spark, sf_dir):
+    """C4-style duplicate-span removal: drop 3-word spans occurring in >=2
+    docs, reassemble the survivors (dedup.span_dedup docstring has the
+    100TB plan notes)."""
+    from rdfshape_api_spark.functions.dedup import span_dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return span_dedup(docs, span_words=3, min_df=2)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from rdfshape_api_spark.functions.dedup import simhash_bucket_pairs
 
@@ -1143,6 +1153,7 @@ _VERIFY_FIRST = [
     "rdf_sparql_graph",
     "rdf_sparql_construct_limit",
     "text_decontaminate",
+    "text_span_dedup",
     # (b) registered in r3, never driver-verified
     "text_repetition",
     "text_quality",
@@ -1246,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "text_decontaminate": _q_text_decontaminate,
+        "text_span_dedup": _q_text_span_dedup,
         "dedup_simhash_pairs": _q_dedup_simhash,
         "sim_cosine_topk": _q_sim_topk,
         "sim_embedding_near_dups": _q_sim_near_dups,
@@ -2151,6 +2163,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, count(*)::BIGINT AS n_hit_ngrams
             FROM sh JOIN bench USING (ngram)
+            GROUP BY doc_id
+        """,
+        "text_span_dedup": """
+            -- C4-style duplicate-span removal, 3-word non-overlapping
+            -- chunks, df counted over distinct docs; empty spans never
+            -- count and are always kept; string_agg of zero kept rows is
+            -- NULL in DuckDB vs '' in Spark -> coalesce
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+              FROM documents
+            ), spans AS (
+              SELECT doc_id,
+                     unnest(range(0, (len(ws)+2)//3)) AS pos,
+                     unnest(list_transform(range(0, (len(ws)+2)//3),
+                         i -> array_to_string(list_slice(ws, i*3+1, i*3+3), ' '))) AS span
+              FROM toks
+            ), dup AS (
+              SELECT span AS k FROM spans WHERE trim(span) <> ''
+              GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN d.k IS NULL THEN span END,
+                                       ' ' ORDER BY pos), '') AS clean_text,
+                   count(*)::BIGINT AS n_spans,
+                   sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_spans_dropped
+            FROM spans LEFT JOIN dup d ON d.k = span
             GROUP BY doc_id
         """,
         "dedup_simhash_pairs": """

@@ -328,6 +328,83 @@ def decontaminate(
     )
 
 
+def span_dedup(
+    docs: DataFrame,
+    span_words: int | None = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style duplicate-span removal with document reassembly.
+
+    Splits each document into units — consecutive non-overlapping
+    ``span_words``-word chunks (C4 drops any three-sentence span occurring
+    more than once in the corpus; the fixed-word chunk is the
+    punctuation-free analogue), or physical lines when ``span_words`` is
+    ``None`` (the RefinedWeb/CCNet boilerplate-line pass) — drops every
+    unit whose normalized form occurs in ``>= min_df`` distinct documents,
+    and reassembles the surviving units in original document order.
+
+    Returns ``(doc_id, clean_text, n_spans, n_spans_dropped)`` — one row
+    per input document (``clean_text = ''`` when everything was dropped).
+
+    Scale design: the duplicate-span table is corpus-sized (every nav
+    menu / cookie banner on the web), so it is NOT broadcast — the
+    span→dup join is a shuffle hash join keyed on the span text, which is
+    exactly where AQE's skew-join split handles the hot boilerplate spans.
+    The df aggregation is two-phase (map-side partial distinct on
+    (span, doc_id)); reassembly shuffles each span exactly once on
+    ``doc_id`` and orders within the group via ``array_sort`` on a
+    ``(pos, span)`` struct — no window function, no second exchange.
+    Empty units never count toward df and are always kept (they are
+    document structure, not content).
+    """
+    if span_words is None:
+        units = F.split(F.col(text_col), "\n", -1)
+        sep = "\n"
+    else:
+        ws = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        k = span_words
+        # split() never yields an empty array, so n_chunks >= 1 and the
+        # sequence below is never descending
+        n_chunks = F.ceil(F.size(ws) / F.lit(k)).cast("int")
+        units = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(ws, i * k + 1, k), " "),
+        )
+        sep = " "
+    spans = docs.select(
+        "doc_id", F.posexplode(units).alias("pos", "span")
+    ).withColumn("k", F.lower(F.trim(F.col("span"))))
+    dup = (
+        spans.filter(F.col("k") != "")
+        .groupBy("k")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("k", F.lit(True).alias("_dup"))
+    )
+    flagged = spans.join(dup, on="k", how="left")
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_dup").isNull(),
+                            F.struct(F.col("pos"), F.col("span")),
+                        )
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_spans_dropped"),
+    )
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash: per-bit majority vote over a portable token hash.
 

@@ -84,6 +84,28 @@ def test_decontaminate(docs, spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_span_dedup(docs, spark):
+    from rdfshape_api_spark.functions.dedup import span_dedup
+
+    rows = {r["doc_id"]: r for r in span_dedup(docs, span_words=3).collect()}
+    assert len(rows) == 6  # one row per input doc, even all-dropped / empty
+    # docs 0/1/2 share "the quick brown" + "fox jumps over"; 0/1 share "the lazy dog"
+    assert rows[0]["clean_text"] == "" and rows[0]["n_spans_dropped"] == 3
+    assert rows[1]["clean_text"] == ""
+    assert rows[2]["clean_text"] == "a lazy dog" and rows[2]["n_spans_dropped"] == 2
+    assert rows[3]["clean_text"] == "completely different content about spark engines"
+    assert rows[5]["n_spans"] == 1 and rows[5]["n_spans_dropped"] == 0  # empty doc kept
+
+    # line mode: shared boilerplate line drops, unique lines survive in order
+    ml = spark.createDataFrame(
+        [(0, "keep me\ncookie banner\nlast line"), (1, "cookie banner\nother text")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in span_dedup(ml, span_words=None).collect()}
+    assert out[0]["clean_text"] == "keep me\nlast line"
+    assert out[1]["clean_text"] == "other text" and out[1]["n_spans_dropped"] == 1
+
+
 def test_simhash(docs):
     from rdfshape_api_spark.functions.dedup import simhash64, simhash_bucket_pairs
 
