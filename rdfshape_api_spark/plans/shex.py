@@ -33,8 +33,10 @@ Semantic actions (``%ext{…%}``) and annotations (``// pred value``) are
 parsed and dropped — the spec's no-op treatment for validators without
 the extension.  Out of subset (rejected with a clear error, SURVEY §7.3):
 negated references inside a reference cycle (non-stratifiable; applies
-at disjunct level too), NOT over an OR-valued bare-shape reference
-(De Morgan conjunction), negated shape-level refs, IMPORT.
+at disjunct level too), NOT over an OR containing shape references
+(conformance-set complements), negated shape-level refs, IMPORT.
+NOT over an OR of pure value constraints is supported (the disjunction
+stays nested on the disjunct and the evaluator compiles ``~(c1 | c2)``).
 Known grammar deviation: AND/OR at one nesting level associate left
 (``@A OR @B AND { … }`` reads as ``(A OR B) AND { … }``), whereas the
 ShEx grammar binds AND tighter.
@@ -545,11 +547,23 @@ def _inline_node_constraint_refs(shapes: dict[str, Shape]) -> None:
                         nc = shapes[d.ref_shape].node_constraint
                         if nc.disjuncts and not nc.negated:
                             if d.negated:
-                                raise ValueError(
-                                    "ShExC: NOT over an OR-valued bare "
-                                    "node-constraint shape reference is "
-                                    "unsupported (De Morgan conjunction)"
-                                )
+                                # NOT @T where T = c1 OR c2 (pure value
+                                # constraints): keep the disjunction NESTED
+                                # on this disjunct with the negation bit —
+                                # validate._value_ok recurses and compiles
+                                # ~(c1 | c2) directly (De Morgan done by
+                                # the Column algebra, not the parser).
+                                # Refs inside T would need conformance-set
+                                # complements: still a clean reject.
+                                if any(x.ref_shape for x in nc.disjuncts):
+                                    raise ValueError(
+                                        "ShExC: NOT over an OR containing "
+                                        "shape references is unsupported "
+                                        "(negated-reference De Morgan)"
+                                    )
+                                _inline_into(d)
+                                spliced.append(d)
+                                continue
                             others = [
                                 f
                                 for f in _VALUE_FIELDS

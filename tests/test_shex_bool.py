@@ -288,6 +288,93 @@ def test_or_valued_bare_shape_splices_in_disjunct_position():
     assert all(d.disjuncts is None for d in tc.disjuncts)
 
 
+def test_not_over_or_valued_bare_shape(spark):
+    """r4: NOT @ex:T where T = [ "a"~ ] OR xsd:integer keeps the
+    disjunction nested on the disjunct with the negation bit — the
+    evaluator compiles ~(stem | datatype) (De Morgan by Column algebra)."""
+    from rdfshape_api_spark.plans.validate import validate
+
+    schema = parse_shexc(
+        f'PREFIX ex: <{E}>\n'
+        'PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n'
+        'ex:S { ex:v [ "x" ] OR NOT @ex:T }\n'
+        'ex:T [ "a"~ ] OR xsd:integer\n'
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert len(tc.disjuncts) == 2
+    neg = tc.disjuncts[1]
+    assert neg.negated and len(neg.disjuncts) == 2
+
+    cols = (
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string"
+    )
+    X = "http://www.w3.org/2001/XMLSchema#"
+    tri = spark.createDataFrame(
+        [
+            ("d", E + "s1", E + "v", "literal", "x", None, None),  # first disjunct
+            ("d", E + "s2", E + "v", "literal", "zzz", None, None),  # NOT(stem|int) ok
+            ("d", E + "s3", E + "v", "literal", "abc", None, None),  # "a" stem → fails both
+            ("d", E + "s4", E + "v", "literal", "7", None, X + "integer"),  # int → fails
+        ],
+        cols,
+    )
+    sm = ", ".join(f"<{E}s{i}>@<{E}S>" for i in range(1, 5))
+    got = {
+        r["node"][len(E):]: r["status"]
+        for r in validate(tri, schema, shapemap=sm).collect()
+    }
+    assert got == {
+        "s1": "conformant",
+        "s2": "conformant",
+        "s3": "nonconformant",
+        "s4": "nonconformant",
+    }
+
+
+def test_not_over_shape_level_or_of_refs(spark):
+    """NOT @ex:T where T is a real shape (`@ex:A OR IRI`) is an ordinary
+    negated disjunct-level reference: T's conformance set is the union of
+    its disjuncts, and negation is set complement — De Morgan for free."""
+    from rdfshape_api_spark.plans.validate import validate
+
+    schema = parse_shexc(
+        f'PREFIX ex: <{E}>\n'
+        'ex:S { ex:v [ "x" ] OR NOT @ex:T }\n'
+        "ex:T @ex:A OR IRI\n"
+        "ex:A { ex:name . }"
+    )
+    cols = (
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string"
+    )
+    tri = spark.createDataFrame(
+        [
+            ("d", E + "s1", E + "v", "literal", "x", None, None),  # 1st disjunct
+            # bnode conforming to A → T-conformant → NOT fails, not "x"
+            ("d", E + "s2", E + "v", "bnode", "_:n1", None, None),
+            ("d", "_:n1", E + "name", "literal", "N", None, None),
+            # literal "y": neither A-conformant nor IRI → NOT @T holds
+            ("d", E + "s3", E + "v", "literal", "y", None, None),
+            # IRI value → T's IRI disjunct → NOT fails
+            ("d", E + "s4", E + "v", "iri", E + "w", None, None),
+            ("d", E + "w", E + "other", "literal", "1", None, None),
+        ],
+        cols,
+    )
+    sm = ", ".join(f"<{E}s{i}>@<{E}S>" for i in range(1, 5))
+    got = {
+        r["node"][len(E):]: r["status"]
+        for r in validate(tri, schema, shapemap=sm).collect()
+    }
+    assert got == {
+        "s1": "conformant",
+        "s2": "nonconformant",
+        "s3": "conformant",
+        "s4": "nonconformant",
+    }
+
+
 def test_nested_or_refs_validation(spark):
     """End-to-end validation through the normalized nested OR: ex:v must
     be "x" or a node conforming to T, where T = @ex:A OR IRI."""
