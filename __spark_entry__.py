@@ -535,6 +535,16 @@ def _q_sim_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.4).select("vec_a", "vec_b")
 
 
+def _q_sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style keep/drop per vector: hyperplane-bucketed candidate
+    pairs, cosine >= 0.4 (the de-trivialized threshold, see
+    sim_embedding_near_dups), keep-the-min rule."""
+    from rdfshape_api_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(emb, threshold=0.4, n_planes=4)
+
+
 def _q_sim_lsh_ann(spark, sf_dir):
     from rdfshape_api_spark.functions.similarity import lsh_ann_topk
 
@@ -1154,6 +1164,7 @@ _VERIFY_FIRST = [
     "rdf_sparql_construct_limit",
     "text_decontaminate",
     "text_span_dedup",
+    "sim_semantic_dedup",
     # (b) registered in r3, never driver-verified
     "text_repetition",
     "text_quality",
@@ -1262,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_topk,
         "sim_embedding_near_dups": _q_sim_near_dups,
         "sim_lsh_ann": _q_sim_lsh_ann,
+        "sim_semantic_dedup": _q_sim_semantic_dedup,
         "mm_payload_meta": _q_mm_meta,
         "mm_features": _q_mm_features,
         "mm_frame_samples": _q_mm_frames,
@@ -2250,6 +2262,39 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "sim_semantic_dedup": """
+            -- SemDeDup keep/drop: same md5-derived hyperplane buckets as
+            -- sim_lsh_ann (4 planes), cosine rounded 4 vs 0.4, drop when a
+            -- smaller-id near-dup shares the bucket
+            WITH sig AS (
+              SELECT vec_id, embedding,
+                array_to_string(list_transform(range(0, 4), p ->
+                  CASE WHEN list_dot_product(embedding::DOUBLE[],
+                    list_transform(range(0, len(embedding)), i ->
+                      (CAST('0x' || substring(md5('plane' || p || ':' || i), 1, 8)
+                            AS BIGINT)::DOUBLE / 4294967295.0) - 0.5)) > 0
+                  THEN '1' ELSE '0' END), '') AS bucket
+              FROM embeddings
+            ), pairs AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb
+              FROM sig a JOIN sig b
+                ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              WHERE round(
+                list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                4) >= 0.4
+            ), stats AS (
+              SELECT va, count(*)::BIGINT AS n_near_dups,
+                     max(CASE WHEN vb < va THEN 1 ELSE 0 END) AS smaller
+              FROM pairs GROUP BY va
+            )
+            SELECT e.vec_id,
+                   (CASE WHEN coalesce(s.smaller, 0) = 1 THEN 0 ELSE 1 END)::INTEGER
+                       AS keep,
+                   coalesce(s.n_near_dups, 0)::BIGINT AS n_near_dups
+            FROM embeddings e LEFT JOIN stats s ON s.va = e.vec_id
         """,
         "sim_cosine_topk": """
             WITH scored AS (

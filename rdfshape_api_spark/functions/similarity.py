@@ -84,16 +84,16 @@ def _plane_component(plane: int, dim) -> F.Column:
     return (h.cast("double") / F.lit(float(0xFFFFFFFF))) - 0.5
 
 
-def lsh_ann_topk(emb: DataFrame, k: int = 5, n_queries: int = 10, n_planes: int = 8) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucket join, then exact
-    scoring inside buckets only — the 100 TB path (bucket join instead of
-    cross product; recall tunable by n_planes / multi-probe)."""
-    dims = F.sequence(F.lit(0), F.size(F.col("embedding")) - 1)
+def rp_bucket(embedding, n_planes: int = 8) -> F.Column:
+    """Random-hyperplane sign-bit bucket string ('0110…') for an
+    embedding column — deterministic md5-derived planes, portable to the
+    DuckDB oracle."""
+    dims = F.sequence(F.lit(0), F.size(embedding) - 1)
     sig_bits = [
         F.when(
             F.aggregate(
                 F.zip_with(
-                    F.col("embedding"),
+                    embedding,
                     dims,
                     lambda x, i: x.cast("double") * _plane_component(p, i),
                 ),
@@ -105,8 +105,14 @@ def lsh_ann_topk(emb: DataFrame, k: int = 5, n_queries: int = 10, n_planes: int 
         ).otherwise(F.lit(0))
         for p in range(n_planes)
     ]
-    bucket = F.concat_ws("", *[b.cast("string") for b in sig_bits])
-    hashed = emb.withColumn("bucket", bucket)
+    return F.concat_ws("", *[b.cast("string") for b in sig_bits])
+
+
+def lsh_ann_topk(emb: DataFrame, k: int = 5, n_queries: int = 10, n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join, then exact
+    scoring inside buckets only — the 100 TB path (bucket join instead of
+    cross product; recall tunable by n_planes / multi-probe)."""
+    hashed = emb.withColumn("bucket", rp_bucket(F.col("embedding"), n_planes))
     q = hashed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
     )
@@ -186,4 +192,59 @@ def ivf_ann_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.4, n_planes: int = 4
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023, public paper):
+    keep one representative per group of semantically near-identical
+    vectors. Candidates are generated inside random-hyperplane buckets
+    (:func:`rp_bucket` — fewer planes than ANN search: dedup wants recall,
+    so buckets are coarse); within a bucket every pair is cosine-scored
+    and a vector is DROPPED when a same-bucket near-dup with a smaller
+    ``vec_id`` exists (the deterministic keep-the-min rule — SemDeDup
+    keeps one arbitrary member per group; min-id makes it reproducible).
+
+    Returns one row per input vector: ``(vec_id, keep, n_near_dups)``
+    with ``keep`` 0/1 and ``n_near_dups`` the same-bucket neighbor count
+    at ``cosine >= threshold``.
+
+    Scale design: the only quadratic term is Σ O(|bucket|²), bounded by
+    ``n_planes``; the keep rule is a single map-side-combinable agg over
+    the pair list (no iteration, unlike connected-components dedup — the
+    paper's semantics are per-cluster, not transitive). The final join
+    back to the vector set is on ``vec_id`` — broadcast-able when the
+    near-dup set is small, shuffle hash join otherwise.
+    """
+    hashed = emb.select("vec_id", "embedding").withColumn(
+        "bucket", rp_bucket(F.col("embedding"), n_planes)
+    )
+    a = hashed.select(
+        F.col("bucket").alias("ba"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = hashed.select(
+        F.col("bucket").alias("bb"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, on=[F.col("ba") == F.col("bb"), F.col("va") != F.col("vb")])
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 4) >= threshold)
+        .select("va", "vb")
+    )
+    stats = pairs.groupBy("va").agg(
+        F.count("*").cast("bigint").alias("n_near_dups"),
+        F.max((F.col("vb") < F.col("va")).cast("int")).alias("_smaller"),
+    )
+    return (
+        emb.select("vec_id")
+        .join(stats, on=F.col("vec_id") == F.col("va"), how="left")
+        .select(
+            "vec_id",
+            F.when(F.coalesce(F.col("_smaller"), F.lit(0)) == 1, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("keep"),
+            F.coalesce(F.col("n_near_dups"), F.lit(0)).cast("bigint").alias("n_near_dups"),
+        )
     )

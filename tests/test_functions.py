@@ -84,6 +84,18 @@ def test_decontaminate(docs, spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_semantic_dedup(emb):
+    from rdfshape_api_spark.functions.similarity import semantic_dedup
+
+    rows = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.9, n_planes=2).collect()}
+    assert len(rows) == 5  # one row per vector
+    # (0,1) and (3,4) are near-dup pairs: min id kept, other dropped
+    assert rows[0]["keep"] == 1 and rows[1]["keep"] == 0
+    assert rows[3]["keep"] == 1 and rows[4]["keep"] == 0
+    assert rows[2]["keep"] == 1 and rows[2]["n_near_dups"] == 0
+    assert rows[0]["n_near_dups"] == rows[1]["n_near_dups"] == 1
+
+
 def test_span_dedup(docs, spark):
     from rdfshape_api_spark.functions.dedup import span_dedup
 
