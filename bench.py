@@ -43,7 +43,9 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "dedup_lsh_pairs",
         "dedup_lsh_keep",
         "dedup_clusters",
+        "text_span_dedup",
         "sim_cosine_topk",
+        "sim_semantic_dedup",
         "mm_features",
         "events_hourly",
     ]
