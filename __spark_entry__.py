@@ -535,6 +535,17 @@ def _q_sim_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.4).select("vec_a", "vec_b")
 
 
+def _q_text_hash_sample(spark, sf_dir):
+    """Deterministic corpus-mixing sample: en halved, es upsampled 2.25x,
+    de kept whole, zh/fr dropped (explicit-manifest convention)."""
+    from rdfshape_api_spark.functions.sampling import hash_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return hash_sample(docs, {"en": 0.5, "es": 2.25, "de": 1.0}).select(
+        "doc_id", "lang", F.col("n_copy").cast("int").alias("n_copy")
+    )
+
+
 def _q_sim_semantic_dedup(spark, sf_dir):
     """SemDeDup-style keep/drop per vector: hyperplane-bucketed candidate
     pairs, cosine >= 0.4 (the de-trivialized threshold, see
@@ -1165,6 +1176,7 @@ _VERIFY_FIRST = [
     "text_decontaminate",
     "text_span_dedup",
     "sim_semantic_dedup",
+    "text_hash_sample",
     # (b) registered in r3, never driver-verified
     "text_repetition",
     "text_quality",
@@ -1274,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_near_dups": _q_sim_near_dups,
         "sim_lsh_ann": _q_sim_lsh_ann,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
+        "text_hash_sample": _q_text_hash_sample,
         "mm_payload_meta": _q_mm_meta,
         "mm_features": _q_mm_features,
         "mm_frame_samples": _q_mm_frames,
@@ -2262,6 +2275,27 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "text_hash_sample": """
+            -- deterministic corpus-mixing sample: bucket = first 8 md5 hex
+            -- chars of 'mix:<doc_id>' mod 1e6; full copies from the weight's
+            -- integer part, one more when bucket < frac(weight)*1e6
+            WITH w AS (
+              SELECT doc_id, lang,
+                     CAST('0x' || substring(md5('mix:' || doc_id), 1, 8)
+                          AS BIGINT) % 1000000 AS bucket,
+                     CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 2.25
+                               WHEN 'de' THEN 1.0 END AS wt
+              FROM documents
+            ), n AS (
+              SELECT doc_id, lang,
+                     CAST(floor(wt) AS INTEGER)
+                     + CASE WHEN bucket < CAST((wt - floor(wt)) * 1000000 AS BIGINT)
+                            THEN 1 ELSE 0 END AS n_copies
+              FROM w WHERE wt IS NOT NULL
+            )
+            SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INTEGER) AS n_copy
+            FROM n WHERE n_copies > 0
         """,
         "sim_semantic_dedup": """
             -- SemDeDup keep/drop: same md5-derived hyperplane buckets as

@@ -84,6 +84,33 @@ def test_decontaminate(docs, spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_hash_sample(docs):
+    import hashlib
+
+    from rdfshape_api_spark.functions.sampling import hash_sample
+
+    def bucket(i):
+        return int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    # en: fractional keep; es: 2 full copies + fractional third; others dropped
+    out = hash_sample(docs, {"en": 0.5, "es": 2.25}).collect()
+    copies = {}
+    for r in out:
+        copies.setdefault(r["doc_id"], []).append(r["n_copy"])
+    for i in (0, 1, 2, 3, 5):  # en docs
+        expect = 1 if bucket(i) < 500_000 else 0
+        assert len(copies.get(i, [])) == expect, i
+    es_expect = 2 + (1 if bucket(4) < 250_000 else 0)
+    assert sorted(copies[4]) == list(range(es_expect))
+    # deterministic: same call, same sample
+    again = {(r["doc_id"], r["n_copy"]) for r in hash_sample(docs, {"en": 0.5, "es": 2.25}).collect()}
+    assert again == {(r["doc_id"], r["n_copy"]) for r in out}
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_sample(docs, {})
+
+
 def test_semantic_dedup(emb):
     from rdfshape_api_spark.functions.similarity import semantic_dedup
 
