@@ -535,6 +535,14 @@ def _q_sim_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.4).select("vec_a", "vec_b")
 
 
+def _q_text_lm_score(spark, sf_dir):
+    """CCNet-style unigram-LM quality buckets (textops.lm_score)."""
+    from rdfshape_api_spark.functions.textops import lm_score
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return lm_score(docs)
+
+
 def _q_text_hash_sample(spark, sf_dir):
     """Deterministic corpus-mixing sample: en halved, es upsampled 2.25x,
     de kept whole, zh/fr dropped (explicit-manifest convention)."""
@@ -1177,6 +1185,7 @@ _VERIFY_FIRST = [
     "text_span_dedup",
     "sim_semantic_dedup",
     "text_hash_sample",
+    "text_lm_score",
     # (b) registered in r3, never driver-verified
     "text_repetition",
     "text_quality",
@@ -1287,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_ann": _q_sim_lsh_ann,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
         "text_hash_sample": _q_text_hash_sample,
+        "text_lm_score": _q_text_lm_score,
         "mm_payload_meta": _q_mm_meta,
         "mm_features": _q_mm_features,
         "mm_frame_samples": _q_mm_frames,
@@ -2275,6 +2285,25 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "text_lm_score": """
+            -- corpus-empirical unigram LM: avg ln(count(w)/total) per doc,
+            -- floor-scaled to an integer bucket (portable double->int)
+            WITH tf AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, w FROM tf WHERE w <> ''
+            ), counts AS (
+              SELECT w, count(*)::DOUBLE AS c FROM toks GROUP BY w
+            ), tot AS (
+              SELECT sum(c) AS tot FROM counts
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   CAST(floor(avg(ln(c / tot)) * 100) AS BIGINT) AS lm_bucket
+            FROM toks JOIN counts USING (w), tot
+            GROUP BY doc_id
         """,
         "text_hash_sample": """
             -- deterministic corpus-mixing sample: bucket = first 8 md5 hex

@@ -126,6 +126,46 @@ def text_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al. 2020 use a
+    KenLM perplexity bucket; the self-contained analogue is the corpus's
+    own empirical unigram distribution): per document, the average unigram
+    log-probability ``avg ln(count(w) / total_words)``.  Low (very
+    negative) buckets = rare-token soup (mojibake, code dumps); high
+    buckets = stopword-heavy boilerplate — both ends are the filter's
+    targets, exactly like CCNet's head/middle/tail split.
+
+    Returns ``(doc_id, n_words, lm_bucket)`` for documents with ≥1 word,
+    where ``lm_bucket = floor(100 · avg ln p)`` — floor-scaled integers
+    are the portable double→int on both engines (see text_quality).
+
+    Scale design: the vocab count is a map-side-combinable word groupBy;
+    the token⋈vocab join shuffles on the word — the hot stopword keys are
+    the AQE-skew-join case (in production the top-K vocab is broadcast
+    with an OOV floor probability instead, making the scoring pass
+    map-only; the exact join keeps the oracle contract here).  The grand
+    total is a 1-row aggregate broadcast by ``crossJoin`` — no driver
+    collect.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    return (
+        toks.join(counts, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.floor(F.avg(F.log(F.col("c") / F.col("tot"))) * 100)
+            .cast("bigint")
+            .alias("lm_bucket"),
+        )
+    )
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
     map-only and JVM-side: duplicate-line and duplicate-word counts plus

@@ -84,6 +84,36 @@ def test_decontaminate(docs, spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_lm_score(docs):
+    import math
+    from collections import Counter
+
+    from rdfshape_api_spark.functions.textops import lm_score
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over a lazy dog",
+        3: "completely different content about spark engines",
+        4: "el perro la casa de madrid",
+    }
+    counts = Counter(w for t in texts.values() for w in t.split())
+    tot = sum(counts.values())
+    expect = {
+        d: (
+            len(t.split()),
+            math.floor(
+                sum(math.log(counts[w] / tot) for w in t.split()) / len(t.split()) * 100
+            ),
+        )
+        for d, t in texts.items()
+    }
+    got = {r["doc_id"]: (r["n_words"], r["lm_bucket"]) for r in lm_score(docs).collect()}
+    assert got == expect  # doc 5 (empty) absent
+    assert got[0] == got[1]  # identical docs, identical signal
+    assert got[3][1] < got[0][1]  # rare-token doc scores lower
+
+
 def test_hash_sample(docs):
     import hashlib
 
