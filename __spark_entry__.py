@@ -535,6 +535,14 @@ def _q_sim_near_dups(spark, sf_dir):
     return embedding_near_dups(emb, threshold=0.4).select("vec_a", "vec_b")
 
 
+def _q_text_pack(spark, sf_dir):
+    """Token-budget sequence packing, 16 shards, 64-token bins."""
+    from rdfshape_api_spark.functions.sampling import pack_sequences
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pack_sequences(docs, max_tokens=64, n_shards=16)
+
+
 def _q_text_lm_score(spark, sf_dir):
     """CCNet-style unigram-LM quality buckets (textops.lm_score)."""
     from rdfshape_api_spark.functions.textops import lm_score
@@ -1186,6 +1194,7 @@ _VERIFY_FIRST = [
     "sim_semantic_dedup",
     "text_hash_sample",
     "text_lm_score",
+    "text_pack_sequences",
     # (b) registered in r3, never driver-verified
     "text_repetition",
     "text_quality",
@@ -1297,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semantic_dedup": _q_sim_semantic_dedup,
         "text_hash_sample": _q_text_hash_sample,
         "text_lm_score": _q_text_lm_score,
+        "text_pack_sequences": _q_text_pack,
         "mm_payload_meta": _q_mm_meta,
         "mm_features": _q_mm_features,
         "mm_frame_samples": _q_mm_frames,
@@ -2285,6 +2295,22 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY score DESC, neighbor_id ASC)::BIGINT AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        "text_pack_sequences": """
+            -- contiguous token-budget packing: shard = doc_id % 16,
+            -- bin = floor(shard-local running token count before this doc / 64)
+            WITH d AS (
+              SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,
+                     len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, shard,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        / 64) AS BIGINT) AS bin_id,
+                   n_tokens
+            FROM d
         """,
         "text_lm_score": """
             -- corpus-empirical unigram LM: avg ln(count(w)/total) per doc,

@@ -72,3 +72,49 @@ def hash_sample(
         .withColumn("n_copy", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
         .drop("_n")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents to fixed-budget
+    training sequences (bins).  Globally-greedy packing is inherently
+    sequential, so this is the distributed-standard contiguous variant:
+    documents are sharded deterministically (``id % n_shards``), ordered
+    by id inside the shard, and binned by the running token count —
+    ``bin_id = floor(tokens_before / max_tokens)``.  A bin can overflow
+    by at most the document that straddles its boundary; the downstream
+    tokenizer truncates or pads, exactly as block-packing pretraining
+    loaders do.
+
+    Returns ``(doc_id, shard, bin_id, n_tokens)``.
+
+    Scale design: ONE window per shard — ``partitionBy(shard)`` keeps the
+    sort local to a shard (no global order, no single-partition window);
+    the cumulative sum is a single pass and shard count × budget bounds
+    per-task state.  Bin ids are shard-local by construction, so bins can
+    be written as ``partitionBy(shard)`` output files with no further
+    shuffle.
+    """
+    from pyspark.sql import Window
+
+    from rdfshape_api_spark.functions.textops import ws_token_count
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        ws_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.withColumn(
+        "bin_id", F.floor(cum_before / max_tokens).cast("bigint")
+    )

@@ -84,6 +84,18 @@ def test_decontaminate(docs, spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_pack_sequences(docs):
+    from rdfshape_api_spark.functions.sampling import pack_sequences
+
+    out = {r["doc_id"]: r for r in pack_sequences(docs, max_tokens=10, n_shards=2).collect()}
+    # shard 0 = even ids (9, 9, 6 tokens): cum_before 0/9/18 -> bins 0/0/1
+    assert [out[i]["shard"] for i in (0, 2, 4)] == [0, 0, 0]
+    assert [out[i]["bin_id"] for i in (0, 2, 4)] == [0, 0, 1]
+    # shard 1 = odd ids (9, 6, 1): cum_before 0/9/15 -> bins 0/0/1
+    assert [out[i]["bin_id"] for i in (1, 3, 5)] == [0, 0, 1]
+    assert out[5]["n_tokens"] == 1  # empty text counts 1 (ws_token_count)
+
+
 def test_lm_score(docs):
     import math
     from collections import Counter
