@@ -126,3 +126,41 @@ def test_text_features_is_map_only(spark):
     )
     plan = _plan(text_features(docs))
     assert "Exchange" not in plan
+
+
+def test_hash_sample_is_map_only(spark):
+    """Corpus mixing must be a pure map: filter + explode, no Exchange —
+    the sampler runs as part of the scan at 100 TB."""
+    from rdfshape_api_spark.functions.sampling import hash_sample
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "es")], "doc_id bigint, text string, lang string"
+    )
+    plan = _plan(hash_sample(docs, {"en": 0.5, "es": 2.25}))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing shuffles once (on the shard key for the window); the
+    window sort is shard-local — no global sort, no second Exchange."""
+    from rdfshape_api_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i + 1)) for i in range(8)], "doc_id bigint, text string"
+    )
+    plan = _plan(pack_sequences(docs, max_tokens=4, n_shards=2))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The eval set must be the broadcast side: no shuffle of the
+    training-corpus n-grams before the semi-join."""
+    from rdfshape_api_spark.functions.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], "doc_id bigint, text string"
+    )
+    bench = docs.filter("doc_id = 1")
+    plan = _plan(decontaminate(docs, bench, n=2))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
