@@ -98,8 +98,20 @@ _VALUE_FIELDS = (
 )
 
 
-def _read_value_constraints(g: "_Graph", node: str, tc: TripleConstraint) -> None:
-    """Lift the SHACL value-level components of ``node`` onto ``tc``."""
+def _read_value_constraints(
+    g: "_Graph", node: str, tc: TripleConstraint, nested: bool = False
+) -> None:
+    """Lift the SHACL value-level components of ``node`` onto ``tc``.
+
+    ``nested=True`` when ``node`` is a logical-member / qualified-value
+    shape rather than the property shape itself: the logical combinators
+    (sh:or / sh:xone / sh:and / sh:not) are then read HERE, recursively —
+    the property-shape-level combinators stay in ``parse_shacl``'s main
+    loop, which also handles sibling distribution and cardinality.
+    Before round 4 a combinator on a member node was silently unread,
+    leaving the member empty — i.e. trivially TRUE; silent acceptance is
+    the one failure mode this frontend must never have, so everything a
+    member node can carry is now either read or cleanly rejected."""
     if (v := g.obj1(node, SH + "datatype")) is not None:
         tc.datatype = v[1]
     if (v := g.obj1(node, SH + "nodeKind")) is not None:
@@ -133,6 +145,82 @@ def _read_value_constraints(g: "_Graph", node: str, tc: TripleConstraint) -> Non
         tc.class_iri = v[1]
     if (v := g.obj1(node, SH + "languageIn")) is not None:
         tc.language_in = [val for _, val, _, _ in g.rdf_list(v[1])]
+    if not nested:
+        return
+    # --- nested logical combinators (member / qualified-shape nodes) ---
+    for comp, is_xone in (("or", False), ("xone", True)):
+        if (v := g.obj1(node, SH + comp)) is None:
+            continue
+        if tc.disjuncts:
+            raise ValueError(
+                "SHACL: two logical list components on one member node "
+                "are unsupported in this subset"
+            )
+        members = []
+        for _, mnode, _, _ in g.rdf_list(v[1]):
+            m = TripleConstraint(pred=tc.pred)
+            _read_value_constraints(g, mnode, m, nested=True)
+            members.append(m)
+        # the member node's own direct fields are conjuncts with its OR:
+        # distribute them into the nested members (clearing them here),
+        # which also turns this node into a pure carrier — spliceable by
+        # the parent's _splice_or_members pass
+        _distribute_siblings(tc, members, f"nested sh:{comp}")
+        tc.disjuncts = _splice_or_members(members) if not is_xone else members
+        tc.xone = is_xone
+    if (v := g.obj1(node, SH + "and")) is not None:
+        for _, mnode, _, _ in g.rdf_list(v[1]):
+            m = TripleConstraint(pred=tc.pred)
+            _read_value_constraints(g, mnode, m, nested=True)
+            if m.disjuncts:
+                if tc.disjuncts:
+                    raise ValueError(
+                        "SHACL: two disjunctions conjoined under one "
+                        "member node are unsupported in this subset"
+                    )
+                tc.disjuncts, tc.xone = m.disjuncts, m.xone
+                continue
+            for f in _VALUE_FIELDS:
+                mv = getattr(m, f)
+                if mv is None:
+                    continue
+                if getattr(tc, f) is not None and getattr(tc, f) != mv:
+                    raise ValueError(f"SHACL: conflicting {f} in sh:and members")
+                setattr(tc, f, mv)
+    if (v := g.obj1(node, SH + "not")) is not None:
+        if _has_value_fields(tc) or tc.disjuncts:
+            raise ValueError(
+                "SHACL: sh:not combined with sibling value components on "
+                "one member node is unsupported in this subset"
+            )
+        _read_value_constraints(g, v[1], tc, nested=True)
+        tc.negated = not tc.negated
+    # anything else a member node could carry that this frontend does not
+    # evaluate at value level must reject, not silently pass
+    for unread in ("property", "qualifiedValueShape", "hasValue", "closed"):
+        if g.obj1(node, SH + unread) is not None:
+            raise ValueError(
+                f"SHACL: sh:{unread} on a logical-member node is "
+                "unsupported in this subset"
+            )
+
+
+def _splice_or_members(members: list[TripleConstraint]) -> list[TripleConstraint]:
+    """OR associativity: a member that is a PURE disjunction carrier (a
+    nested sh:or whose own fields were distributed away) splices its
+    disjuncts into the parent list, so sh:node/sh:class refs never sit
+    two disjunct levels deep (the evaluator threads per-disjunct ref
+    columns one level down only, plans/validate._ref_reqs).  ``sh:xone``
+    and negated carriers keep their nesting — exactly-one and NOT are not
+    associative with the outer OR (pure-value nested xone/NOT is handled
+    by the evaluator's recursive ``_value_ok``)."""
+    out: list[TripleConstraint] = []
+    for m in members:
+        if m.disjuncts and not m.xone and not m.negated and not _has_value_fields(m):
+            out.extend(m.disjuncts)
+        else:
+            out.append(m)
+    return out
 
 
 def _pure_value_predicate(tc: TripleConstraint) -> bool:
@@ -338,7 +426,7 @@ def parse_shacl(text: str) -> CompiledSchema:
                     path=past,
                     qualified=True,
                 )
-                _read_value_constraints(g, qvs[1], qtc)
+                _read_value_constraints(g, qvs[1], qtc, nested=True)
                 if (v := g.obj1(pshape, SH + "qualifiedMinCount")) is not None:
                     qtc.min_count = int(v[1])
                 if (v := g.obj1(pshape, SH + "qualifiedMaxCount")) is not None:
@@ -360,8 +448,11 @@ def parse_shacl(text: str) -> CompiledSchema:
                 members = []
                 for _, mnode, _, _ in g.rdf_list(v[1]):
                     m = TripleConstraint(pred=tc.pred)
-                    _read_value_constraints(g, mnode, m)
+                    _read_value_constraints(g, mnode, m, nested=True)
                     members.append(m)
+                # splice pure nested-OR carriers FIRST (associativity),
+                # then distribute pshape-level siblings into the flat list
+                members = _splice_or_members(members)
                 _distribute_siblings(tc, members, "sh:or")
                 tc.disjuncts = members
 
@@ -379,7 +470,7 @@ def parse_shacl(text: str) -> CompiledSchema:
                 members = []
                 for _, mnode, _, _ in g.rdf_list(v[1]):
                     m = TripleConstraint(pred=tc.pred)
-                    _read_value_constraints(g, mnode, m)
+                    _read_value_constraints(g, mnode, m, nested=True)
                     members.append(m)
                 _distribute_siblings(tc, members, "sh:xone")
                 tc.disjuncts = members
@@ -406,7 +497,15 @@ def parse_shacl(text: str) -> CompiledSchema:
             if (v := g.obj1(pshape, SH + "and")) is not None:
                 for _, mnode, _, _ in g.rdf_list(v[1]):
                     m = TripleConstraint(pred=tc.pred)
-                    _read_value_constraints(g, mnode, m)
+                    _read_value_constraints(g, mnode, m, nested=True)
+                    if m.disjuncts:
+                        if tc.disjuncts:
+                            raise ValueError(
+                                "SHACL: two disjunctions conjoined under "
+                                "sh:and are unsupported in this subset"
+                            )
+                        tc.disjuncts, tc.xone = m.disjuncts, m.xone
+                        continue
                     for f in _VALUE_FIELDS:
                         mv = getattr(m, f)
                         if mv is None:
@@ -425,8 +524,8 @@ def parse_shacl(text: str) -> CompiledSchema:
                         "SHACL: sh:not combined with sibling value constraints "
                         "is not supported in this subset"
                     )
-                _read_value_constraints(g, v[1], tc)
-                tc.negated = True
+                _read_value_constraints(g, v[1], tc, nested=True)
+                tc.negated = not tc.negated
             # a pshape carrying ONLY qualified/hasValue constraints leaves
             # the plain tc trivial ({0,*}, no value components) — skip the
             # useless aggregate

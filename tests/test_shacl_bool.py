@@ -237,3 +237,108 @@ def test_sh_message_in_reasons(spark):
     rows = validate(tri, schema).collect()
     assert rows[0]["status"] == "nonconformant"
     assert "v must be an integer" in list(rows[0]["reasons"])
+
+
+def test_nested_sh_or_splices_flat():
+    """r4: a nested sh:or member splices into the parent disjunction (OR
+    associativity) — before round 4 the nested combinator was silently
+    unread, leaving a trivially-true member."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ;
+    sh:or ( [ sh:or ( [ sh:datatype xsd:integer ] [ sh:datatype xsd:decimal ] ) ]
+            [ sh:nodeKind sh:IRI ] ) ] ."""
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert len(tc.disjuncts) == 3
+    assert all(d.disjuncts is None for d in tc.disjuncts)
+
+
+def test_nested_sh_or_with_node_ref_validates(spark):
+    """sh:node nested two sh:or levels deep — the former clean reject:
+    splicing puts the ref at disjunct level 1, where per-disjunct ref
+    columns already work."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ;
+    sh:or ( [ sh:or ( [ sh:node ex:N ] [ sh:datatype xsd:integer ] ) ]
+            [ sh:nodeKind sh:BlankNode ] ) ] .
+ex:N a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            # a: IRI value conforming to ex:N (has a name)
+            (E + "a", E + "v", "iri", E + "n1", None, None),
+            (E + "n1", E + "name", "literal", "x", None, None),
+            # b: integer literal — second nested disjunct
+            (E + "b", E + "v", "literal", "5", None, XSD + "integer"),
+            # c: IRI value NOT conforming to ex:N, not integer, not bnode
+            (E + "c", E + "v", "iri", E + "bare", None, None),
+            (E + "bare", E + "other", "literal", "1", None, None),
+        ],
+    )
+    out = {
+        r["node"][len(E):]: r["status"]
+        for r in validate(tri, schema).collect()
+        if r["shape_id"] == E + "S"
+    }
+    assert out["a"] == "conformant"
+    assert out["b"] == "conformant"
+    assert out["c"] == "nonconformant"
+
+
+def test_nested_sh_not_in_member(spark):
+    """sh:not inside an sh:or member: NOT(integer) OR IRI."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ;
+    sh:or ( [ sh:not [ sh:datatype xsd:integer ] ] [ sh:nodeKind sh:IRI ] ) ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "x", None, XSD + "string"),  # not-int ok
+            (E + "b", E + "v", "literal", "5", None, XSD + "integer"),  # int, literal
+            (E + "c", E + "v", "iri", E + "w", None, None),  # IRI disjunct
+        ],
+    )
+    out = {
+        r["node"][len(E):]: r["status"] for r in validate(tri, schema).collect()
+    }
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "conformant"}
+
+
+def test_member_field_distributes_into_nested_or():
+    """Direct fields on a member node are conjuncts with its nested OR and
+    distribute into the nested members."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ;
+    sh:or ( [ sh:nodeKind sh:Literal ;
+              sh:or ( [ sh:datatype xsd:integer ] [ sh:datatype xsd:decimal ] ) ]
+            [ sh:nodeKind sh:IRI ] ) ] ."""
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert [(d.node_kind, d.datatype and d.datatype.split("#")[1]) for d in tc.disjuncts] == [
+        ("literal", "integer"),
+        ("literal", "decimal"),
+        ("iri", None),
+    ]
+
+
+def test_unread_member_component_rejects():
+    """A member node carrying a component the frontend cannot evaluate at
+    value level must reject, never silently pass."""
+    for comp in ("sh:hasValue ex:x", "sh:qualifiedValueShape [ sh:node ex:N ]"):
+        with pytest.raises(ValueError, match="logical-member"):
+            parse_shacl(
+                PRELUDE
+                + f"""ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:or ( [ {comp} ] [ sh:nodeKind sh:IRI ] ) ] ."""
+            )
