@@ -187,6 +187,11 @@ def _read_value_constraints(
                 if getattr(tc, f) is not None and getattr(tc, f) != mv:
                     raise ValueError(f"SHACL: conflicting {f} in sh:and members")
                 setattr(tc, f, mv)
+        # a TC carrying BOTH direct fields and a disjunction would drop
+        # the fields (_value_ok's disjunct branch returns the member-OR
+        # alone): distribute — (a OR b) AND dt ≡ (a AND dt) OR (b AND dt)
+        if tc.disjuncts and _has_value_fields(tc):
+            _distribute_siblings(tc, tc.disjuncts, "sh:and over a disjunction")
     if (v := g.obj1(node, SH + "not")) is not None:
         if _has_value_fields(tc) or tc.disjuncts:
             raise ValueError(
@@ -515,6 +520,12 @@ def parse_shacl(text: str) -> CompiledSchema:
                                 f"SHACL: conflicting {f} in sh:and members"
                             )
                         setattr(tc, f, mv)
+                # fields folded by sh:and alongside a disjunction (from a
+                # sibling sh:or or an sh:and member carrying one) would be
+                # silently dropped by _value_ok's disjunct branch —
+                # distribute instead: (a OR b) AND dt ≡ (a∧dt) OR (b∧dt)
+                if tc.disjuncts and _has_value_fields(tc):
+                    _distribute_siblings(tc, tc.disjuncts, "sh:and over a disjunction")
 
             # sh:not [ … ]: negated value constraint (only form supported:
             # no sibling value constraints on the property shape itself)

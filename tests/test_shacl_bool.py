@@ -342,3 +342,34 @@ def test_unread_member_component_rejects():
                 + f"""ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
   sh:property [ sh:path ex:v ; sh:or ( [ {comp} ] [ sh:nodeKind sh:IRI ] ) ] ."""
             )
+
+
+def test_sh_and_over_disjunction_distributes():
+    """Fields conjoined with a disjunction via sh:and distribute into the
+    disjuncts — (a OR b) AND nk ≡ (a AND nk) OR (b AND nk); a TC carrying
+    both would silently drop the fields in _value_ok's disjunct branch."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ;
+    sh:or ( [ sh:datatype xsd:integer ] [ sh:datatype xsd:decimal ] ) ;
+    sh:and ( [ sh:nodeKind sh:Literal ] ) ] ."""
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert all(d.node_kind == "literal" for d in tc.disjuncts)
+    # nested variant: sh:and( or-carrier, field ) inside an sh:or member
+    schema2 = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ;
+    sh:or ( [ sh:and ( [ sh:or ( [ sh:datatype xsd:integer ]
+                                 [ sh:datatype xsd:decimal ] ) ]
+                       [ sh:nodeKind sh:Literal ] ) ]
+            [ sh:nodeKind sh:IRI ] ) ] ."""
+    )
+    tc2 = schema2.shapes[E + "S"].constraints[0]
+    assert [(bool(d.datatype), d.node_kind) for d in tc2.disjuncts] == [
+        (True, "literal"),
+        (True, "literal"),
+        (False, "iri"),
+    ]
