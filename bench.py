@@ -6,8 +6,10 @@ Default run: headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 
 ``python bench.py --scaling`` additionally runs the end-to-end pipeline at
 two parallelism levels (local[4] vs local[16] — the sandbox stand-in for N
-vs 4N executors per the driver instruction) and writes BENCH/BASELINE.md
-with throughput + scaling efficiency.
+vs 4N executors per the driver instruction) and writes the run report to
+BENCH/scaling_latest.md (+ one JSON line appended to
+BENCH/scaling_runs.jsonl); BENCH/BASELINE.md is the hand-curated
+multi-run document that merges these.
 """
 
 from __future__ import annotations
@@ -555,8 +557,15 @@ def _scaling(sf_dir: str) -> None:
         json.dumps(report, indent=2),
         "```",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # Write the raw report to a SIDECAR, not BENCH/BASELINE.md: that file is
+    # the curated multi-run document (headline + variance table) and a raw
+    # overwrite loses the history. Each run also appends one JSON line to
+    # scaling_runs.jsonl so every attempt stays on the record; merge the
+    # sidecar into BASELINE.md by hand (new variance row / new headline).
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write("\n".join(md) + "\n")
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(report) + "\n")
     print(json.dumps(report))
 
 
