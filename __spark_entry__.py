@@ -368,6 +368,47 @@ def _q_sparql_construct_limit(spark, sf_dir):
     return sparql_construct(tri, q)
 
 
+# Parenthesized ShEx negation over a group containing a shape reference
+# (`NOT (@<A> OR [ … ])` — round-4 lift of the conformance-set-complement
+# reject): every known node must be NEITHER an email-contact person NOR
+# the ex:nobody sentinel.  The evaluator negates the OR of the disjunct
+# value predicate and the per-disjunct ref-conformance column.
+SHEX_PAREN_NOT = f"""\
+PREFIX ex: <{EX}>
+
+ex:NoEmailCircle {{
+  ex:knows NOT (@ex:EmailPerson OR [ ex:nobody ]) *
+}}
+ex:EmailPerson {{ ex:email . }}
+"""
+
+
+def _q_social_paren_not(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(
+        tri,
+        parse_shexc(SHEX_PAREN_NOT),
+        shapemap="{FOCUS a ex:Person}@ex:NoEmailCircle",
+    ).select("doc_sha256", "node", "status")
+
+
+def _q_sparql_graph_optional(spark, sf_dir):
+    """GRAPH inside OPTIONAL (round-4 lift): subjects with a BROKEN status
+    anywhere in the merged model, optionally extended with the named graph
+    (document) in which they carry an ex:label."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    tri = _rdf_triples(spark, sf_dir)
+    q = (
+        f"PREFIX ex: <{EX}>\n"
+        "SELECT DISTINCT ?s ?g WHERE { ?s ex:status \"BROKEN\" . "
+        "OPTIONAL { GRAPH ?g { ?s ex:label ?w . } } }"
+    )
+    return sparql_select(tri, q)
+
+
 def _q_entity_link(spark, sf_dir):
     """Entity linking (north-star): identity-edge components → canonical
     representative rewrite.  The social fixture carries no owl:sameAs, so
@@ -1185,6 +1226,8 @@ def _q_events_sessions(spark, sf_dir):
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
+    "social_shex_paren_not",
+    "rdf_sparql_graph_optional",
     "social_shacl_qualified_inverse",
     "social_shex_nested_or",
     "rdf_sparql_graph",
@@ -1282,7 +1325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
         "social_shex_or_refs": _q_social_or_refs,        # §2.7 @<A> OR @<B> disjunct refs
         "social_shex_nested_or": _q_social_nested_or,    # §2.7 refs two OR-levels deep (r4)
+        "social_shex_paren_not": _q_social_paren_not,    # §2.7 NOT over (@ref OR …) paren group (r4)
         "rdf_sparql_graph": _q_sparql_graph,             # Q1 GRAPH doc-scoped BGPs (r4)
+        "rdf_sparql_graph_optional": _q_sparql_graph_optional,  # Q1 GRAPH inside OPTIONAL (r4)
         "rdf_sparql_construct_limit": _q_sparql_construct_limit,  # Q1 CONSTRUCT + modifiers (r4)
         "rdf_entity_link": _q_entity_link,               # north-star entity linking
         "catalog_validate_item": _q_catalog_validate,    # §2.7 repeated-prop EachOf
@@ -1864,6 +1909,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred = '{ex}status' AND obj_kind = 'literal'
               AND obj_value = 'BROKEN'
         """,
+        "rdf_sparql_graph_optional": f"""
+            -- GRAPH inside OPTIONAL: BROKEN subjects from the merged
+            -- model, left-extended with the document graph carrying their
+            -- ex:label (DISTINCT projection on both sides)
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value
+              FROM {_T}
+            ), mm AS (
+              SELECT DISTINCT subj, pred, obj_kind, obj_value FROM m
+            ), broken AS (
+              SELECT DISTINCT subj AS s FROM mm
+              WHERE pred = '{ex}status' AND obj_kind = 'literal'
+                AND obj_value = 'BROKEN'
+            ), lab AS (
+              SELECT DISTINCT doc_sha256, subj FROM m
+              WHERE pred = '{ex}label'
+            )
+            SELECT DISTINCT b.s AS s, 'urn:doc:' || l.doc_sha256 AS g
+            FROM broken b LEFT JOIN lab l ON l.subj = b.s
+        """,
         "social_shex_nested_or": f"""
             -- refs two OR-levels deep: knows-value conforms iff it is
             -- ex:nobody (never in the data), has EXACTLY ONE email
@@ -1906,6 +1971,33 @@ def oracle_sql() -> dict[str, str]:
             FROM focus f
             LEFT JOIN bad b ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
             LEFT JOIN names nm ON nm.doc_sha256 = f.doc_sha256 AND nm.node = f.node
+        """,
+        "social_shex_paren_not": f"""
+            -- NOT (@ex:EmailPerson OR [ ex:nobody ]): a known node FAILS
+            -- iff it has exactly one email (EmailPerson's {{1,1}} EachOf)
+            -- or is the ex:nobody IRI; focus conforms iff no knows value
+            -- fails (cardinality * imposes no counts)
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_value FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{EX}Person'
+            ), e1 AS (
+              SELECT doc_sha256, subj FROM m WHERE pred = '{EX}email'
+              GROUP BY 1, 2 HAVING count(*) = 1
+            ), bad AS (
+              SELECT DISTINCT k.doc_sha256, k.subj AS node
+              FROM m k
+              LEFT JOIN e1 ON e1.doc_sha256 = k.doc_sha256 AND e1.subj = k.obj_value
+              WHERE k.pred = '{EX}knows'
+                AND (e1.subj IS NOT NULL OR k.obj_value = '{EX}nobody')
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN b.node IS NULL
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f
+            LEFT JOIN bad b ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
         """,
         "social_shex_or_refs": f"""
             -- @ex:EmailPerson OR @ex:PhonePerson over every ex:knows value:

@@ -29,14 +29,26 @@ plans/validate.py):
   references in disjunct position splice flat (OR associativity) — so
   refs any number of OR-levels deep normalize to one level.
 
+* parenthesized value expressions (ShExC ``shapeAtom ::= '('
+  shapeExpression ')'``): pure groups lower to disjunct lists,
+  ``NOT ( … OR … )`` to a negated disjunction (refs inside are
+  first-class — the evaluator negates the OR of per-disjunct
+  conformance columns), and a group conjoined with other primitives
+  distributes to DNF (``X AND (A OR B)`` → ``(X∧A) OR (X∧B)``) with
+  facet tightening and unsatisfiable-conjunct elimination.
+
 Semantic actions (``%ext{…%}``) and annotations (``// pred value``) are
 parsed and dropped — the spec's no-op treatment for validators without
 the extension.  Out of subset (rejected with a clear error, SURVEY §7.3):
 negated references inside a reference cycle (non-stratifiable; applies
-at disjunct level too), NOT over an OR containing shape references
-(conformance-set complements), negated shape-level refs, IMPORT.
-NOT over an OR of pure value constraints is supported (the disjunction
-stays nested on the disjunct and the evaluator compiles ``~(c1 | c2)``).
+at disjunct level too), shape/class refs nested under a SECOND
+disjunction level that cannot splice (a negated group in disjunct
+position — the evaluator's per-disjunct conformance columns are one
+level deep), negated groups conjoined with other primitives (would
+need per-primitive polarity), negated shape-level refs, IMPORT.
+NOT over an OR of value constraints and shape references is supported
+(the disjunction stays nested and the evaluator compiles the negated
+OR over value predicates and ref-conformance columns).
 Known grammar deviation: AND/OR at one nesting level associate left
 (``@A OR @B AND { … }`` reads as ``(A OR B) AND { … }``), whereas the
 ShEx grammar binds AND tighter.
@@ -77,6 +89,10 @@ _FACET_KWS = {
     "MAXLENGTH": "max_length",
 }
 _NODEKIND_KWS = {"IRI": "iri", "BNODE": "bnode", "LITERAL": "literal", "NONLITERAL": "nonliteral"}
+
+
+class _UnsatConjunct(Exception):
+    """A DNF conjunct that can match no RDF term (dropped by lowering)."""
 
 
 def _tokenize(text: str):
@@ -354,14 +370,36 @@ class _ShexParser:
             # per disjunct (validate._ref_reqs / disjunct_ref_cols).
             # Reference parity: shexs ShapeOr over ShapeRefs behind
             # SchemaValidate.scala:97-99
-            tc.disjuncts = disjuncts
+            # A pure parenthesized disjunction in disjunct position splices
+            # flat (OR associativity: `(A OR B) OR C` ≡ `A OR B OR C`), so
+            # nesting only survives where it is semantic (negated groups).
+            spliced: list[TripleConstraint] = []
+            for d in disjuncts:
+                if d.disjuncts and not d.negated and not _has_non_disjunct_fields(d):
+                    spliced.extend(d.disjuncts)
+                else:
+                    spliced.append(d)
+            tc.disjuncts = spliced
 
     def parse_value_expr(self, tc: TripleConstraint, shape_level: bool = False):
+        groups: list[TripleConstraint] = []
         while True:
             if self.peek()[0] == "kw" and self.peek()[1].upper() == "AND":
                 self.next()  # explicit AND — same conjunction
                 continue
             k, v = self.peek()
+            if k == "punct" and v == "(":
+                # parenthesized shape expression (ShExC shapeAtom ::=
+                # '(' shapeExpression ')'): parse the inner [NOT] atom
+                # (OR …)* into a fresh value carrier, lower below (pure OR
+                # groups → disjuncts; NOT-group → negated disjunction;
+                # conjunction with other primitives → DNF distribution)
+                self.next()
+                grp = TripleConstraint(pred=tc.pred)
+                self.parse_value_expr_or(grp)
+                self.expect(")")
+                groups.append(grp)
+                continue
             if k == "punct" and v == ".":
                 self.next()  # wildcard — no value constraint
                 continue
@@ -369,22 +407,7 @@ class _ShexParser:
                 self.next()
                 ref = v[1:]
                 target = ref[1:-1] if ref.startswith("<") else self.expand(ref)
-                if tc.ref_shape is not None:
-                    # `@<A> AND @<B>`: rewrite to one reference to a
-                    # synthetic conjunct shape (empty body + shape-level
-                    # conjunct_refs = [A, B]) — the evaluator's shape-level
-                    # conjunction machinery does the set intersection
-                    cur = self.shapes.get(tc.ref_shape)
-                    if cur is not None and cur.shape_id.startswith("urn:shex:and:"):
-                        cur.conjunct_refs.append(target)
-                    else:
-                        sid = f"urn:shex:and:{len(self.shapes)}"
-                        self.shapes[sid] = Shape(
-                            shape_id=sid, conjunct_refs=[tc.ref_shape, target]
-                        )
-                        tc.ref_shape = sid
-                    continue
-                tc.ref_shape = target
+                self._conjoin_ref_target(tc, target)
                 continue
             if k == "punct" and v == "[":
                 # value set: members, stems (`member~`), wildcard (`.`),
@@ -447,13 +470,160 @@ class _ShexParser:
                 tc.pattern = _unquote(s)
                 continue
             if k in ("iri", "pname"):
-                if shape_level and _has_any_value_field(tc):
+                if shape_level and (_has_any_value_field(tc) or groups):
                     # shape-level boundary: once a primitive is consumed, a
                     # bare iri/pname is the NEXT shape's label, not a datatype
-                    return
+                    break
                 tc.datatype = self.iri_or_pname()
                 continue
+            break
+        self._lower_value_groups(tc, groups)
+
+    def _conjoin_ref_target(self, tc: TripleConstraint, target: str) -> None:
+        """Conjoin a shape reference into a value carrier.  A second ref
+        (`@<A> AND @<B>`) rewrites to one reference to a synthetic conjunct
+        shape (empty body + shape-level conjunct_refs = [A, B]) — the
+        evaluator's shape-level conjunction machinery does the set
+        intersection."""
+        if tc.ref_shape is not None:
+            cur = self.shapes.get(tc.ref_shape)
+            if cur is not None and cur.shape_id.startswith("urn:shex:and:"):
+                cur.conjunct_refs.append(target)
+            else:
+                sid = f"urn:shex:and:{len(self.shapes)}"
+                self.shapes[sid] = Shape(
+                    shape_id=sid, conjunct_refs=[tc.ref_shape, target]
+                )
+                tc.ref_shape = sid
             return
+        tc.ref_shape = target
+
+    def _lower_value_groups(
+        self, tc: TripleConstraint, groups: list[TripleConstraint]
+    ) -> None:
+        """Fold parenthesized groups into the IR.  ``tc`` carries the
+        directly-written primitives of this conjunction (and, when the
+        caller consumed a prefix NOT, the negation bit); each group is an
+        already-parsed inner expression.  Lowering:
+
+        - lone group, nothing direct: copy wholesale (handles `( … )` and,
+          with the caller's NOT bit, `NOT ( … OR … )` → negated disjunction
+          — the evaluator compiles ~(d1 | d2 | …) with per-disjunct ref
+          conformance columns, so refs inside are first-class);
+        - positive groups conjoined with primitives/each other: DNF
+          distribution `X AND (A OR B)` → `(X AND A) OR (X AND B)` with
+          per-conjunct field merging (tighter numeric facets win; genuine
+          conflicts and negated members raise — clean subset boundary).
+        """
+        if not groups:
+            return
+        direct = _has_non_disjunct_fields(tc)
+        if len(groups) == 1 and not direct:
+            grp = groups[0]
+            neg = tc.negated != grp.negated
+            for f in _VALUE_FIELDS:
+                setattr(tc, f, getattr(grp, f))
+            tc.disjuncts = grp.disjuncts
+            tc.xone = grp.xone
+            tc.negated = neg
+            return
+        if tc.negated:
+            raise ValueError(
+                "ShExC: NOT over a conjunction mixing (...) groups with "
+                "other value constraints is unsupported — distribute the "
+                "negation or name the group as a shape"
+            )
+        result = [tc_value_copy(tc)]
+        for grp in groups:
+            if grp.negated and not grp.disjuncts:
+                raise ValueError(
+                    "ShExC: a negated (...) group conjoined with other "
+                    "value constraints is unsupported"
+                )
+            members = grp.disjuncts if grp.disjuncts else [grp]
+            if grp.negated:
+                raise ValueError(
+                    "ShExC: a negated (...) disjunction conjoined with "
+                    "other value constraints is unsupported"
+                )
+            nxt: list[TripleConstraint] = []
+            for c in result:
+                for m in members:
+                    try:
+                        nxt.append(self._conjoin(c, m))
+                    except _UnsatConjunct:
+                        # e.g. `IRI AND BNODE`: the conjunct can match no
+                        # value — drop it from the DNF (false ∨ x ≡ x)
+                        pass
+            if not nxt:
+                raise ValueError(
+                    "ShExC: the AND conjunction of these value constraints "
+                    "is unsatisfiable (matches no value)"
+                )
+            result = nxt
+        # re-splice: distribution may leave pure nested disjunctions
+        flat: list[TripleConstraint] = []
+        for d in result:
+            if d.disjuncts and not d.negated and not _has_non_disjunct_fields(d):
+                flat.extend(d.disjuncts)
+            else:
+                flat.append(d)
+        _clear_value_fields(tc)
+        if len(flat) == 1:
+            one = flat[0]
+            for f in _VALUE_FIELDS:
+                setattr(tc, f, getattr(one, f))
+            tc.disjuncts = one.disjuncts
+            tc.xone = one.xone
+        else:
+            tc.disjuncts = flat
+
+    def _conjoin(
+        self, c: TripleConstraint, m: TripleConstraint
+    ) -> TripleConstraint:
+        """One DNF conjunct: merge two positive value atoms into a single
+        carrier.  Numeric/length facets tighten; same-valued scalars are
+        idempotent; two refs intersect via a synthetic conjunct shape;
+        anything else that would need per-primitive polarity or set
+        intersection raises a clean error."""
+        if c.negated or m.negated:
+            raise ValueError(
+                "ShExC: a negated member inside a distributed conjunction "
+                "is unsupported"
+            )
+        if c.disjuncts or m.disjuncts:
+            raise ValueError(
+                "ShExC: nested (...) disjunctions on both sides of AND are "
+                "unsupported — flatten one side"
+            )
+        out = tc_value_copy(c)
+        if m.ref_shape is not None:
+            self._conjoin_ref_target(out, m.ref_shape)
+        for f in _VALUE_FIELDS:
+            if f in ("negated", "ref_shape"):
+                continue
+            mv, cv = getattr(m, f), getattr(out, f)
+            if mv in (None, False):
+                continue
+            if cv in (None, False):
+                setattr(out, f, mv)
+                continue
+            if cv == mv:
+                continue
+            if f in ("min_inclusive", "min_exclusive", "min_length"):
+                setattr(out, f, max(cv, mv))
+            elif f in ("max_inclusive", "max_exclusive", "max_length"):
+                setattr(out, f, min(cv, mv))
+            elif f in ("node_kind", "datatype"):
+                # two different node kinds / datatypes conjoined: no term
+                # satisfies both — the conjunct is unsatisfiable
+                raise _UnsatConjunct(f)
+            else:
+                raise ValueError(
+                    f"ShExC: conflicting `{f}` constraints in a "
+                    "distributed AND conjunction are unsupported"
+                )
+        return out
 
     def parse_cardinality(self, tc: TripleConstraint):
         k, v = self.peek()
@@ -486,6 +656,15 @@ _VALUE_FIELDS = (
     "min_exclusive", "max_exclusive", "pattern", "min_length", "max_length",
     "ref_shape", "negated",
 )
+
+
+def _has_non_disjunct_fields(tc: TripleConstraint) -> bool:
+    """Any value primitive set besides a nested disjunction / negation?"""
+    return any(
+        getattr(tc, f) not in (None, False)
+        for f in _VALUE_FIELDS
+        if f != "negated"
+    )
 
 
 def _has_any_value_field(tc: TripleConstraint) -> bool:
@@ -606,12 +785,19 @@ def tc_value_copy(tc: TripleConstraint) -> TripleConstraint:
     d = TripleConstraint(pred=tc.pred)
     for f in _VALUE_FIELDS:
         setattr(d, f, getattr(tc, f))
+    if tc.disjuncts:
+        # nested disjunction (parenthesized group) travels with the value
+        # expression — deep copy so later mutation never aliases
+        d.disjuncts = [tc_value_copy(x) for x in tc.disjuncts]
+        d.xone = tc.xone
     return d
 
 
 def _clear_value_fields(tc: TripleConstraint) -> None:
     for f in _VALUE_FIELDS:
         setattr(tc, f, False if f in ("negated", "value_set_has_wildcard") else None)
+    tc.disjuncts = None
+    tc.xone = False
 
 
 def _unquote(s: str) -> str:

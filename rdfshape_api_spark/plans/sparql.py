@@ -403,13 +403,29 @@ def _out_vars(q: SparqlQuery) -> list[str]:
     return q.select_vars
 
 
+def _all_graph_groups(grp) -> list[tuple[str, "_Group"]]:
+    """Every GRAPH block reachable from a group (or the query top level),
+    including nested ones."""
+    out = list(grp.graph_groups)
+    for _, gg in grp.graph_groups:
+        out.extend(_all_graph_groups(gg))
+    return out
+
+
 def _resolve_select_star(q: SparqlQuery) -> None:
     if q.select_vars or q.aggregates:  # explicit projection
         return
     seen: list[str] = []
     union_pats = [pat for blk in q.union_groups for br in blk for pat in br.patterns]
-    graph_pats = [pat for _, gg in q.graph_groups for pat in gg.patterns]
-    for gterm, _gg in q.graph_groups:
+    graph_blocks = [
+        g
+        for grp in (
+            [q] + q.optionals + [br for blk in q.union_groups for br in blk]
+        )
+        for g in _all_graph_groups(grp)
+    ]
+    graph_pats = [pat for _, gg in graph_blocks for pat in gg.patterns]
+    for gterm, _gg in graph_blocks:
         if gterm.startswith("?") and gterm[1:] not in seen:
             seen.append(gterm[1:])
     for pat in q.patterns + [x for grp in q.optionals for x in grp.patterns] + union_pats + graph_pats:
@@ -1310,6 +1326,8 @@ def _group_toklists(grp: _Group, out: list[list[str]]) -> None:
         _group_toklists(eg, out)
     for mg in grp.minus_groups:
         _group_toklists(mg, out)
+    for _, gg in grp.graph_groups:
+        _group_toklists(gg, out)
 
 
 def _toklists(q: SparqlQuery) -> list[list[str]]:
@@ -1410,20 +1428,66 @@ def _drop_dup_meta(keep: DataFrame, incoming: DataFrame) -> DataFrame:
 DOC_GRAPH_PREFIX = "urn:doc:"
 
 
-def _group_df(triples: DataFrame, grp: _Group, meta: bool) -> DataFrame:
-    """One group pattern → its solution DataFrame: BGP joins, then the
-    group-scoped filters, then the group-scoped [NOT] EXISTS / MINUS —
-    recursion handles arbitrary nesting, so an EXISTS written inside an
-    OPTIONAL or UNION branch restricts that branch only."""
-    if grp.graph_groups:
+def _graph_block_df(
+    doc_triples: DataFrame | None, gterm: str, gg: "_Group", meta: bool
+) -> DataFrame:
+    """One GRAPH block → its solution DataFrame: the inner group evaluates
+    over the per-document triple SET with the doc id threaded through
+    every BGP join as the ``_g_doc`` pseudo-variable (same mechanism as
+    sh:sparql evaluation) — patterns match within ONE document's graph;
+    ``?g`` binds the graph name / a graph IRI filters to one document."""
+    if doc_triples is None or "doc_sha256" not in doc_triples.columns:
         raise SparqlParseError(
-            "GRAPH inside OPTIONAL/UNION/EXISTS/MINUS groups is unsupported"
+            "GRAPH requires a per-document triple source (merged or "
+            "doc-scoped inputs carry no graph labels)"
         )
-    b = _join_patterns(triples, grp.patterns, with_meta=meta)
+    docm = doc_triples.select(
+        F.col("doc_sha256").alias("_g_doc"),
+        "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype",
+    ).distinct()
+    b = _group_df(docm, gg, meta, doc_triples=doc_triples)
+    if "_g_doc" not in b.columns:
+        # e.g. `GRAPH ?g1 { GRAPH ?g2 { … } }` with no patterns of its
+        # own: the outer block binds nothing in its graph, so there is no
+        # document to name — reject instead of guessing
+        raise SparqlParseError(
+            "a GRAPH block needs at least one triple pattern of its own"
+        )
+    gname = F.concat(F.lit(DOC_GRAPH_PREFIX), F.col("_g_doc"))
+    if gterm.startswith("?"):
+        b = b.withColumn(gterm[1:], gname)
+    else:
+        b = b.filter(gname == gterm)
+    return b.drop("_g_doc")
+
+
+def _group_df(
+    triples: DataFrame,
+    grp: _Group,
+    meta: bool,
+    doc_triples: DataFrame | None = None,
+) -> DataFrame:
+    """One group pattern → its solution DataFrame: BGP joins, GRAPH
+    blocks, then the group-scoped filters, then the group-scoped
+    [NOT] EXISTS / MINUS — recursion handles arbitrary nesting, so an
+    EXISTS or GRAPH written inside an OPTIONAL or UNION branch restricts
+    that branch only."""
+    b = _join_patterns(triples, grp.patterns, with_meta=meta) if grp.patterns else None
+    for gterm, gg in grp.graph_groups:
+        gb = _graph_block_df(doc_triples, gterm, gg, meta)
+        if b is None:
+            b = gb
+        else:
+            gb = _drop_dup_meta(b, gb)
+            shared = _shared_vars(b, gb)
+            b = b.join(gb, on=shared, how="inner") if shared else b.crossJoin(gb)
+    if b is None:
+        raise SparqlParseError("empty group pattern")
     for ftoks in grp.filters:
         b = _apply_filter(b, ftoks)
     return _apply_exists_minus(
-        triples, b, grp.exists_groups, grp.minus_groups, grp.patterns, meta
+        triples, b, grp.exists_groups, grp.minus_groups, grp.patterns, meta,
+        doc_triples=doc_triples,
     )
 
 
@@ -1434,6 +1498,7 @@ def _apply_exists_minus(
     minus_groups: list[_Group],
     patterns: list[_Pattern],
     meta: bool,
+    doc_triples: DataFrame | None = None,
 ) -> DataFrame:
     """Apply [NOT] EXISTS and MINUS groups to a solution set.  ``patterns``
     is the enclosing group's own BGP — the variables guaranteed bound in
@@ -1443,7 +1508,7 @@ def _apply_exists_minus(
         # (SPARQL substitution semantics for BOUND correlated variables;
         # rows with a null shared binding never match a semi join, which
         # matches EXISTS over solutions where the variable is bound)
-        sub = _group_df(triples, eg, meta)
+        sub = _group_df(triples, eg, meta, doc_triples=doc_triples)
         shared = _shared_vars(acc, sub)
         if shared:
             acc = acc.join(
@@ -1470,7 +1535,7 @@ def _apply_exists_minus(
         # and dom(μ)∩dom(μ') ≠ ∅.  The subtrahend group is a plain BGP (+
         # filters), so its vars are always bound; nulls can only occur on
         # the accumulator side.
-        sub = _group_df(triples, mg, meta)
+        sub = _group_df(triples, mg, meta, doc_triples=doc_triples)
         shared = _shared_vars(acc, sub)
         if not shared:
             continue  # disjoint domains: MINUS removes nothing
@@ -1502,7 +1567,7 @@ def _solutions(
         for br in blk:
             # branch-scoped filters + EXISTS/MINUS evaluated inside the
             # branch, before the UNION alignment
-            branch_dfs.append(_group_df(triples, br, meta))
+            branch_dfs.append(_group_df(triples, br, meta, doc_triples=doc_triples))
         # align branch columns: union over the block's full variable set,
         # absent variables become null bindings (SPARQL UNION semantics)
         all_vars = sorted({c for b in branch_dfs for c in b.columns})
@@ -1525,26 +1590,7 @@ def _solutions(
             shared = _shared_vars(acc, blk_df)
             acc = acc.join(blk_df, on=shared, how="inner") if shared else acc.crossJoin(blk_df)
     for gterm, gg in q.graph_groups:
-        # GRAPH block: the inner group evaluates over the per-document
-        # triple SET with the doc id threaded through every BGP join as
-        # the _g_doc pseudo-variable (same mechanism as sh:sparql
-        # evaluation) — patterns match within ONE document's graph
-        if doc_triples is None or "doc_sha256" not in doc_triples.columns:
-            raise SparqlParseError(
-                "GRAPH requires a per-document triple source (merged or "
-                "doc-scoped inputs carry no graph labels)"
-            )
-        docm = doc_triples.select(
-            F.col("doc_sha256").alias("_g_doc"),
-            "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype",
-        ).distinct()
-        b = _group_df(docm, gg, meta)
-        gname = F.concat(F.lit(DOC_GRAPH_PREFIX), F.col("_g_doc"))
-        if gterm.startswith("?"):
-            b = b.withColumn(gterm[1:], gname)
-        else:
-            b = b.filter(gname == gterm)
-        b = b.drop("_g_doc")
+        b = _graph_block_df(doc_triples, gterm, gg, meta)
         if acc is None:
             acc = b
         else:
@@ -1556,9 +1602,7 @@ def _solutions(
         # projection joins outward (aggregates/LIMIT/DISTINCT applied
         # inside).  Join on the shared variable names — the same equi-join
         # the UNION-block composition uses.
-        if sq.graph_groups:
-            raise SparqlParseError("GRAPH inside a subquery is unsupported")
-        sub = _select_result(triples, sq)
+        sub = _select_result(triples, sq, doc_triples=doc_triples)
         if acc is None:
             acc = sub
         else:
@@ -1604,7 +1648,7 @@ def _solutions(
     for grp in q.optionals:
         # OPTIONAL-scoped filters and EXISTS/MINUS restrict the optional
         # branch BEFORE the left join so unmatched rows keep null bindings
-        opt = _group_df(triples, grp, meta)
+        opt = _group_df(triples, grp, meta, doc_triples=doc_triples)
         opt = _drop_dup_meta(acc, opt)
         shared = _shared_vars(acc, opt)
         acc = acc.join(opt, on=shared, how="left") if shared else acc.crossJoin(opt)
@@ -1620,7 +1664,8 @@ def _solutions(
                 .withColumn(dc, dt_e)
             )
     acc = _apply_exists_minus(
-        triples, acc, q.exists_groups, q.minus_groups, q.patterns, meta
+        triples, acc, q.exists_groups, q.minus_groups, q.patterns, meta,
+        doc_triples=doc_triples,
     )
     for ftoks in q.filters:
         acc = _apply_filter(acc, ftoks)

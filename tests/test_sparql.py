@@ -951,10 +951,93 @@ def test_graph_joins_default_graph_patterns(spark):
     assert {(r["s"], r["t"]) for r in out} == {(EX + "a", "t")}
 
 
-def test_graph_inside_optional_rejected(spark):
+def test_graph_inside_optional(spark):
+    """GRAPH inside OPTIONAL: the graph-scoped pattern extends matching
+    rows, unmatched rows keep a null ?g binding (r4 lift of the previous
+    clean reject — _group_df recurses with the per-document source)."""
+    tri = _mk_docs_tri(spark, [
+        ("d1", EX + "a", EX + "p", "literal", "1", None, None),
+        ("d1", EX + "a", EX + "q", "literal", "2", None, None),
+        ("d2", EX + "b", EX + "p", "literal", "1", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX + "SELECT ?s ?g WHERE { ?s ex:p ?v . OPTIONAL { GRAPH ?g { ?s ex:q ?w . } } }",
+    ).collect()
+    assert {(r["s"], r["g"]) for r in out} == {
+        (EX + "a", "urn:doc:d1"),
+        (EX + "b", None),
+    }
+
+
+def test_graph_inside_union(spark):
+    tri = _mk_docs_tri(spark, [
+        ("d1", EX + "a", EX + "p", "literal", "1", None, None),
+        ("d2", EX + "b", EX + "q", "literal", "2", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX
+        + "SELECT ?s ?g WHERE { { GRAPH ?g { ?s ex:p ?v . } } UNION { GRAPH ?g { ?s ex:q ?w . } } }",
+    ).collect()
+    assert {(r["s"], r["g"]) for r in out} == {
+        (EX + "a", "urn:doc:d1"),
+        (EX + "b", "urn:doc:d2"),
+    }
+
+
+def test_graph_inside_exists(spark):
+    # keep subjects that have ex:q in SOME single document alongside ex:p
+    tri = _mk_docs_tri(spark, [
+        ("d1", EX + "a", EX + "p", "literal", "1", None, None),
+        ("d1", EX + "a", EX + "q", "literal", "2", None, None),
+        ("d2", EX + "b", EX + "p", "literal", "1", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX
+        + "SELECT ?s WHERE { ?s ex:p ?v . FILTER EXISTS { GRAPH ?g { ?s ex:q ?w . } } }",
+    ).collect()
+    assert {r["s"] for r in out} == {EX + "a"}
+
+
+def test_graph_inside_subquery(spark):
+    tri = _mk_docs_tri(spark, [
+        ("d1", EX + "a", EX + "p", "literal", "1", None, None),
+        ("d1", EX + "a", EX + "q", "literal", "2", None, None),
+        ("d2", EX + "b", EX + "p", "literal", "1", None, None),
+        ("d3", EX + "b", EX + "q", "literal", "2", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX
+        + """SELECT ?s ?n WHERE {
+            ?s ex:p ?v .
+            { SELECT ?s (COUNT(?w) AS ?n) WHERE { GRAPH ?g { ?s ex:q ?w . } } GROUP BY ?s }
+        }""",
+    ).collect()
+    assert {(r["s"], r["n"]) for r in out} == {(EX + "a", 1), (EX + "b", 1)}
+
+
+def test_nested_graph(spark):
+    """GRAPH ?g1 { P1 GRAPH ?g2 { P2 } }: P1 matches inside g1, P2 inside
+    g2 (possibly a different document), joined on shared variables."""
+    tri = _mk_docs_tri(spark, [
+        ("d1", EX + "a", EX + "p", "iri", EX + "x", None, None),
+        ("d2", EX + "x", EX + "q", "literal", "2", None, None),
+    ])
+    out = sparql_select(
+        tri,
+        PREFIX
+        + "SELECT ?g1 ?g2 WHERE { GRAPH ?g1 { ?s ex:p ?o . GRAPH ?g2 { ?o ex:q ?w . } } }",
+    ).collect()
+    assert {(r["g1"], r["g2"]) for r in out} == {("urn:doc:d1", "urn:doc:d2")}
+
+
+def test_patternless_graph_block_rejected(spark):
     tri = _mk_docs_tri(spark, [("d1", EX + "a", EX + "p", "literal", "1", None, None)])
-    with pytest.raises(SparqlParseError, match="GRAPH inside"):
+    with pytest.raises(SparqlParseError, match="triple pattern of its own"):
         sparql_select(
             tri,
-            PREFIX + "SELECT ?s WHERE { ?s ex:p ?v . OPTIONAL { GRAPH ?g { ?s ex:q ?w . } } }",
+            PREFIX + "SELECT ?g2 WHERE { GRAPH ?g1 { GRAPH ?g2 { ?s ex:p ?v . } } }",
         ).collect()
