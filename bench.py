@@ -90,21 +90,41 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     return timings, rows
 
 
-def _pipeline_run(spark, sf_tag: str, out_dir: str) -> dict:
+def _pipeline_run(spark, sf_tag: str, out_dir: str, mult: int = 1) -> dict:
     """One end-to-end pipeline run (extract+validate+canonicalize) in an
     existing session.  Partitioning is FIXED across parallelism levels (the
     cluster analogy: same data layout, N vs 4N executors) — otherwise the
-    comparison conflates partition count with parallelism."""
+    comparison conflates partition count with parallelism.
+
+    ``mult`` > 1 salts a ``mult``-way union of the docs table into
+    distinct document identities (the same doc-salting the 4x kernel
+    probes use): every stage — parse, validation, dedup, store layout —
+    does ``mult``x real work.  This amortizes the per-job constant
+    (Catalyst compilation, scheduling, commit protocol) that dominates
+    short sandbox walls at the 4N level but is noise on cluster-sized
+    inputs, so the end-to-end ratio measures the work that grows with
+    data."""
     from rdfshape_api_spark.fixtures import ensure_fixtures
     from rdfshape_api_spark.fixtures.generator import (
         SHACL_SENSOR,
         SHAPEMAP_QUERY,
         SHEX_SENSOR,
     )
+    from pyspark.sql import functions as F
     from rdfshape_api_spark.pipeline import run_pipeline
 
     paths = ensure_fixtures(sf_tag)
     docs = spark.read.parquet(paths["docs"])
+    if mult > 1:
+        docs = (
+            docs.withColumn("doc_sha256", F.sha2(F.col("content"), 256))
+            .crossJoin(
+                spark.range(mult).select(F.col("id").cast("string").alias("_salt"))
+            )
+            .withColumn("doc_sha256", F.concat_ws("-", "doc_sha256", "_salt"))
+            .withColumn("path", F.concat_ws("-", "path", "_salt"))
+            .drop("_salt")
+        )
     t0 = time.time()
     m = run_pipeline(
         spark,
@@ -401,15 +421,17 @@ def _scaling_level(label: str, master: str, scaling_sf: str, out_json: str) -> N
     spark = get_spark("bench_scaling", master=master, shuffle_partitions=64)
     warm = tempfile.mkdtemp(prefix="scaling_warm_", dir=_work_root())
     best = None
+    mult = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "1"))
     try:
         _pipeline_run(spark, "sf0.1", warm)  # warm-up, discarded
         # min-of-3: the shared host shows intermittent 2-3x slowdown windows
         # (same binary measured 13s..92s on one sub-stage); min is the
         # steady-state estimator a long-running cluster would see
-        for _ in range(3):
+        # (min-of-2 at mult>1 — each rep is mult-times longer)
+        for _ in range(3 if mult == 1 else 2):
             meas = tempfile.mkdtemp(prefix="scaling_meas_", dir=_work_root())
             try:
-                m = _pipeline_run(spark, scaling_sf, meas)
+                m = _pipeline_run(spark, scaling_sf, meas, mult=mult)
             finally:
                 shutil.rmtree(meas, ignore_errors=True)
             if best is None or m["total_wall_s"] < best["total_wall_s"]:
@@ -489,6 +511,7 @@ def _scaling(sf_dir: str) -> None:
         "scaling_efficiency": eff,
         "triples": results["4N(16)"]["triples"],
         "sf": scaling_sf,
+        "input_mult": int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "1")),
         "stage_walls_N": {k: v for k, v in results["N(4)"].items() if k.endswith("_wall_s")},
         "stage_walls_4N": {k: v for k, v in results["4N(16)"].items() if k.endswith("_wall_s")},
         "kernels": kernels,
