@@ -791,6 +791,18 @@ def _q_sparql_path_alt(spark, sf_dir):
     return sparql_select(_merged_triples(spark, sf_dir), q)
 
 
+def _q_sparql_path_neg(spark, sf_dir):
+    """Negated property set (§9.1): forward branch excludes rdf:type,
+    inverse branch excludes ex:status — exercises both NPS sides."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    q = f"""
+    PREFIX ex: <{EX}>
+    SELECT DISTINCT ?s ?o WHERE {{ ?s !(a|^ex:status) ?o . }}
+    """
+    return sparql_select(_merged_triples(spark, sf_dir), q)
+
+
 def _q_sparql_knows_plus(spark, sf_dir):
     """Transitive property path ex:knows+ (cyclic social graph)."""
     from rdfshape_api_spark.plans.sparql import sparql_select
@@ -1226,6 +1238,7 @@ def _q_events_sessions(spark, sf_dir):
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
+    "rdf_sparql_path_neg",
     "social_shex_paren_not",
     "rdf_sparql_graph_optional",
     "social_shacl_qualified_inverse",
@@ -1301,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_sparql_values": _q_sparql_values,           # Q1 VALUES inline data
         "rdf_sparql_subquery": _q_sparql_subquery,       # Q1 §12 subqueries
         "rdf_sparql_path_alt": _q_sparql_path_alt,       # Q1 property path (alt)
+        "rdf_sparql_path_neg": _q_sparql_path_neg,       # Q1 negated property set (r4)
         "social_sparql_knows_plus": _q_sparql_knows_plus,  # Q1 path + (fixpoint)
         "social_sparql_knows_star": _q_sparql_knows_star,  # Q1 path * (zero-length)
         "rdf_sparql_not_exists": _q_sparql_not_exists,     # Q1 FILTER NOT EXISTS
@@ -1532,6 +1546,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj AS s, obj_value AS o FROM m
             WHERE pred IN ('http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
                            '{ex}status')
+        """,
+        "rdf_sparql_path_neg": f"""
+            WITH m AS (SELECT DISTINCT subj, pred, obj_value FROM {_T})
+            SELECT DISTINCT s, o FROM (
+              SELECT subj AS s, obj_value AS o FROM m
+              WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              UNION
+              SELECT obj_value AS s, subj AS o FROM m
+              WHERE pred <> '{ex}status'
+            )
         """,
         "social_sparql_knows_plus": f"""
             WITH RECURSIVE m AS (

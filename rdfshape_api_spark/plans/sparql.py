@@ -659,12 +659,47 @@ def _parse_term(p: _Parser, prefixes: dict[str, str]) -> tuple[str, bool, str | 
 
 def _parse_path(p: _Parser, prefixes: dict[str, str]) -> _Path:
     """SPARQL 1.1 property-path subset: iri, 'a', ^inverse, /sequence,
-    |alternative, +oneOrMore, (grouping).  '*' and '?' modifiers are
-    rejected with a clear error (zero-length path semantics — every graph
-    term matches itself — are out of this subset)."""
+    |alternative, +oneOrMore, *zeroOrMore, ?zeroOrOne, (grouping), and
+    !negated property sets (§9.1: `!iri`, `!^iri`, `!(p1|^p2|…)` — forward
+    and inverse member exclusions translate to the NPS / ^NPS alternative
+    of the algebra)."""
+
+    def nps_member(fwd: list[str], inv: list[str]) -> None:
+        # PathOneInPropertySet ::= iri | 'a' | '^' (iri | 'a')
+        target = fwd
+        if p.peek() == "^":
+            p.next()
+            target = inv
+        tok = p.next()
+        if tok is None or tok in ("|", ")", "(", "!", "^"):
+            raise SparqlParseError("negated property set: expected IRI member")
+        target.append(RDF_TYPE if tok == "a" else _expand(tok, prefixes))
 
     def elt() -> _Path:
         t = p.peek()
+        if t == "!":
+            p.next()
+            fwd: list[str] = []
+            inv: list[str] = []
+            if p.peek() == "(":
+                p.next()
+                nps_member(fwd, inv)
+                while p.peek() == "|":
+                    p.next()
+                    nps_member(fwd, inv)
+                if p.next() != ")":
+                    raise SparqlParseError("unclosed negated property set")
+            else:
+                nps_member(fwd, inv)
+            node = _Path(
+                "neg",
+                children=[_Path("iri", iri=i) for i in fwd]
+                + [_Path("inv", children=[_Path("iri", iri=i)]) for i in inv],
+            )
+            mods = {"+": "plus", "*": "star", "?": "opt"}
+            while p.peek() in mods:
+                node = _Path(mods[p.next()], children=[node])
+            return node
         if t == "^":
             p.next()
             return _Path("inv", children=[elt()])
@@ -1090,6 +1125,31 @@ def _path_pairs(df: DataFrame, path: _Path, max_iters: int = 25) -> DataFrame:
     if path.op == "inv":
         c = _path_pairs(df, path.children[0], max_iters)
         return c.select(*gsel, F.col("o").alias("s"), F.col("s").alias("o"))
+    if path.op == "neg":
+        # Negated property set (§9.1): children are the excluded members —
+        # 'iri' nodes exclude forward predicates, 'inv' nodes exclude
+        # inverse ones.  Each side appears in the result only if it has
+        # members (a pure-inverse set `!(^p)` has no forward branch); both
+        # sides present → alt(NPS(fwd), ^NPS(inv)).
+        fwd = [c.iri for c in path.children if c.op == "iri"]
+        inv = [c.children[0].iri for c in path.children if c.op == "inv"]
+        parts: list[DataFrame] = []
+        if fwd:
+            parts.append(
+                df.filter(~F.col("pred").isin(fwd)).select(
+                    *gsel, F.col("subj").alias("s"), F.col("obj_value").alias("o")
+                )
+            )
+        if inv:
+            parts.append(
+                df.filter(~F.col("pred").isin(inv)).select(
+                    *gsel, F.col("obj_value").alias("s"), F.col("subj").alias("o")
+                )
+            )
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
     if path.op == "seq":
         acc = _path_pairs(df, path.children[0], max_iters)
         for ch in path.children[1:]:

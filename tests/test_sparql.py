@@ -1041,3 +1041,75 @@ def test_patternless_graph_block_rejected(spark):
             tri,
             PREFIX + "SELECT ?g2 WHERE { GRAPH ?g1 { GRAPH ?g2 { ?s ex:p ?v . } } }",
         ).collect()
+
+
+def test_path_negated_property_set_forward(spark):
+    # §9.1 NPS, forward-only: !(ex:p|a) matches any triple whose predicate
+    # is neither ex:p nor rdf:type
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            (EX + "x", EX + "p", "literal", "1", None, None),
+            (EX + "x", EX + "q", "literal", "2", None, None),
+            (EX + "x", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri", EX + "T", None, None),
+        ],
+        cols,
+    )
+    out = sparql_select(tri, PREFIX + "SELECT ?o WHERE { ex:x !(ex:p|a) ?o . }")
+    assert {r["o"] for r in out.collect()} == {"2"}
+    # unparenthesized single member
+    out2 = sparql_select(tri, PREFIX + "SELECT ?o WHERE { ex:x !ex:q ?o . }")
+    assert {r["o"] for r in out2.collect()} == {"1", EX + "T"}
+
+
+def test_path_negated_property_set_inverse_and_mixed(spark):
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            (EX + "a", EX + "p", "iri", EX + "b", None, None),
+            (EX + "a", EX + "q", "iri", EX + "b", None, None),
+        ],
+        cols,
+    )
+    # pure-inverse set: !^ex:p == pairs (s,o) with triple (o, pred, s),
+    # pred != ex:p — only the q edge, reversed
+    out = sparql_select(tri, PREFIX + "SELECT DISTINCT ?s ?o WHERE { ?s !^ex:p ?o . }")
+    assert {(r["s"], r["o"]) for r in out.collect()} == {(EX + "b", EX + "a")}
+    # mixed: forward branch excludes p (keeps q forward), inverse branch
+    # excludes q (keeps p reversed)
+    out2 = sparql_select(
+        tri, PREFIX + "SELECT DISTINCT ?s ?o WHERE { ?s !(ex:p|^ex:q) ?o . }"
+    )
+    assert {(r["s"], r["o"]) for r in out2.collect()} == {
+        (EX + "a", EX + "b"),  # q forward
+        (EX + "b", EX + "a"),  # p inverse
+    }
+
+
+def test_path_negated_property_set_in_sequence_and_modified(spark):
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            (EX + "a", EX + "next", "iri", EX + "b", None, None),
+            (EX + "b", EX + "next", "iri", EX + "c", None, None),
+            (EX + "a", EX + "skip", "iri", EX + "c", None, None),
+        ],
+        cols,
+    )
+    # NPS under a + modifier: !ex:skip+ walks only `next` edges
+    out = sparql_select(
+        tri, PREFIX + "SELECT DISTINCT ?o WHERE { ex:a !ex:skip+ ?o . }"
+    )
+    assert {r["o"] for r in out.collect()} == {EX + "b", EX + "c"}
+    # NPS inside a sequence
+    out2 = sparql_select(
+        tri, PREFIX + "SELECT DISTINCT ?o WHERE { ex:a !ex:skip/ex:next ?o . }"
+    )
+    assert {r["o"] for r in out2.collect()} == {EX + "c"}
+
+
+def test_path_negated_property_set_parse_errors(spark):
+    with pytest.raises(SparqlParseError, match="negated property set"):
+        parse_sparql(PREFIX + "SELECT ?o WHERE { ex:x !(ex:p|^) ?o . }")
+    with pytest.raises(SparqlParseError, match="unclosed negated property set"):
+        parse_sparql(PREFIX + "SELECT ?o WHERE { ex:x !(ex:p ?o . }")
