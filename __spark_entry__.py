@@ -592,6 +592,24 @@ def _q_text_lm_score(spark, sf_dir):
     return lm_score(docs)
 
 
+def _q_text_top_ngrams(spark, sf_dir):
+    """Corpus heavy-hitter bigrams at 5% document-frequency support
+    (the synthetic word-soup corpus tops out near 9% — 0.05 keeps the
+    result non-trivial at every tier)."""
+    from rdfshape_api_spark.functions.textops import top_ngrams
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return top_ngrams(docs, n=2, support=0.05)
+
+
+def _q_text_tfidf(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms (integerized scores)."""
+    from rdfshape_api_spark.functions.textops import tfidf_topk
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return tfidf_topk(docs, k=5)
+
+
 def _q_text_hash_sample(spark, sf_dir):
     """Deterministic corpus-mixing sample: en halved, es upsampled 2.25x,
     de kept whole, zh/fr dropped (explicit-manifest convention)."""
@@ -1248,6 +1266,8 @@ _VERIFY_FIRST = [
     "text_decontaminate",
     "text_span_dedup",
     "sim_semantic_dedup",
+    "text_top_ngrams",
+    "text_tfidf",
     "text_hash_sample",
     "text_lm_score",
     "text_pack_sequences",
@@ -1363,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_near_dups": _q_sim_near_dups,
         "sim_lsh_ann": _q_sim_lsh_ann,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
+        "text_top_ngrams": _q_text_top_ngrams,
+        "text_tfidf": _q_text_tfidf,
         "text_hash_sample": _q_text_hash_sample,
         "text_lm_score": _q_text_lm_score,
         "text_pack_sequences": _q_text_pack,
@@ -2446,6 +2468,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(avg(ln(c / tot)) * 100) AS BIGINT) AS lm_bucket
             FROM toks JOIN counts USING (w), tot
             GROUP BY doc_id
+        """,
+        "text_top_ngrams": """
+            -- heavy-hitter bigrams: document frequency >= 5% of docs;
+            -- parallel unnests zip (word_i, position_i) so the self-join
+            -- on i+1 rebuilds in-order bigrams
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                 '\\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(ws) AS w,
+                     unnest(range(1, len(ws) + 1)) AS i
+              FROM arr
+            ), dg AS (
+              SELECT DISTINCT a.doc_id, a.w || ' ' || b.w AS gram
+              FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            ), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+            SELECT gram, count(*)::BIGINT AS df
+            FROM dg, n GROUP BY gram, n.n_docs
+            HAVING count(*) >= ceil(0.05 * n_docs)
+        """,
+        "text_tfidf": """
+            -- top-5 terms per doc by tf*ln(N/df); score integerized to
+            -- micro units on BOTH engines so ranking and hashing agree
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                            '\\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ), dfx AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            ), n AS (
+              SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                     CAST(round(tf.tf * ln(n.n_docs / dfx.df) * 1e6, 0)
+                          AS BIGINT) AS score_micro
+              FROM tf JOIN dfx USING (term), n
+            )
+            SELECT doc_id, term, tf, df, score_micro, rank FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_micro DESC, term ASC)::BIGINT AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "text_hash_sample": """
             -- deterministic corpus-mixing sample: bucket = first 8 md5 hex

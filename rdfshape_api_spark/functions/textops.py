@@ -296,3 +296,94 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         step3.alias("clean_text"),
         n_red.cast("bigint").alias("n_redactions"),
     )
+
+
+def top_ngrams(docs: DataFrame, n: int = 2, support: float = 0.25,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level heavy-hitter n-grams: every n-gram whose DOCUMENT
+    frequency reaches ``support`` (fraction of documents), exactly — the
+    building block behind boilerplate detection and contamination audits
+    (the C4/RefinedWeb "most common lines" passes are the n=line special
+    case).
+
+    Returns ``(gram, df)``.  Exact, not a sketch: heavy hitters above a
+    support threshold are few BY DEFINITION, so the groupBy output is
+    tiny; the per-document ``array_distinct`` bounds each doc's
+    contribution to its distinct grams (a doc repeating one gram 10⁶
+    times contributes 1), which is also what makes document frequency —
+    unlike collection frequency — skew-proof: the partial (map-side)
+    aggregation sees at most one increment per (doc, gram).  At 100 TB
+    this is one explode + one map-side-combinable count; the threshold
+    join is a broadcast of a 1-row aggregate.  Only n=2 needs the
+    zip_with pairing; n=1 degenerates to distinct words."""
+    if n not in (1, 2):
+        raise ValueError("top_ngrams: only unigrams and bigrams in this subset")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(F.trim(t)), r"\s+"), lambda x: x != F.lit(""))
+    if n == 2:
+        grams = F.filter(
+            F.zip_with(
+                words,
+                F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+                lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    else:
+        grams = words
+    per_doc = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    ndocs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") >= F.ceil(F.lit(support) * F.col("n_docs")))
+        .select("gram", "df")
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame:
+    """Per-document top-k terms by TF-IDF (classic ``tf · ln(N/df)``) —
+    keyword extraction / doc-signature operator.
+
+    Returns ``(doc_id, term, tf, df, score_micro, rank)`` where
+    ``score_micro = round(tf·ln(N/df)·10⁶)`` as BIGINT: the ranking AND
+    the emitted score use the same integerized value, so verdicts hash
+    identically across engines (raw doubles differ in the last ulp
+    between JVM Math.log and libm log); ties break on the term string.
+
+    Scale design: tf is a map-side-combinable (doc, term) count; df is a
+    count over tf's already-distinct keys (no second distinct); N is a
+    1-row broadcast; the tf⋈df join shuffles on the term — stopword-heavy
+    keys are AQE-skew territory, and at production scale the df table of
+    frequent terms is broadcast instead.  The final top-k is one window
+    per doc partition."""
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(t)), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df_tab = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    ndocs = tf.agg(F.count_distinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score_micro",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1e6
+            ).cast("bigint"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+    )

@@ -482,3 +482,47 @@ def test_extract_features_real_png_decoder(spark):
            extract_features(df, use_real_decoder=True, normalize=False).collect()}
     for i, img in imgs.items():
         assert out[i] == _fake_features(img.tobytes(), normalize=False)
+
+
+def test_top_ngrams(docs):
+    from rdfshape_api_spark.functions.textops import top_ngrams
+
+    # bigrams at 50% support over the 6-doc corpus (empty doc counts in N):
+    # docs 0-2 share "the quick", "quick brown", ... -> df=3 = 50% of 6
+    out = {r["gram"]: r["df"] for r in top_ngrams(docs, n=2, support=0.5).collect()}
+    assert out["the quick"] == 3
+    assert out["quick brown"] == 3
+    assert out["lazy dog"] == 3
+    # "over the" appears only in docs 0,1 (doc 2 has "over a") -> below support
+    assert "over the" not in out
+    # unigram mode
+    uni = {r["gram"]: r["df"] for r in top_ngrams(docs, n=1, support=0.5).collect()}
+    assert uni["the"] == 3 and "el" not in uni
+    with pytest.raises(ValueError, match="unigrams and bigrams"):
+        top_ngrams(docs, n=3)
+
+
+def test_tfidf_topk(docs):
+    import math
+
+    from rdfshape_api_spark.functions.textops import tfidf_topk
+
+    out = tfidf_topk(docs, k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 5 docs have words (empty doc 5 excluded), each capped at k=3
+    assert set(by_doc) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 3 for v in by_doc.values())
+    for rows in by_doc.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+    # doc 4's Spanish terms are unique to it: df=1, tf=1 -> score ln(5)*1e6
+    top4 = min(by_doc[4], key=lambda r: r["rank"])
+    assert top4["df"] == 1 and top4["tf"] == 1
+    assert top4["score_micro"] == round(math.log(5.0) * 1e6)
+    # ties broken by term asc: all doc-4 terms share the same score
+    terms4 = [r["term"] for r in sorted(by_doc[4], key=lambda r: r["rank"])]
+    assert terms4 == sorted(terms4)
+    # identical docs 0/1 get identical signatures
+    sig = lambda d: sorted((r["term"], r["tf"], r["df"], r["score_micro"]) for r in by_doc[d])  # noqa: E731
+    assert sig(0) == sig(1)
