@@ -490,6 +490,16 @@ def _scaling(sf_dir: str) -> None:
     # impossible 11.94x); a second measurement brackets the window — report
     # both and flag the pair sane only when they agree within noise
     ceiling2 = _cpu_ceiling(4, 16)
+    # memory-BANDWIDTH ceiling (BENCH/exp_membw.py): a 4->16-worker memcpy
+    # burn — shuffle-heavy kernels (canonicalize_dedup) are bound by this
+    # ratio, not the CPU one; on this box it reads ~1.8-2.5x vs CPU ~3.7x
+    try:
+        sys.path.insert(0, os.path.join(REPO, "BENCH"))
+        from exp_membw import membw as _membw
+
+        membw_ratio = _membw()["membw_ratio"]
+    except Exception:  # probe failure must never kill the protocol run
+        membw_ratio = None
     t_n = results["N(4)"]["total_wall_s"]
     t_4n = results["4N(16)"]["total_wall_s"]
     eff = round((t_n / t_4n) / 4.0, 3)
@@ -518,6 +528,7 @@ def _scaling(sf_dir: str) -> None:
         "kernel_weighted_efficiency": kernel_weighted_eff,
         "cpu_ceiling_speedup": ceiling,
         "cpu_ceiling_speedup_2nd": ceiling2,
+        "membw_ceiling_speedup": membw_ratio,
         "cpu_ceiling_sane": bool(
             2.8 <= min(ceiling, ceiling2)
             and max(ceiling, ceiling2) <= 4.4
