@@ -242,7 +242,10 @@ def parse_sparql(text: str) -> SparqlQuery:
                 select_vars=[], distinct=False, patterns=[],
                 query_form="describe", describe_terms=describe_terms,
             )
-    if form == "SELECT" and p.peek() and p.peek().upper() == "DISTINCT":
+    if form == "SELECT" and p.peek() and p.peek().upper() in ("DISTINCT", "REDUCED"):
+        # REDUCED permits (does not mandate) duplicate elimination
+        # (§18.2.5.2) — eliminating them fully is a conforming and, unlike
+        # a partial dedup, DETERMINISTIC choice, so REDUCED ≡ DISTINCT here
         distinct = True
         p.next()
     if form != "SELECT":
@@ -453,7 +456,7 @@ def _parse_subselect(p: _Parser, prefixes: dict[str, str]) -> SparqlQuery:
     outward)."""
     p.expect("SELECT")
     distinct = False
-    if p.peek() and p.peek().upper() == "DISTINCT":
+    if p.peek() and p.peek().upper() in ("DISTINCT", "REDUCED"):
         distinct = True
         p.next()
     select_vars, aggregates = _parse_projection(p)

@@ -1113,3 +1113,18 @@ def test_path_negated_property_set_parse_errors(spark):
         parse_sparql(PREFIX + "SELECT ?o WHERE { ex:x !(ex:p|^) ?o . }")
     with pytest.raises(SparqlParseError, match="unclosed negated property set"):
         parse_sparql(PREFIX + "SELECT ?o WHERE { ex:x !(ex:p ?o . }")
+
+
+def test_select_reduced_dedupes(spark):
+    # REDUCED permits duplicate elimination (§18.2.5.2); full elimination
+    # is the deterministic conforming choice, so REDUCED ≡ DISTINCT
+    cols = "subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    tri = spark.createDataFrame(
+        [
+            (EX + "a", EX + "p", "literal", "1", None, None),
+            (EX + "b", EX + "p", "literal", "1", None, None),
+        ],
+        cols,
+    )
+    out = sparql_select(tri, PREFIX + "SELECT REDUCED ?o WHERE { ?s ex:p ?o . }")
+    assert [r["o"] for r in out.collect()] == ["1"]
