@@ -673,6 +673,17 @@ def _q_mm_frames(spark, sf_dir):
     return frame_sample(attach_binary(docs.filter(F.col("doc_id") < 100)))
 
 
+def _q_mm_audio(spark, sf_dir):
+    """Audio feature plumbing: the text-byte payloads take the fake
+    unsigned-8-bit-PCM path (integer-exact energy / zero crossings); RIFF
+    payloads would hit the real stdlib WAV decoder (multimodal.decode_wav,
+    pytest-covered on generated WAVs)."""
+    from rdfshape_api_spark.functions.multimodal import attach_binary, audio_features
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return audio_features(attach_binary(docs.filter(F.col("doc_id") < 100)))
+
+
 def _merged_triples(spark, sf_dir):
     """Merged-model view: the graph is a SET of triples, so identical rows
     from different docs collapse (MergedModels.scala:182-191)."""
@@ -1268,6 +1279,7 @@ _VERIFY_FIRST = [
     "sim_semantic_dedup",
     "text_top_ngrams",
     "text_tfidf",
+    "mm_audio_features",
     "text_hash_sample",
     "text_lm_score",
     "text_pack_sequences",
@@ -1391,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_payload_meta": _q_mm_meta,
         "mm_features": _q_mm_features,
         "mm_frame_samples": _q_mm_frames,
+        "mm_audio_features": _q_mm_audio,
         "events_hourly": _q_events_hourly,
         "events_windowed_stream": _q_events_windowed_stream,  # T1+ watermarked windows
         "events_sessions": _q_events_sessions,
@@ -2640,6 +2653,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, (k * 64)::BIGINT AS frame_offset,
                    CAST('0x' || substring(hx, k * 128 + 1, 2) AS INTEGER)::BIGINT AS sample_value
             FROM idx
+        """,
+        "mm_audio_features": """
+            -- fake-PCM path: payload bytes as unsigned 8-bit samples
+            -- recentred at 128; energy and zero crossings are integer-
+            -- exact (sum of squares / sign products), so the contract is
+            -- float-free.  Byte extraction via hex() as in mm_frame_samples.
+            WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS n
+              FROM documents WHERE doc_id < 100
+            ), v0 AS (
+              SELECT doc_id, hx, unnest(range(0, n)) AS i FROM b
+            ), v AS (
+              SELECT doc_id, i,
+                     CAST('0x' || substring(hx, i * 2 + 1, 2) AS INTEGER) - 128 AS v
+              FROM v0
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_samples,
+                     sum(v * v)::BIGINT AS energy_ssq
+              FROM v GROUP BY doc_id
+            ), zc AS (
+              SELECT a.doc_id,
+                     sum(CASE WHEN a.v * c.v < 0 THEN 1 ELSE 0 END)::BIGINT AS z
+              FROM v a JOIN v c ON c.doc_id = a.doc_id AND c.i = a.i + 1
+              GROUP BY a.doc_id
+            )
+            SELECT agg.doc_id, n_samples, 1::BIGINT AS n_channels,
+                   8000::BIGINT AS sample_rate, energy_ssq,
+                   coalesce(z, 0)::BIGINT AS zero_crossings
+            FROM agg LEFT JOIN zc ON zc.doc_id = agg.doc_id
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,

@@ -209,3 +209,78 @@ def frame_sample(binary_df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         kernel, schema="doc_id bigint, frame_offset bigint, sample_value bigint"
     )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-stdlib WAV (RIFF PCM) decoder via the :mod:`wave` module —
+    the audio analogue of :func:`decode_png`: a REAL decode kernel with
+    zero third-party dependencies.  Returns ``(samples, sample_rate)``
+    where samples is ``(n_frames, n_channels)`` int32 (8-bit PCM is
+    recentred from unsigned to signed; 16/32-bit pass through).  Raises
+    ``ValueError`` on a non-WAV payload."""
+    import io
+    import wave
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    with wave.open(io.BytesIO(payload)) as w:
+        nch, sw, rate, nframes = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes(),
+        )
+        raw = w.readframes(nframes)
+    if sw == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+    elif sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.int32)
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} bytes")
+    return arr.reshape(-1, nch), rate
+
+
+def _audio_signal(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """(channel-0 signal as int64, n_channels, sample_rate).  RIFF/WAVE
+    payloads decode for real; anything else takes the deterministic fake
+    path — bytes read as unsigned 8-bit PCM at 8 kHz (recentred), the
+    same stand-in convention as the byte-histogram image features."""
+    if payload and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = decode_wav(payload)
+        return samples[:, 0].astype(np.int64), samples.shape[1], rate
+    data = np.frombuffer(payload or b"", dtype=np.uint8).astype(np.int64) - 128
+    return data, 1, 8000
+
+
+def audio_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: per payload, channel-0
+    energy (exact integer sum of squares — no float in the contract),
+    zero-crossing count (sign products < 0), frame count, channel count,
+    sample rate.  Payloads with no samples are dropped (empty docs).
+
+    Batch contract mirrors :func:`extract_features`: (doc_id, payload) in,
+    typed feature row out; a torchaudio/librosa kernel drops into the
+    same slot.  Integer outputs keep the DuckDB oracle byte-exact."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, nc, sr, ssq, zc = [], [], [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sig, channels, rate = _audio_signal(payload)
+                if sig.size == 0:
+                    continue
+                ids.append(did)
+                ns.append(sig.size)
+                nc.append(channels)
+                sr.append(rate)
+                ssq.append(int((sig * sig).sum()))
+                zc.append(int((sig[:-1] * sig[1:] < 0).sum()))
+            yield pd.DataFrame({
+                "doc_id": ids, "n_samples": ns, "n_channels": nc,
+                "sample_rate": sr, "energy_ssq": ssq, "zero_crossings": zc,
+            })
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_samples bigint, n_channels bigint, "
+               "sample_rate bigint, energy_ssq bigint, zero_crossings bigint",
+    )

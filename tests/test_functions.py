@@ -526,3 +526,62 @@ def test_tfidf_topk(docs):
     # identical docs 0/1 get identical signatures
     sig = lambda d: sorted((r["term"], r["tf"], r["df"], r["score_micro"]) for r in by_doc[d])  # noqa: E731
     assert sig(0) == sig(1)
+
+
+def test_decode_wav_and_signal():
+    import io
+    import wave as wavemod
+
+    import numpy as np
+
+    from rdfshape_api_spark.functions.multimodal import _audio_signal, decode_wav
+
+    # 16-bit stereo sine + ramp, 16 kHz — a REAL decode through stdlib wave
+    t = np.arange(64)
+    left = (np.sin(2 * np.pi * t / 16) * 20000).astype("<i2")
+    right = np.linspace(-30000, 30000, 64).astype("<i2")
+    inter = np.empty(128, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wavemod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(inter.tobytes())
+    payload = buf.getvalue()
+    samples, rate = decode_wav(payload)
+    assert rate == 16000 and samples.shape == (64, 2)
+    assert (samples[:, 0] == left).all() and (samples[:, 1] == right).all()
+    # 8-bit mono recentres unsigned -> signed
+    buf8 = io.BytesIO()
+    with wavemod.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 255, 0, 128]))
+    s8, r8 = decode_wav(buf8.getvalue())
+    assert r8 == 8000 and s8[:, 0].tolist() == [0, 127, -128, 0]
+    # _audio_signal dispatch: RIFF -> real decode; other bytes -> fake PCM
+    sig, nch, rate = _audio_signal(payload)
+    assert nch == 2 and rate == 16000 and (sig == left).all()
+    fake, nch_f, rate_f = _audio_signal(b"\x80\xff\x00")
+    assert (nch_f, rate_f) == (1, 8000) and fake.tolist() == [0, 127, -128]
+    with pytest.raises(ValueError, match="not a WAV"):
+        decode_wav(b"plain text")
+
+
+def test_audio_features(spark, docs):
+    from rdfshape_api_spark.functions.multimodal import attach_binary, audio_features
+
+    out = {r["doc_id"]: r for r in audio_features(attach_binary(docs)).collect()}
+    # empty doc 5 dropped; the rest present
+    assert set(out) == {0, 1, 2, 3, 4}
+    r0 = out[0]
+    data = [b - 128 for b in b"the quick brown fox jumps over the lazy dog"]
+    assert r0["n_samples"] == len(data)
+    assert r0["n_channels"] == 1 and r0["sample_rate"] == 8000
+    assert r0["energy_ssq"] == sum(v * v for v in data)
+    assert r0["zero_crossings"] == sum(
+        1 for a, b in zip(data, data[1:]) if a * b < 0
+    )
+    assert out[0]["energy_ssq"] == out[1]["energy_ssq"]  # identical docs
