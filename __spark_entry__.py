@@ -255,6 +255,13 @@ def _q_ntriples(spark, sf_dir):
     return to_ntriples(_rdf_triples(spark, sf_dir)).distinct()
 
 
+def _q_nquads(spark, sf_dir):
+    """K1 N-Quads emitter: graph label = per-document urn:doc:<sha>."""
+    from rdfshape_api_spark.operators.serialize import to_nquads
+
+    return to_nquads(_rdf_triples(spark, sf_dir)).distinct()
+
+
 def _q_skolem_count(spark, sf_dir):
     return _rdf_triples(spark, sf_dir).agg(
         F.count_distinct(
@@ -1280,6 +1287,7 @@ _VERIFY_FIRST = [
     "text_top_ngrams",
     "text_tfidf",
     "mm_audio_features",
+    "rdf_nquads",
     "text_hash_sample",
     "text_lm_score",
     "text_pack_sequences",
@@ -1335,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_error_count": _q_error_count,               # S1 error channel
         "rdf_prefix_map": _q_prefix_map,                 # P8
         "rdf_ntriples": _q_ntriples,                     # K1
+        "rdf_nquads": _q_nquads,                         # K1 N-Quads (r4)
         "rdf_skolem_count": _q_skolem_count,             # canonicalization
         "rdf_hub_degree": _q_hub_degree,                 # J5 skewed entity agg
         "rdf_sparql_select": _q_sparql_select,           # Q1 SPARQL subset
@@ -1486,6 +1495,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT
               (CASE WHEN subj LIKE '\\_:%' ESCAPE '\\' THEN subj ELSE '<' || subj || '>' END)
               || ' <' || pred || '> ' || {_NT_OBJ} || ' .' AS line
+            FROM {_T}
+        """,
+        "rdf_nquads": f"""
+            SELECT DISTINCT
+              (CASE WHEN subj LIKE '\\_:%' ESCAPE '\\' THEN subj ELSE '<' || subj || '>' END)
+              || ' <' || pred || '> ' || {_NT_OBJ}
+              || ' <urn:doc:' || doc_sha256 || '> .' AS line
             FROM {_T}
         """,
         "rdf_skolem_count": f"""

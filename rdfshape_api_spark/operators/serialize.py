@@ -110,3 +110,27 @@ def to_turtle_per_doc(df: DataFrame) -> DataFrame:
         "doc_sha256",
         F.concat(subj_term, F.lit(" "), F.col("body"), F.lit(" .")).alias("turtle"),
     )
+
+
+def to_nquads(df: DataFrame) -> DataFrame:
+    """One N-Quads line per triple, graph label = the per-document graph
+    ``urn:doc:<doc_sha256>`` (the same naming the SPARQL ``GRAPH``
+    extension exposes) — fully columnar, like :func:`to_ntriples`.
+    Reference parity: N-Quads is an output RdfFormat of DataConvert
+    (``RdfFormat.scala:18-29``, ``DataConvert.scala:66-127``); the
+    reference's merged model drops per-source graph labels, so emitting
+    the per-document provenance graph is the engine's strictly-richer
+    variant."""
+    subj_term = F.when(
+        F.col("subj").startswith("_:"), F.col("subj")
+    ).otherwise(F.concat(F.lit("<"), F.col("subj"), F.lit(">")))
+    return df.select(
+        F.concat_ws(
+            " ",
+            subj_term,
+            F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+            nt_term_obj(),
+            F.concat(F.lit("<urn:doc:"), F.col("doc_sha256"), F.lit(">")),
+            F.lit("."),
+        ).alias("line")
+    )

@@ -126,3 +126,19 @@ def test_serialization_roundtrip(g):
     assert reparsed == orig
     jg = to_json_graph(g)
     assert jg.count() == 7  # one row per subject
+
+
+def test_nquads_roundtrip(g):
+    """K1: to_nquads emits the per-document graph label and re-parses
+    (merged-model semantics drop the label) to the same triple set."""
+    from rdfshape_api_spark.operators.serialize import to_nquads
+    from rdfshape_api_spark.sources.parsers import parse_nquads
+
+    lines = [r["line"] for r in to_nquads(g).collect()]
+    assert all(line.rstrip(" .").endswith("<urn:doc:d1>") for line in lines)
+    reparsed = {t for t in parse_nquads("\n".join(lines))}
+    orig = {
+        (r["subj"], r["pred"], r["obj_kind"], r["obj_value"], r["obj_lang"], r["obj_datatype"])
+        for r in g.collect()
+    }
+    assert reparsed == orig
