@@ -262,6 +262,25 @@ def _q_nquads(spark, sf_dir):
     return to_nquads(_rdf_triples(spark, sf_dir)).distinct()
 
 
+# left-biased prefix list for DOT labels — same entries the P8 prefix-map
+# union exposes (rdf_prefix_map): 'sensor' aliases the 'ex' IRI, so 'ex'
+# wins every compaction, which the oracle macro mirrors by omitting it.
+_DOT_PREFIXES = [
+    ("ex", EX),
+    ("sensor", EX),
+    ("xsd", "http://www.w3.org/2001/XMLSchema#"),
+]
+
+
+def _q_dot(spark, sf_dir):
+    """Data→DOT conversion (DataConvert's Dot target via RDF2SGraph,
+    DataConvert.scala:83-120): per-document DOT body statements —
+    content-addressed node declarations + labeled edges, fully columnar."""
+    from rdfshape_api_spark.operators.serialize import to_dot
+
+    return to_dot(_rdf_triples(spark, sf_dir), _DOT_PREFIXES)
+
+
 def _q_skolem_count(spark, sf_dir):
     return _rdf_triples(spark, sf_dir).agg(
         F.count_distinct(
@@ -1274,6 +1293,7 @@ def _q_events_sessions(spark, sf_dir):
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
+    "rdf_dot",
     "rdf_sparql_path_neg",
     "social_shex_paren_not",
     "rdf_sparql_graph_optional",
@@ -1344,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_prefix_map": _q_prefix_map,                 # P8
         "rdf_ntriples": _q_ntriples,                     # K1
         "rdf_nquads": _q_nquads,                         # K1 N-Quads (r4)
+        "rdf_dot": _q_dot,                               # K-DOT visual graph (r4)
         "rdf_skolem_count": _q_skolem_count,             # canonicalization
         "rdf_hub_degree": _q_hub_degree,                 # J5 skewed entity agg
         "rdf_sparql_select": _q_sparql_select,           # Q1 SPARQL subset
@@ -1437,6 +1458,31 @@ CASE WHEN obj_kind IN ('iri') THEN '<' || obj_value || '>'
      ELSE '"' || obj_value || '"' END
 """
 
+# DOT oracle macros — the SQL twins of serialize._qname / _dot_escape.
+# Prefix order mirrors _DOT_PREFIXES (left-biased; 'sensor' shares the 'ex'
+# IRI so 'ex' always wins, exactly like the Spark side).
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _dot_qn_sql(x: str) -> str:
+    parts = []
+    for pfx, iri in (("ex", EX), ("xsd", _XSD_NS)):
+        n = len(iri)
+        parts.append(
+            f"WHEN starts_with({x}, '{iri}') AND length({x}) > {n} "
+            f"AND NOT regexp_matches(substr({x}, {n + 1}), '[/#]') "
+            f"THEN '{pfx}:' || substr({x}, {n + 1})"
+        )
+    return "CASE " + " ".join(parts) + f" ELSE {x} END"
+
+
+def _dot_esc_sql(x: str) -> str:
+    # backslash, quote, LF, CR — same order as serialize._dot_escape
+    return (
+        "replace(replace(replace(replace(" + x +
+        ", '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r')"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     ex = EX
@@ -1503,6 +1549,55 @@ def oracle_sql() -> dict[str, str]:
               || ' <' || pred || '> ' || {_NT_OBJ}
               || ' <urn:doc:' || doc_sha256 || '> .' AS line
             FROM {_T}
+        """,
+        "rdf_dot": f"""
+            WITH t AS (
+              SELECT *,
+                (subj LIKE '\\_:%' ESCAPE '\\') AS s_bn,
+                md5('r|' || subj) AS sid,
+                {_dot_esc_sql("obj_value")} ||
+                  (CASE WHEN obj_lang IS NOT NULL THEN '@' || obj_lang
+                        WHEN obj_datatype IS NOT NULL
+                          THEN '^^' || {_dot_qn_sql("obj_datatype")}
+                        ELSE '' END) AS littext
+              FROM {_T}
+            ), t2 AS (
+              SELECT *,
+                CASE WHEN obj_kind = 'literal'
+                     THEN md5('l|' || subj || '|' || pred || '|' || littext)
+                     ELSE md5('r|' || obj_value) END AS oid
+              FROM t
+            )
+            SELECT DISTINCT doc_sha256, line FROM (
+              SELECT doc_sha256,
+                '"N' || sid || '" [shape=' ||
+                (CASE WHEN s_bn THEN 'circle' ELSE 'ellipse' END) ||
+                ', label="' ||
+                (CASE WHEN s_bn THEN {_dot_esc_sql("subj")}
+                      ELSE {_dot_esc_sql(_dot_qn_sql("subj"))} END) ||
+                '"];' AS line
+              FROM t2
+              UNION ALL
+              SELECT doc_sha256,
+                '"N' || oid || '" [shape=' ||
+                (CASE WHEN obj_kind = 'literal' THEN 'record'
+                      WHEN obj_kind = 'bnode' THEN 'circle'
+                      ELSE 'ellipse' END) ||
+                ', label="' ||
+                (CASE WHEN obj_kind = 'literal' THEN littext
+                      WHEN obj_kind = 'bnode' THEN
+                        (CASE WHEN obj_value LIKE '\\_:%' ESCAPE '\\'
+                              THEN {_dot_esc_sql("obj_value")}
+                              ELSE {_dot_esc_sql(_dot_qn_sql("obj_value"))} END)
+                      ELSE {_dot_esc_sql(_dot_qn_sql("obj_value"))} END) ||
+                '"];'
+              FROM t2
+              UNION ALL
+              SELECT doc_sha256,
+                '"N' || sid || '" -> "N' || oid || '" [label="' ||
+                {_dot_esc_sql(_dot_qn_sql("pred"))} || '"];'
+              FROM t2
+            )
         """,
         "rdf_skolem_count": f"""
             SELECT count(DISTINCT subj)::BIGINT AS n_skolem_subjects

@@ -9,7 +9,11 @@ and builds JSON/DOT visual graphs (:83-120).  Spark mapping:
 * **Turtle emitter** — groupBy(subj) + one Arrow batch stage for
   pretty-printing (presentation, not hot path);
 * **JSON adjacency export** (K2) — ``groupBy(subj).agg(collect_list(...))``
-  → ``toJSON``; DOT/SVG rendering is presentation-only and out of scope.
+  → ``toJSON``;
+* **DOT visual graph** — per-document DOT statements as rows
+  (:func:`to_dot`; content-addressed node ids keep generation map-side);
+  SVG/PNG rasterization of the DOT text stays out of scope (Graphviz
+  presentation, ``GraphicFormat.scala:22``).
 """
 
 from __future__ import annotations
@@ -134,3 +138,128 @@ def to_nquads(df: DataFrame) -> DataFrame:
             F.lit("."),
         ).alias("line")
     )
+
+
+# ---------------------------------------------------------------------------
+# DOT visual-graph export (reference: DataConvert builds a DOT SGraph via
+# RDF2SGraph/sgraph.toDot, DataConvert.scala:83-120; the SVG/PNG/PS raster
+# step is Graphviz presentation and stays out of scope — the DOT text IS
+# the conversion result, exactly what the reference's Dot target returns).
+# ---------------------------------------------------------------------------
+
+
+def _dot_escape(col):
+    """Escaping for DOT double-quoted string literals."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    return F.replace(c, F.lit("\r"), F.lit("\\r"))
+
+
+def _qname(col, prefixes):
+    """Compact an IRI column to ``pfx:local`` under a left-biased prefix
+    list (first matching prefix wins; the local part must not contain
+    ``/`` or ``#``, mirroring the prefix-map compaction the reference
+    gets from SRDF's PrefixMap.qualify).  Falls back to the full IRI."""
+    out = col
+    for pfx, iri in reversed(list(prefixes)):
+        rest = F.substring(col, len(iri) + 1, 1 << 20)
+        hit = col.startswith(iri) & (F.length(col) > len(iri)) & ~rest.rlike("[/#]")
+        out = F.when(hit, F.concat(F.lit(pfx + ":"), rest)).otherwise(out)
+    return out
+
+
+def to_dot(df: DataFrame, prefixes) -> DataFrame:
+    """DOT body statements for each per-document visual graph, one
+    statement per row: ``(doc_sha256, line)``.
+
+    Node identity is content-addressed (md5 of the term), so statement
+    generation is embarrassingly parallel and set-semantics — no driver
+    assembly, no collect; a document's full ``digraph { … }`` text is a
+    KB-sized presentation concat (:func:`assemble_dot`).  IRI and bnode
+    terms are shared nodes keyed by the term itself; a literal is keyed by
+    its *occurrence* ``(subj, pred, literal)`` — literals are values, not
+    identities, so two subjects with the same literal value draw two leaf
+    boxes (the convention Graphviz RDF renderers use, and what keeps the
+    node list a pure per-triple map stage).
+
+    Shapes: IRI → ellipse, bnode → circle, literal → record.  Labels are
+    prefix-compacted qnames (left-biased, :func:`_qname`); literal labels
+    carry ``@lang`` / ``^^dtype-qname`` suffixes like Turtle.
+
+    Reference: ``DataConvert.scala:83-120`` (sgraph.toDot with
+    RDFDotPreferences.defaultRDFPrefs).
+    """
+    prefixes = list(prefixes)
+    subj_is_bnode = F.col("subj").startswith("_:")
+    subj_id = F.md5(F.concat(F.lit("r|"), F.col("subj")))
+
+    lit_text = F.concat(
+        _dot_escape(F.col("obj_value")),
+        F.when(F.col("obj_lang").isNotNull(), F.concat(F.lit("@"), F.col("obj_lang")))
+        .when(
+            F.col("obj_datatype").isNotNull(),
+            F.concat(F.lit("^^"), _qname(F.col("obj_datatype"), prefixes)),
+        )
+        .otherwise(F.lit("")),
+    )
+    obj_is_lit = F.col("obj_kind") == KIND_LITERAL
+    obj_id = F.when(
+        obj_is_lit,
+        F.md5(F.concat_ws("|", F.lit("l"), F.col("subj"), F.col("pred"), lit_text)),
+    ).otherwise(F.md5(F.concat(F.lit("r|"), F.col("obj_value"))))
+
+    def node_line(node_id, shape, label):
+        return F.concat(
+            F.lit('"N'), node_id, F.lit('" [shape='), shape,
+            F.lit(', label="'), label, F.lit('"];'),
+        )
+
+    subj_nodes = df.select(
+        "doc_sha256",
+        node_line(
+            subj_id,
+            F.when(subj_is_bnode, F.lit("circle")).otherwise(F.lit("ellipse")),
+            F.when(subj_is_bnode, _dot_escape(F.col("subj"))).otherwise(
+                _dot_escape(_qname(F.col("subj"), prefixes))
+            ),
+        ).alias("line"),
+    )
+    obj_nodes = df.select(
+        "doc_sha256",
+        node_line(
+            obj_id,
+            F.when(obj_is_lit, F.lit("record"))
+            .when(F.col("obj_kind") == KIND_BNODE, F.lit("circle"))
+            .otherwise(F.lit("ellipse")),
+            F.when(obj_is_lit, lit_text)
+            .when(
+                F.col("obj_kind") == KIND_BNODE,
+                F.when(
+                    F.col("obj_value").startswith("_:"), _dot_escape(F.col("obj_value"))
+                ).otherwise(_dot_escape(_qname(F.col("obj_value"), prefixes))),
+            )
+            .otherwise(_dot_escape(_qname(F.col("obj_value"), prefixes))),
+        ).alias("line"),
+    )
+    edges = df.select(
+        "doc_sha256",
+        F.concat(
+            F.lit('"N'), subj_id, F.lit('" -> "N'), obj_id,
+            F.lit('" [label="'), _dot_escape(_qname(F.col("pred"), prefixes)),
+            F.lit('"];'),
+        ).alias("line"),
+    )
+    return subj_nodes.unionByName(obj_nodes).unionByName(edges).distinct()
+
+
+def assemble_dot(lines_df: DataFrame, doc_sha256: str, name: str = "rdf") -> str:
+    """Presentation-only: concatenate ONE document's statements into a
+    complete ``digraph`` text (KB-sized collect, like the reference's
+    per-request response body)."""
+    rows = (
+        lines_df.where(F.col("doc_sha256") == doc_sha256)
+        .select("line").orderBy("line").collect()
+    )
+    body = "\n".join("  " + r["line"] for r in rows)
+    return f'digraph "{name}" {{\n{body}\n}}'

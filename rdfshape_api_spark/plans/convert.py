@@ -266,3 +266,94 @@ def shapemap_info(shapemap_text: str, prefixes: dict[str, str]) -> dict:
             for a in assocs
         ],
     }
+
+
+def schema_to_uml(schema: CompiledSchema) -> dict:
+    """Schema→UML conversion (SchemaConvert.scala:246,286-299: the
+    reference lifts either engine's schema through ``Schema2UML.schema2UML``
+    to a UML model it then renders as SVG/PNG).  This is the UML *model* —
+    one class per shape, attribute entries per non-reference triple
+    constraint, and association links per shape reference — as plain JSON;
+    rendering is :func:`uml_to_dot` (Graphviz raster stays out of scope,
+    same boundary as the data→DOT path).
+
+    Driver-side by design: a schema is KB-sized request metadata, never
+    distributed data.
+    """
+    classes = []
+    for sid in sorted(schema.shapes):
+        sh = schema.shapes[sid]
+        entries: list[dict] = []
+        links: list[dict] = []
+
+        def _tc_card(tc: TripleConstraint) -> str:
+            c = _card(tc).strip()
+            return c if c else "{1}"
+
+        tcs = list(sh.constraints)
+        for alt in sh.alternatives or []:
+            tcs.extend(alt)
+        for tc in tcs:
+            refs = [d.ref_shape for d in (tc.disjuncts or []) if d.ref_shape]
+            if tc.ref_shape:
+                refs.append(tc.ref_shape)
+            for ref in refs:
+                links.append(
+                    {
+                        "name": _pname(tc.pred, schema.prefixes),
+                        "target": ref,
+                        "card": _tc_card(tc),
+                    }
+                )
+            if not refs:
+                entries.append(
+                    {
+                        "name": _pname(tc.pred, schema.prefixes),
+                        "type": _value_expr(tc, schema.prefixes),
+                        "card": _tc_card(tc),
+                    }
+                )
+        for ref in sh.conjunct_refs or []:
+            links.append({"name": "extends", "target": ref, "card": "{1}"})
+        for ref in sh.disjunct_refs or []:
+            links.append({"name": "or", "target": ref, "card": "{1}"})
+        classes.append(
+            {
+                "id": sid,
+                "label": _pname(sid, schema.prefixes),
+                "closed": sh.closed,
+                "entries": entries,
+                "links": links,
+            }
+        )
+    return {"engine": schema.engine, "classes": classes}
+
+
+def uml_to_dot(uml: dict) -> str:
+    """Render a :func:`schema_to_uml` model as DOT text: record-shaped
+    class nodes (label | field rows) and labeled association edges — the
+    textual equivalent of the reference's UML SVG output."""
+
+    def _esc(s: str) -> str:
+        for ch in ('\\', '"', "{", "}", "|", "<", ">"):
+            s = s.replace(ch, "\\" + ch)
+        return s
+
+    ids = {c["id"]: f"C{i}" for i, c in enumerate(uml["classes"])}
+    out = ["digraph uml {", "  node [shape=record];"]
+    for c in uml["classes"]:
+        rows = [_esc(c["label"]) + (" (closed)" if c["closed"] else "")]
+        rows += [
+            _esc(f"{e['name']} : {e['type']} {e['card']}") for e in c["entries"]
+        ]
+        out.append(f'  {ids[c["id"]]} [label="{{{"|".join(rows)}}}"];')
+    for c in uml["classes"]:
+        for l in c["links"]:
+            tgt = ids.get(l["target"])
+            if tgt is None:  # dangling ref — rendered as its own node name
+                tgt = f'"{_esc(l["target"])}"'
+            out.append(
+                f'  {ids[c["id"]]} -> {tgt} [label="{_esc(l["name"] + " " + l["card"])}"];'
+            )
+    out.append("}")
+    return "\n".join(out)

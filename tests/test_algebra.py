@@ -142,3 +142,43 @@ def test_nquads_roundtrip(g):
         for r in g.collect()
     }
     assert reparsed == orig
+
+
+def test_dot_export(g):
+    """K-DOT: per-doc DOT statements — shared resource nodes, per-occurrence
+    literal leaves, qname labels, and a well-formed assembled digraph."""
+    from rdfshape_api_spark.operators.serialize import assemble_dot, to_dot
+
+    prefixes = [("e", "http://e/")]
+    lines = [r["line"] for r in to_dot(g, prefixes).collect()]
+    assert all(l.endswith("];") for l in lines)
+    edges = [l for l in lines if '" -> "' in l]
+    nodes = [l for l in lines if "[shape=" in l and '" -> "' not in l]
+    assert len(edges) == 8  # one per distinct triple
+    # resources are shared: node for e:b appears exactly once
+    b_nodes = [l for l in nodes if 'label="e:b"' in l]
+    assert len(b_nodes) == 1 and "shape=ellipse" in b_nodes[0]
+    # the literal leaf is a record with the lexical label
+    lit_nodes = [l for l in nodes if "shape=record" in l]
+    assert len(lit_nodes) == 1 and 'label="5"' in lit_nodes[0]
+    # edge labels are prefix-compacted; rdf:type predicate has no prefix
+    assert any('[label="e:p"]' in l for l in edges)
+    assert any("rdf-syntax-ns#type" in l for l in edges)
+    dot = assemble_dot(to_dot(g, prefixes), "d1")
+    assert dot.startswith('digraph "rdf" {') and dot.endswith("}")
+    assert dot.count("\n") == len(set(lines)) + 1
+
+
+def test_dot_escaping(spark):
+    """DOT double-quoted-string escaping: quotes, backslashes, newlines."""
+    from rdfshape_api_spark.operators.serialize import to_dot
+
+    rows = [("d1", "http://e/a", "http://e/p", "literal", 'say "hi"\nnow\\', None, None)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+    lines = [r["line"] for r in to_dot(df, []).collect()]
+    lit = next(l for l in lines if "shape=record" in l)
+    assert 'label="say \\"hi\\"\\nnow\\\\"' in lit

@@ -114,3 +114,43 @@ def test_to_shexc_renders_shape_level_refs_and_nc():
     assert re2.shapes[E + "Child"].conjunct_refs == [E + "Base"]
     assert re2.shapes[E + "T"].disjunct_refs == [E + "Base", E + "Child"]
     assert re2.shapes[E + "N"].node_constraint.node_kind == "iri"
+
+
+def test_schema_to_uml_and_dot():
+    """Schema→UML (Schema2UML parity, SchemaConvert.scala:246): classes,
+    attribute entries, ref links; DOT render is a well-formed digraph."""
+    from rdfshape_api_spark.plans.convert import schema_to_uml, uml_to_dot
+
+    shex = """
+    PREFIX ex: <http://example.org/>
+    ex:Person {
+      ex:name . ;
+      ex:age ex:Num ? ;
+      ex:knows @ex:Person *
+    }
+    ex:Num xsd:integer
+    """
+    uml = schema_to_uml(parse_shexc("PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n" + shex))
+    assert uml["engine"] == "shex"
+    by_label = {c["label"]: c for c in uml["classes"]}
+    person = by_label["ex:Person"]
+    names = {e["name"] for e in person["entries"]}
+    assert "ex:name" in names
+    knows = [l for l in person["links"] if l["name"] == "ex:knows"]
+    assert len(knows) == 1 and knows[0]["card"] == "*"
+    assert knows[0]["target"].endswith("Person")
+    dot = uml_to_dot(uml)
+    assert dot.startswith("digraph uml {") and dot.endswith("}")
+    assert "shape=record" in dot and '-> C' in dot.replace("  ", " ")
+    # every class id referenced by an edge exists
+    assert dot.count("[label=") >= len(uml["classes"])
+
+
+def test_schema_to_uml_sensor_fixture():
+    from rdfshape_api_spark.plans.convert import schema_to_uml, uml_to_dot
+
+    uml = schema_to_uml(parse_shexc(SHEX_SENSOR))
+    cls = uml["classes"][0]
+    assert cls["entries"], "sensor shape has attribute entries"
+    assert any("MININCLUSIVE" in e["type"] for e in cls["entries"])
+    assert "|" in uml_to_dot(uml)  # record rows rendered
