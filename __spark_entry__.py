@@ -618,6 +618,14 @@ def _q_text_lm_score(spark, sf_dir):
     return lm_score(docs)
 
 
+def _q_text_normalize(spark, sf_dir):
+    """Unicode NFC + CCNet dedup-key normalization (textops.normalize_text)."""
+    from rdfshape_api_spark.functions.textops import normalize_text
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return normalize_text(docs)
+
+
 def _q_text_top_ngrams(spark, sf_dir):
     """Corpus heavy-hitter bigrams at 5% document-frequency support
     (the synthetic word-soup corpus tops out near 9% — 0.05 keeps the
@@ -1294,6 +1302,7 @@ def _q_events_sessions(spark, sf_dir):
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
     "rdf_dot",
+    "text_normalize",
     "rdf_sparql_path_neg",
     "social_shex_paren_not",
     "rdf_sparql_graph_optional",
@@ -1429,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "text_hash_sample": _q_text_hash_sample,
         "text_lm_score": _q_text_lm_score,
+        "text_normalize": _q_text_normalize,
         "text_pack_sequences": _q_text_pack,
         "mm_payload_meta": _q_mm_meta,
         "mm_features": _q_mm_features,
@@ -2573,6 +2583,27 @@ def oracle_sql() -> dict[str, str]:
                         / 64) AS BIGINT) AS bin_id,
                    n_tokens
             FROM d
+        """,
+        "text_normalize": """
+            -- NFC + control strip; dedup key = md5 of the folded form
+            -- (lower, accents stripped, digits->0, punct dropped, ws
+            -- collapsed) — explicit ws classes match the Java regex side
+            WITH n AS (
+              SELECT doc_id,
+                     nfc_normalize(text) AS nt,
+                     regexp_replace(nfc_normalize(text),
+                                    '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g') AS clean,
+                     strip_accents(lower(nfc_normalize(text))) AS folded
+              FROM documents
+            )
+            SELECT doc_id,
+                   clean AS norm_text,
+                   md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                       folded, '[0-9]', '0', 'g'),
+                       '[^a-z0-9 \t\n\r]', '', 'g'),
+                       '[ \t\n\r]+', ' ', 'g'))) AS dedup_key,
+                   (clean <> nt) AS had_control_chars
+            FROM n
         """,
         "text_lm_score": """
             -- corpus-empirical unigram LM: avg ln(count(w)/total) per doc,

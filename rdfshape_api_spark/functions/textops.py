@@ -9,6 +9,7 @@ no shuffle, full predicate/column pushdown to the parquet scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # language marker words (tiny n-gram-free heuristic; deterministic and
@@ -386,4 +387,63 @@ def tfidf_topk(docs: DataFrame, k: int = 5, text_col: str = "text") -> DataFrame
         scored.withColumn("rank", F.row_number().over(win).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+    )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode + dedup-key normalization — the standard pre-dedup pass
+    (CCNet, Wenzek et al. 2020 §4.1 normalize before hashing; C4 strips
+    control characters).  Two outputs per document:
+
+    * ``norm_text`` — NFC-normalized text with control characters (except
+      ``\\n`` / ``\\t``) removed: the cleaned training text.  NFC runs in
+      ONE Arrow-batched pandas UDF (Unicode normalization has no JVM
+      builtin; this is the sanctioned vectorized Python edge, same as the
+      RDF parsers) — everything after it is JVM Column logic.
+    * ``dedup_key`` — md5 of the aggressively normalized form (lowercase,
+      accents stripped, digits → ``0``, punctuation dropped, whitespace
+      collapsed): the exact-dedup grouping key.  Accent stripping is
+      NFD-with-combining-marks-dropped inside the same UDF batch.
+
+    At 100 TB: map-only, no shuffle; the UDF is one Arrow round-trip over
+    the text column only (column pruning keeps payload columns out of the
+    Python worker).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("norm string, folded string")
+    def _nfc(batch: pd.Series) -> pd.DataFrame:
+        import unicodedata
+
+        def _do(s: str) -> tuple[str, str]:
+            n = unicodedata.normalize("NFC", s or "")
+            folded = "".join(
+                ch
+                for ch in unicodedata.normalize("NFD", n.lower())
+                if not unicodedata.combining(ch)
+            )
+            return n, folded
+        pairs = batch.map(_do)
+        return pd.DataFrame(
+            {"norm": pairs.map(lambda p: p[0]), "folded": pairs.map(lambda p: p[1])}
+        )
+
+    u = docs.select("doc_id", _nfc(F.col(text_col)).alias("_u"))
+    norm = F.regexp_replace(F.col("_u.norm"), r"[\x00-\x08\x0b-\x1f\x7f]", "")
+    # explicit whitespace class (not \s): Java's \s includes \x0b, RE2's
+    # does not — the DuckDB twin must see identical keep/collapse sets
+    key_src = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("_u.folded"), r"[0-9]", "0"),
+                r"[^a-z0-9 \t\n\r]", "",
+            ),
+            r"[ \t\n\r]+", " ",
+        )
+    )
+    return u.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(key_src).alias("dedup_key"),
+        (norm != F.col("_u.norm")).alias("had_control_chars"),
     )

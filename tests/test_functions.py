@@ -585,3 +585,30 @@ def test_audio_features(spark, docs):
         1 for a, b in zip(data, data[1:]) if a * b < 0
     )
     assert out[0]["energy_ssq"] == out[1]["energy_ssq"]  # identical docs
+
+
+def test_normalize_text(spark):
+    """NFC composition, accent folding, digit/punct/ws folding, control
+    strip — the CCNet-style pre-dedup normalization (textops.normalize_text)."""
+    from rdfshape_api_spark.functions.textops import normalize_text
+
+    decomposed = "Café No1!"        # e + combining acute (NFD)
+    composed = "Café No2?"           # precomposed é
+    docs = spark.createDataFrame(
+        [
+            ("d1", decomposed),
+            ("d2", composed),
+            ("d3", "Café   No9\t."),
+            ("d4", "plain\x07text\x0b!"),  # BEL + VT control chars
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    # NFC: the decomposed form composes; both collapse to one key after
+    # accent-strip + digit-fold + punct-drop + ws-collapse
+    assert out["d1"]["norm_text"] == "Café No1!"
+    assert out["d1"]["dedup_key"] == out["d2"]["dedup_key"] == out["d3"]["dedup_key"]
+    # control chars removed from norm_text and flagged
+    assert out["d4"]["norm_text"] == "plaintext!"
+    assert out["d4"]["had_control_chars"] is True
+    assert out["d1"]["had_control_chars"] is False
