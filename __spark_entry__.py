@@ -262,6 +262,15 @@ def _q_nquads(spark, sf_dir):
     return to_nquads(_rdf_triples(spark, sf_dir)).distinct()
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integerized 10-iteration PageRank over the merged entity graph
+    (operators/algebra.pagerank) — fixed-point arithmetic makes the
+    fixpoint bit-identical to the unrolled SQL twin."""
+    from rdfshape_api_spark.operators.algebra import pagerank
+
+    return pagerank(_rdf_triples(spark, sf_dir), iterations=10)
+
+
 # left-biased prefix list for DOT labels — same entries the P8 prefix-map
 # union exposes (rdf_prefix_map): 'sensor' aliases the 'ex' IRI, so 'ex'
 # wins every compaction, which the oracle macro mirrors by omitting it.
@@ -1303,6 +1312,7 @@ _VERIFY_FIRST = [
     # (a) new in r4 — never verified
     "rdf_dot",
     "text_normalize",
+    "rdf_pagerank",
     "rdf_sparql_path_neg",
     "social_shex_paren_not",
     "rdf_sparql_graph_optional",
@@ -1374,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_ntriples": _q_ntriples,                     # K1
         "rdf_nquads": _q_nquads,                         # K1 N-Quads (r4)
         "rdf_dot": _q_dot,                               # K-DOT visual graph (r4)
+        "rdf_pagerank": _q_pagerank,                     # KG entity salience (r4)
         "rdf_skolem_count": _q_skolem_count,             # canonicalization
         "rdf_hub_degree": _q_hub_degree,                 # J5 skewed entity agg
         "rdf_sparql_select": _q_sparql_select,           # Q1 SPARQL subset
@@ -1486,6 +1497,35 @@ def _dot_qn_sql(x: str) -> str:
     return "CASE " + " ".join(parts) + f" ELSE {x} END"
 
 
+def _pagerank_sql(iters: int = 10, scale: int = 1_000_000) -> str:
+    """Unrolled integer-arithmetic PageRank twin of algebra.pagerank —
+    one CTE per iteration; integer ops make summation order irrelevant."""
+    ctes = [
+        f"e AS (SELECT DISTINCT subj AS src, obj_value AS dst FROM {_T} "
+        "WHERE obj_kind <> 'literal')",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "od AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, od.deg FROM e JOIN od USING (src))",
+        "p AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        f"r0 AS (SELECT node, ({scale} // n)::BIGINT AS rank FROM nodes, p)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"r{i + 1} AS (SELECT n.node, "
+            f"((15 * ({scale} // p.n)) // 100 "
+            f"+ (85 * coalesce(s.m, 0)) // 100)::BIGINT AS rank "
+            f"FROM nodes n CROSS JOIN p LEFT JOIN ("
+            f"SELECT ew.dst, sum(r.rank // ew.deg) AS m "
+            f"FROM ew JOIN r{i} r ON ew.src = r.node GROUP BY ew.dst"
+            f") s ON s.dst = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS entity, rank AS rank_int FROM r{iters}"
+    )
+
+
 def _dot_esc_sql(x: str) -> str:
     # backslash, quote, LF, CR — same order as serialize._dot_escape
     return (
@@ -1560,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
               || ' <urn:doc:' || doc_sha256 || '> .' AS line
             FROM {_T}
         """,
+        "rdf_pagerank": _pagerank_sql(10),
         "rdf_dot": f"""
             WITH t AS (
               SELECT *,

@@ -211,3 +211,74 @@ def isomorphic(df1: DataFrame, df2: DataFrame) -> bool:
     cols = ["subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
     a, b = df1.select(*cols), df2.select(*cols)
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+# --- KG analytics: entity PageRank over the merged entity graph -------------
+# Complements rdf_hub_degree / link_entities: importance ranking of the
+# canonical entities (the classic KG-construction signal for entity
+# salience).  The reference exposes degree-style DataInfo aggregates; a
+# distributed importance measure is the scale-path extension of A3.
+
+def pagerank(
+    df: DataFrame,
+    iterations: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over the DISTINCT resource→resource edges
+    of the merged model, in **integer fixed-point arithmetic** so the
+    result is bit-reproducible across engines and run orders (float
+    summation is order-sensitive; integer sums are not — same trick as
+    the integerized TF-IDF scores).
+
+    Semantics (simplified PageRank, damping 0.85, dangling mass dropped —
+    the common fixed-k formulation):
+
+      ``rank₀ = scale // n``
+      ``rankᵢ₊₁(v) = (15·(scale//n))//100 + (85·Σ_{u→v} rankᵢ(u)//deg(u))//100``
+
+    Scale design: per iteration one partition-local ``div`` map over the
+    pre-joined ``(src, dst, deg)`` edge relation, one shuffle
+    (``groupBy(dst)`` with map-side partial sums), one broadcast-free left
+    join back to the node list; lineage is cut with ``localCheckpoint``
+    per round (on a cluster: persist + count, or checkpoint to durable
+    storage).  Edges carry their out-degree from a single up-front join,
+    so the loop never re-aggregates degrees.
+    """
+    edges = (
+        df.where(F.col("obj_kind") != KIND_LITERAL)
+        .select(F.col("subj").alias("src"), F.col("obj_value").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ewd = edges.join(outdeg, on="src").persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("bigint").alias("rank_int")).withColumnRenamed("node", "entity")
+    base = scale // n
+    teleport = (15 * base) // 100
+    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("rank"))
+    for _ in range(iterations):
+        contrib = ewd.join(ranks, ewd["src"] == ranks["node"]).select(
+            F.col("dst"), F.expr("rank div deg").alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (F.lit(teleport) + F.expr("(85 * coalesce(m, 0)) div 100"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    out = ranks.select(F.col("node").alias("entity"), F.col("rank").alias("rank_int"))
+    nodes.unpersist()
+    ewd.unpersist()
+    return out

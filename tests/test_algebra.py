@@ -182,3 +182,48 @@ def test_dot_escaping(spark):
     lines = [r["line"] for r in to_dot(df, []).collect()]
     lit = next(l for l in lines if "shape=record" in l)
     assert 'label="say \\"hi\\"\\nnow\\\\"' in lit
+
+
+def test_pagerank_matches_reference_implementation(spark):
+    """Integerized PageRank equals a driver-side pure-Python evaluation of
+    the same fixed-point recurrence on a deterministic pseudo-random graph,
+    and ranks hubs above leaves."""
+    import hashlib
+
+    from rdfshape_api_spark.operators.algebra import pagerank
+
+    # deterministic scale-free-ish digraph: node i links to md5-derived targets
+    n_nodes, rows = 40, []
+    for i in range(n_nodes):
+        for j in range(1 + i % 3):
+            h = int(hashlib.md5(f"{i}|{j}".encode()).hexdigest(), 16)
+            tgt = h % n_nodes
+            if tgt != i:
+                rows.append(("d1", f"http://e/n{i}", "http://e/p", "iri", f"http://e/n{tgt}", None, None))
+    # every node also links to the hub
+    rows += [("d1", f"http://e/n{i}", "http://e/p", "iri", "http://e/hub", None, None) for i in range(n_nodes)]
+    g = spark.createDataFrame(
+        rows,
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+    got = {r["entity"]: r["rank_int"] for r in pagerank(g, iterations=10).collect()}
+
+    # pure-Python reference of the identical integer recurrence
+    edges = sorted({(s, o) for _, s, _, _, o, _, _ in rows})
+    nodes = sorted({x for e in edges for x in e})
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    scale, n = 1_000_000, len(nodes)
+    base = scale // n
+    teleport = (15 * base) // 100
+    rank = {v: base for v in nodes}
+    for _ in range(10):
+        sums = {v: 0 for v in nodes}
+        for s, o in edges:
+            sums[o] += rank[s] // deg[s]
+        rank = {v: teleport + (85 * sums[v]) // 100 for v in nodes}
+    assert got == rank
+    assert got["http://e/hub"] == max(got.values())
+    assert got["http://e/hub"] > 10 * min(got.values())
