@@ -664,6 +664,18 @@ def _q_text_hash_sample(spark, sf_dir):
     )
 
 
+def _q_sim_pca(spark, sf_dir):
+    """Distributed PCA: one-pass partial moments -> driver eigh -> map-only
+    integerized projection onto the top-4 components.  No SQL twin (the
+    eigendecomposition has no DuckDB equivalent) — rows-only check, same
+    contract tier as IVF k-means."""
+    from rdfshape_api_spark.functions.similarity import pca_fit, pca_project
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    mean, comps, _ = pca_fit(emb, k=4)
+    return pca_project(emb, mean, comps)
+
+
 def _q_sim_semantic_dedup(spark, sf_dir):
     """SemDeDup-style keep/drop per vector: hyperplane-bucketed candidate
     pairs, cosine >= 0.4 (the de-trivialized threshold, see
@@ -1313,6 +1325,7 @@ _VERIFY_FIRST = [
     "rdf_dot",
     "text_normalize",
     "rdf_pagerank",
+    "sim_pca_project",
     "rdf_sparql_path_neg",
     "social_shex_paren_not",
     "rdf_sparql_graph_optional",
@@ -1445,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_near_dups": _q_sim_near_dups,
         "sim_lsh_ann": _q_sim_lsh_ann,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
+        "sim_pca_project": _q_sim_pca,
         "text_top_ngrams": _q_text_top_ngrams,
         "text_tfidf": _q_text_tfidf,
         "text_hash_sample": _q_text_hash_sample,

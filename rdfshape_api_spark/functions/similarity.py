@@ -248,3 +248,97 @@ def semantic_dedup(
             F.coalesce(F.col("n_near_dups"), F.lit(0)).cast("bigint").alias("n_near_dups"),
         )
     )
+
+
+def pca_fit(emb: DataFrame, k: int = 8, vec_col: str = "embedding"):
+    """Distributed PCA fit: ONE pass of per-partition partial moments
+    (count, Σx, Σxxᵀ) via ``mapInPandas`` — each partition emits a single
+    d+1 × d block, so the driver reduce sees ``n_partitions`` tiny rows
+    regardless of table size — then a d×d eigendecomposition on the
+    driver (d=64 here; the covariance never leaves O(d²) memory).
+
+    Returns ``(mean: list[float], components: list[list[float]],
+    explained: list[float])`` with components as the top-``k`` rows.
+    Eigenvector sign is fixed deterministically (largest-|coefficient|
+    entry made positive) — eigh's sign choice is arbitrary and would
+    otherwise differ run-to-run.
+
+    The moment pass is the textbook scale path (e.g. Spark MLlib's
+    RowMatrix.computeCovariance does the same Σxxᵀ reduce); implemented
+    directly on the DataFrame so the embedding column prunes to the
+    Python workers via Arrow.
+    """
+    import numpy as np
+
+    d = len(emb.select(vec_col).first()[0])
+
+    def _partials(batches):
+        import pandas as pdl
+
+        cnt, s, ss = 0, np.zeros(d), np.zeros((d, d))
+        for b in batches:
+            X = np.asarray(list(b[vec_col]), dtype=np.float64)
+            if len(X):
+                cnt += len(X)
+                s += X.sum(axis=0)
+                ss += X.T @ X
+        yield pdl.DataFrame(
+            {"cnt": [cnt], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+        )
+
+    parts = emb.select(vec_col).mapInPandas(
+        _partials, schema="cnt long, s array<double>, ss array<double>"
+    ).collect()
+    n = sum(r["cnt"] for r in parts)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    s = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # deterministic sign
+            v = -v
+        comps.append(v.tolist())
+    return mean.tolist(), comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Project onto fitted components — pure JVM Column arithmetic: the
+    (tiny) mean/component constants are inlined as array literals and each
+    coordinate is a ``zip_with``+``aggregate`` dot product, so projection
+    is a map-only codegen stage (no Python, no shuffle, broadcast-free).
+    Coordinates are emitted integerized (``floor(x*scale)``) for
+    cross-engine comparability, same convention as tfidf_topk."""
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda a, b: a - b,
+    )
+    coords = [
+        F.floor(
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(c)) for c in comp]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * scale
+        ).cast("bigint")
+        for comp in components
+    ]
+    return emb.select(F.col(id_col), F.array(*coords).alias("proj"))

@@ -612,3 +612,40 @@ def test_normalize_text(spark):
     assert out["d4"]["norm_text"] == "plaintext!"
     assert out["d4"]["had_control_chars"] is True
     assert out["d1"]["had_control_chars"] is False
+
+
+def test_pca_fit_project_matches_numpy(spark):
+    """Distributed moment-pass PCA == numpy PCA on the collected data:
+    same eigenvalues, same components (up to fixed sign), and the map-only
+    projection reproduces the numpy projection within 1 integer unit."""
+    import numpy as np
+
+    from rdfshape_api_spark.functions.similarity import pca_fit, pca_project
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: two dominant directions in 8-d
+    base = rng.randn(300, 8) * np.array([10.0, 5.0, 1, 1, 0.5, 0.5, 0.1, 0.1])
+    rot, _ = np.linalg.qr(rng.randn(8, 8))
+    X = base @ rot + 3.0
+    emb = spark.createDataFrame(
+        [(f"v{i}", row.tolist()) for i, row in enumerate(X)],
+        "vec_id string, embedding array<double>",
+    ).repartition(5)
+
+    mean, comps, explained = pca_fit(emb, k=3)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    cov = np.cov(X, rowvar=False)
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(explained, vals[:3], rtol=1e-9)
+    # components match numpy's (sign-fixed) eigenvectors
+    _, vecs = np.linalg.eigh(cov)
+    for j, comp in enumerate(comps):
+        v = vecs[:, np.argsort(np.linalg.eigvalsh(cov))[::-1][j]]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        assert np.allclose(comp, v, atol=1e-8)
+    # projection: exact integerized dot products
+    got = {r["vec_id"]: r["proj"] for r in pca_project(emb, mean, comps).collect()}
+    P = (X - X.mean(axis=0)) @ np.array(comps).T * 1000
+    for i in range(300):
+        assert all(abs(g - e) <= 1 for g, e in zip(got[f"v{i}"], np.floor(P[i])))
