@@ -418,6 +418,28 @@ ex:EmailPerson {{ ex:email . }}
 """
 
 
+SHEX_MIXED_AND = f"""\
+PREFIX ex: <{EX}>
+
+ex:NameShape {{
+  ex:name (PATTERN "^Person" AND NOT ([ "Person 1"~ ] OR MINLENGTH 13)) ?
+}}
+"""
+
+
+def _q_social_mixed_and(spark, sf_dir):
+    """Round-4 lift: mixed-polarity value conjunction (`PATTERN AND NOT
+    (stem OR MINLENGTH)`) — the `conjuncts` carrier end-to-end."""
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(
+        tri,
+        parse_shexc(SHEX_MIXED_AND),
+        shapemap="{FOCUS a ex:Person}@ex:NameShape",
+    ).select("doc_sha256", "node", "status")
+
+
 def _q_social_paren_not(spark, sf_dir):
     from rdfshape_api_spark.plans import parse_shexc, validate
 
@@ -1326,6 +1348,7 @@ _VERIFY_FIRST = [
     "text_normalize",
     "rdf_pagerank",
     "sim_pca_project",
+    "social_shex_mixed_and",
     "rdf_sparql_path_neg",
     "social_shex_paren_not",
     "rdf_sparql_graph_optional",
@@ -1435,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_shex_or_refs": _q_social_or_refs,        # §2.7 @<A> OR @<B> disjunct refs
         "social_shex_nested_or": _q_social_nested_or,    # §2.7 refs two OR-levels deep (r4)
         "social_shex_paren_not": _q_social_paren_not,    # §2.7 NOT over (@ref OR …) paren group (r4)
+        "social_shex_mixed_and": _q_social_mixed_and,    # §2.7 mixed-polarity AND conjuncts (r4)
         "rdf_sparql_graph": _q_sparql_graph,             # Q1 GRAPH doc-scoped BGPs (r4)
         "rdf_sparql_graph_optional": _q_sparql_graph_optional,  # Q1 GRAPH inside OPTIONAL (r4)
         "rdf_sparql_construct_limit": _q_sparql_construct_limit,  # Q1 CONSTRUCT + modifiers (r4)
@@ -2206,6 +2230,31 @@ def oracle_sql() -> dict[str, str]:
             FROM focus f
             LEFT JOIN bad b ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
             LEFT JOIN names nm ON nm.doc_sha256 = f.doc_sha256 AND nm.node = f.node
+        """,
+        "social_shex_mixed_and": f"""
+            -- ex:name (PATTERN "^Person" AND NOT (["Person 1"]~ OR
+            -- MINLENGTH 13)) ? : a name value passes iff it matches
+            -- ^Person AND is neither a "Person 1"-stem nor >= 13 chars;
+            -- cardinality ? — absent name conforms, any failing value
+            -- does not
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_value FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = '{EX}Person'
+            ), bad AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = '{EX}name'
+                AND NOT (regexp_matches(obj_value, '^Person')
+                         AND NOT (starts_with(obj_value, 'Person 1')
+                                  OR length(obj_value) >= 13))
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN b.node IS NULL
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f
+            LEFT JOIN bad b ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
         """,
         "social_shex_paren_not": f"""
             -- NOT (@ex:EmailPerson OR [ ex:nobody ]): a known node FAILS

@@ -69,8 +69,14 @@ def _card(tc: TripleConstraint) -> str:
 
 
 def _value_expr(tc: TripleConstraint, prefixes: dict[str, str]) -> str:
+    if tc.conjuncts:
+        neg = "NOT " if tc.negated else ""
+        return neg + " AND ".join(
+            f"({_value_expr(m, prefixes)})" for m in tc.conjuncts
+        )
     if tc.disjuncts:
-        return " OR ".join(_value_expr(d, prefixes) for d in tc.disjuncts)
+        body = " OR ".join(_value_expr(d, prefixes) for d in tc.disjuncts)
+        return f"NOT ({body})" if tc.negated else body
     neg = "NOT " if tc.negated else ""
     parts: list[str] = []
     if tc.value_set is not None:

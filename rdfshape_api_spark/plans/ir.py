@@ -87,6 +87,13 @@ class TripleConstraint:
     # SHACL sh:xone: exactly ONE disjunct must hold per value (vs sh:or's
     # at-least-one); only meaningful when `disjuncts` is set
     xone: bool = False
+    # ShEx AND of value expressions with mixed polarity (e.g.
+    # `xsd:string AND NOT ("bad" OR "worse")`): when set, the value
+    # predicate is the conjunction of the members' predicates and every
+    # other value field on THIS carrier is clear (members are value-only
+    # carriers, pure primitives or [negated] disjunctions — never shape
+    # refs, which would need conformance-set complements)
+    conjuncts: list["TripleConstraint"] | None = None
     # SHACL property-pair constraints — compare this path's value set with
     # the value set at ANOTHER predicate on the same focus node
     # (sh:equals / sh:disjoint: set comparison; sh:lessThan /

@@ -388,6 +388,26 @@ class _ShexParser:
                 self.next()  # explicit AND — same conjunction
                 continue
             k, v = self.peek()
+            if k == "kw" and v.upper() == "NOT":
+                # NOT in conjunct position: only a parenthesized group can
+                # carry a per-atom negation mid-conjunction (`xsd:string
+                # AND NOT ("bad" OR "worse")` → mixed-polarity conjuncts
+                # carrier via _lower_value_groups).  A bare negated atom
+                # here would need the atom parser to stop after one
+                # primitive — clean reject with guidance instead.
+                self.next()
+                if self.peek() != ("punct", "("):
+                    raise ValueError(
+                        "ShExC: NOT inside a conjunction must negate a "
+                        "parenthesized group — write `… AND NOT ( atom )`"
+                    )
+                self.next()
+                grp = TripleConstraint(pred=tc.pred)
+                self.parse_value_expr_or(grp)
+                self.expect(")")
+                grp.negated = not grp.negated
+                groups.append(grp)
+                continue
             if k == "punct" and v == "(":
                 # parenthesized shape expression (ShExC shapeAtom ::=
                 # '(' shapeExpression ')'): parse the inner [NOT] atom
@@ -525,6 +545,7 @@ class _ShexParser:
                 setattr(tc, f, getattr(grp, f))
             tc.disjuncts = grp.disjuncts
             tc.xone = grp.xone
+            tc.conjuncts = grp.conjuncts
             tc.negated = neg
             return
         if tc.negated:
@@ -533,19 +554,37 @@ class _ShexParser:
                 "other value constraints is unsupported — distribute the "
                 "negation or name the group as a shape"
             )
+        if any(
+            grp.negated or any(m.negated for m in grp.disjuncts or [])
+            for grp in groups
+        ):
+            # mixed-polarity conjunction, e.g. `xsd:string AND NOT ("bad"
+            # OR "worse")` or `(NOT IRI OR xsd:string) AND MINLENGTH 2`:
+            # no DNF — lower to a value-level `conjuncts` carrier the
+            # evaluator ANDs recursively (_value_ok).  Shape refs anywhere
+            # inside would need conformance-set complements / per-member
+            # conformance joins: still the clean boundary.
+            def _refs_in(g: TripleConstraint) -> bool:
+                return bool(g.ref_shape) or any(
+                    _refs_in(m) for m in (g.disjuncts or [])
+                ) or any(_refs_in(m) for m in (g.conjuncts or []))
+
+            if _refs_in(tc) or any(_refs_in(g) for g in groups):
+                raise ValueError(
+                    "ShExC: a shape reference inside a mixed-polarity "
+                    "(...) conjunction is unsupported — name the group "
+                    "as a shape"
+                )
+            members_: list[TripleConstraint] = []
+            if direct:
+                members_.append(tc_value_copy(tc))
+            members_.extend(tc_value_copy(g) for g in groups)
+            _clear_value_fields(tc)
+            tc.conjuncts = members_
+            return
         result = [tc_value_copy(tc)]
         for grp in groups:
-            if grp.negated and not grp.disjuncts:
-                raise ValueError(
-                    "ShExC: a negated (...) group conjoined with other "
-                    "value constraints is unsupported"
-                )
             members = grp.disjuncts if grp.disjuncts else [grp]
-            if grp.negated:
-                raise ValueError(
-                    "ShExC: a negated (...) disjunction conjoined with "
-                    "other value constraints is unsupported"
-                )
             nxt: list[TripleConstraint] = []
             for c in result:
                 for m in members:
@@ -790,6 +829,8 @@ def tc_value_copy(tc: TripleConstraint) -> TripleConstraint:
         # expression — deep copy so later mutation never aliases
         d.disjuncts = [tc_value_copy(x) for x in tc.disjuncts]
         d.xone = tc.xone
+    if tc.conjuncts:
+        d.conjuncts = [tc_value_copy(x) for x in tc.conjuncts]
     return d
 
 
@@ -798,6 +839,7 @@ def _clear_value_fields(tc: TripleConstraint) -> None:
         setattr(tc, f, False if f in ("negated", "value_set_has_wildcard") else None)
     tc.disjuncts = None
     tc.xone = False
+    tc.conjuncts = None
 
 
 def _unquote(s: str) -> str:

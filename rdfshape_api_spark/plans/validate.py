@@ -89,6 +89,14 @@ def _value_ok(
     logic.  ``disjunct_ref_cols`` / ``disjunct_class_cols`` map disjunct
     index → the boolean column carrying that member's ``sh:node`` /
     ``sh:class`` conformance (nested inside sh:or)."""
+    if tc.conjuncts:
+        # mixed-polarity value conjunction (`xsd:string AND NOT (…)`):
+        # AND of the members' predicates; members are pure value carriers
+        # (possibly negated disjunctions), never refs — parser invariant
+        allok = F.lit(True)
+        for m in tc.conjuncts:
+            allok = allok & F.coalesce(_value_ok(m, None), F.lit(False))
+        return ~allok if tc.negated else allok
     if tc.disjuncts:
         if tc.xone:
             # sh:xone: exactly one member holds for the value

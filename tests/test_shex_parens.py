@@ -101,11 +101,32 @@ def test_not_mixing_group_and_primitive_rejects():
         )
 
 
-def test_negated_member_in_conjunction_rejects():
-    with pytest.raises(ValueError, match="negated member"):
+def test_negated_group_conjunction_lowers_to_conjuncts():
+    """Round-4 lift: a negated (...) group conjoined with primitives
+    lowers to a value-level `conjuncts` carrier instead of rejecting."""
+    sch = parse_shexc(
+        f"PREFIX ex: <{E}>\nPREFIX xsd: <{XSD}>\n"
+        'ex:S { ex:v xsd:string AND NOT ([ "bad" "worse" ] OR MINLENGTH 9) }'
+    )
+    tc = sch.shapes[E + "S"].constraints[0]
+    assert tc.conjuncts and len(tc.conjuncts) == 2
+    assert tc.conjuncts[0].datatype == XSD + "string"
+    assert tc.conjuncts[1].negated and len(tc.conjuncts[1].disjuncts) == 2
+    # positive group with a negated member conjoined with a primitive
+    sch2 = parse_shexc(
+        f"PREFIX ex: <{E}>\nPREFIX xsd: <{XSD}>\n"
+        "ex:S { ex:v (NOT IRI OR xsd:string) AND MINLENGTH 2 }"
+    )
+    tc2 = sch2.shapes[E + "S"].constraints[0]
+    assert tc2.conjuncts and len(tc2.conjuncts) == 2
+
+
+def test_negated_group_conjunction_with_ref_rejects():
+    with pytest.raises(ValueError, match="mixed-polarity"):
         parse_shexc(
             f"PREFIX ex: <{E}>\nPREFIX xsd: <{XSD}>\n"
-            "ex:S { ex:v (NOT IRI OR xsd:string) AND MINLENGTH 2 }"
+            "ex:T { ex:name . }\n"
+            "ex:S { ex:v xsd:string AND NOT (@ex:T OR xsd:integer) }"
         )
 
 
@@ -221,3 +242,59 @@ def test_negated_ref_group_in_disjunct_position_rejects(spark):
     tri = _tri(spark, [(E + "a", E + "v", "literal", "x", None, None)])
     with pytest.raises(ValueError, match="two disjunct levels"):
         validate(tri, schema, shapemap=f"<{E}a>@<{E}S>").collect()
+
+
+def test_mixed_polarity_conjunction_end_to_end(spark):
+    """`xsd:string AND NOT ([ "bad" "worse" ] OR MINLENGTH 9)` — the
+    round-4 mixed-polarity conjuncts carrier, through both validate()
+    and the batched path."""
+    from rdfshape_api_spark.plans.validate import validate_batch
+
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nPREFIX xsd: <{XSD}>\n"
+        'ex:S { ex:v xsd:string AND NOT ([ "bad" "worse" ] OR MINLENGTH 9) }'
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "good", None, None),
+            (E + "b", E + "v", "literal", "bad", None, None),
+            (E + "c", E + "v", "literal", "worse", None, None),
+            (E + "d", E + "v", "iri", E + "x", None, None),
+            (E + "e", E + "v", "literal", "5", None, XSD + "integer"),
+        ],
+    )
+    smap = ", ".join(f"<{E}{n}>@<{E}S>" for n in "abcde")
+    expected = {
+        "a": "conformant",
+        "b": "nonconformant",
+        "c": "nonconformant",
+        "d": "nonconformant",   # IRI is not an xsd:string literal
+        "e": "nonconformant",   # integer datatype
+    }
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == expected
+    outb = {
+        r["node"][-1]: r["status"]
+        for r in validate_batch(tri, [(schema, smap, "s")]).collect()
+    }
+    assert outb == expected
+
+
+def test_minlength_with_negated_member_group_end_to_end(spark):
+    """`(NOT IRI OR xsd:string) AND MINLENGTH 2`."""
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nPREFIX xsd: <{XSD}>\n"
+        "ex:S { ex:v (NOT IRI OR xsd:string) AND MINLENGTH 2 }"
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "ok", None, None),    # not-IRI & len 2
+            (E + "b", E + "v", "literal", "x", None, None),     # len 1 fails
+            (E + "c", E + "v", "iri", E + "longiri", None, None),  # IRI, no string dt
+        ],
+    )
+    smap = ", ".join(f"<{E}{n}>@<{E}S>" for n in "abc")
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "nonconformant"}
