@@ -262,6 +262,57 @@ def _q_nquads(spark, sf_dir):
     return to_nquads(_rdf_triples(spark, sf_dir)).distinct()
 
 
+def _q_trig(spark, sf_dir):
+    """K1 TriG emitter: one <urn:doc:sha> { … } graph block per document
+    (RdfFormat.scala:18-29 lists TriG as a DataConvert output)."""
+    from rdfshape_api_spark.operators.serialize import to_trig
+
+    return to_trig(_rdf_triples(spark, sf_dir))
+
+
+def _roundtrip_q(spark, sf_dir, fn_name: str, text_col: str, lang: str):
+    """K1 round-trip entries: raw-extract the fixture docs, serialize each
+    document with the given emitter, re-parse the serialized text with this
+    package's own parser (original doc_sha256 threaded through so
+    skolemization lands identically), canonicalize + per-doc dedup — the
+    result must hash-equal the canonical triples parquet (the oracle).
+    Proves emitter AND parser jointly lossless (SURVEY §5's
+    parse(serialize(g)) == g property, driver-checked)."""
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.operators import serialize as ser
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    raw = extract_triples(_rdf_docs(spark, sf_dir))
+    redocs = getattr(ser, fn_name)(raw).select(
+        F.lit("roundtrip").alias("repo"),
+        F.col("doc_sha256").alias("path"),
+        F.lit("c0").alias("commit"),
+        "doc_sha256",  # ORIGINAL sha — with_doc_sha preserves an existing column
+        F.lit(lang).alias("lang"),
+        F.col(text_col).alias("content"),
+    )
+    return dedup_triples(canonicalize(extract_triples(redocs)), scope_doc=True).select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+    )
+
+
+def _q_rdfxml_roundtrip(spark, sf_dir):
+    """K1 RDF/XML emitter, checked by round-trip through parse_rdfxml."""
+    return _roundtrip_q(spark, sf_dir, "to_rdfxml_per_doc", "xml", "rdfxml")
+
+
+def _q_jsonld_roundtrip(spark, sf_dir):
+    """K1 JSON-LD (expanded form) emitter, round-trip via parse_jsonld."""
+    return _roundtrip_q(spark, sf_dir, "to_jsonld_per_doc", "jsonld", "jsonld")
+
+
+def _q_rdfjson_roundtrip(spark, sf_dir):
+    """K1 RDF/JSON (Talis) emitter, round-trip via parse_rdfjson."""
+    return _roundtrip_q(spark, sf_dir, "to_rdfjson_per_doc", "rdfjson", "rdfjson")
+
+
 def _q_pagerank(spark, sf_dir):
     """Integerized 10-iteration PageRank over the merged entity graph
     (operators/algebra.pagerank) — fixed-point arithmetic makes the
@@ -1344,6 +1395,10 @@ def _q_events_sessions(spark, sf_dir):
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
+    "rdf_trig",
+    "rdf_xml_roundtrip",
+    "rdf_jsonld_roundtrip",
+    "rdf_rdfjson_roundtrip",
     "rdf_dot",
     "text_normalize",
     "rdf_pagerank",
@@ -1419,6 +1474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_prefix_map": _q_prefix_map,                 # P8
         "rdf_ntriples": _q_ntriples,                     # K1
         "rdf_nquads": _q_nquads,                         # K1 N-Quads (r4)
+        "rdf_trig": _q_trig,                             # K1 TriG (r4)
+        "rdf_xml_roundtrip": _q_rdfxml_roundtrip,        # K1 RDF/XML round-trip (r4)
+        "rdf_jsonld_roundtrip": _q_jsonld_roundtrip,     # K1 JSON-LD round-trip (r4)
+        "rdf_rdfjson_roundtrip": _q_rdfjson_roundtrip,   # K1 RDF/JSON round-trip (r4)
         "rdf_dot": _q_dot,                               # K-DOT visual graph (r4)
         "rdf_pagerank": _q_pagerank,                     # KG entity salience (r4)
         "rdf_skolem_count": _q_skolem_count,             # canonicalization
@@ -1637,6 +1696,34 @@ def oracle_sql() -> dict[str, str]:
               || ' <' || pred || '> ' || {_NT_OBJ}
               || ' <urn:doc:' || doc_sha256 || '> .' AS line
             FROM {_T}
+        """,
+        "rdf_trig": f"""
+            WITH l AS (
+              SELECT DISTINCT doc_sha256,
+                (CASE WHEN subj LIKE '\\_:%' ESCAPE '\\' THEN subj ELSE '<' || subj || '>' END)
+                || ' <' || pred || '> ' || {_NT_OBJ} || ' .' AS line
+              FROM {_T}
+            )
+            SELECT doc_sha256,
+                   '<urn:doc:' || doc_sha256 || '> {{' || chr(10) || '  '
+                   || string_agg(line, chr(10) || '  ' ORDER BY line)
+                   || chr(10) || '}}' AS trig
+            FROM l GROUP BY doc_sha256
+        """,
+        # round-trip oracles: serialize→reparse→canonicalize must reproduce
+        # the canonical triple store exactly (emitter + parser jointly
+        # lossless); the oracle is simply the store itself
+        "rdf_xml_roundtrip": f"""
+            SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value,
+                            obj_lang, obj_datatype FROM {_T}
+        """,
+        "rdf_jsonld_roundtrip": f"""
+            SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value,
+                            obj_lang, obj_datatype FROM {_T}
+        """,
+        "rdf_rdfjson_roundtrip": f"""
+            SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value,
+                            obj_lang, obj_datatype FROM {_T}
         """,
         "rdf_pagerank": _pagerank_sql(10),
         "rdf_dot": f"""

@@ -140,6 +140,264 @@ def to_nquads(df: DataFrame) -> DataFrame:
     )
 
 
+def to_trig(df: DataFrame) -> DataFrame:
+    """TriG emitter: one ``<urn:doc:sha> { … }`` graph block per document
+    (RdfFormat.scala:18-29 lists TriG as a DataConvert output format; the
+    graph label mirrors :func:`to_nquads`).  Fully columnar: N-Triples
+    statement lines sorted + assembled per document with one aggregation.
+    Returns ``(doc_sha256, trig)``."""
+    subj_term = F.when(
+        F.col("subj").startswith("_:"), F.col("subj")
+    ).otherwise(F.concat(F.lit("<"), F.col("subj"), F.lit(">")))
+    line = F.concat_ws(
+        " ",
+        subj_term,
+        F.concat(F.lit("<"), F.col("pred"), F.lit(">")),
+        nt_term_obj(),
+        F.lit("."),
+    )
+    body = df.groupBy("doc_sha256").agg(
+        F.array_join(F.sort_array(F.collect_list(line)), "\n  ").alias("_body")
+    )
+    return body.select(
+        "doc_sha256",
+        F.concat(
+            F.lit("<urn:doc:"),
+            F.col("doc_sha256"),
+            F.lit("> {\n  "),
+            F.col("_body"),
+            F.lit("\n}"),
+        ).alias("trig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML / JSON-LD / RDF-JSON emitters (K1, RdfFormat.scala:18-29).  All
+# three are two-level groupBy assembly with pure-columnar escaping — no
+# Python stage.  Round-trip property: parse(serialize(g)) == g through this
+# package's own parsers (SURVEY §5's property-test model).
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape_text(col):
+    """XML character-data escaping. ``\\r`` must be character-referenced:
+    XML parsers normalize literal CR to LF in text content."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    c = F.replace(c, F.lit(">"), F.lit("&gt;"))
+    return F.replace(c, F.lit("\r"), F.lit("&#13;"))
+
+
+def _xml_escape_attr(col):
+    """XML attribute-value escaping: text escapes + quote, and whitespace
+    character references (attribute-value normalization folds literal
+    TAB/LF/CR to spaces)."""
+    c = _xml_escape_text(col)
+    c = F.replace(c, F.lit('"'), F.lit("&quot;"))
+    c = F.replace(c, F.lit("\n"), F.lit("&#10;"))
+    return F.replace(c, F.lit("\t"), F.lit("&#9;"))
+
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def to_rdfxml_per_doc(df: DataFrame) -> DataFrame:
+    """RDF/XML emitter: one XML document per ``doc_sha256``.
+
+    Striped profile: one ``rdf:Description`` per subject (``rdf:about`` /
+    ``rdf:nodeID``), one property element per triple.  Each property
+    element declares its own namespace (``<p:local xmlns:p="ns">``), which
+    sidesteps the per-document prefix table entirely — element-local xmlns
+    is valid XML and namespace-identical after parsing.  The predicate
+    IRI must end in an NCName (the same "cannot split URI" constraint
+    Jena's RDF/XML writer has); violations raise at execution.
+
+    Returns ``(doc_sha256, xml)``.  Serialize from *raw* (pre-skolem)
+    triples to round-trip blank-node identity."""
+    pred, v = F.col("pred"), F.col("obj_value")
+    local = F.regexp_extract(pred, r"([A-Za-z_][A-Za-z0-9_.\-]*)$", 1)
+    local = F.when(local != "", local).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("RDF/XML: cannot split predicate IRI into "
+                      "namespace + NCName local part: "),
+                pred,
+            )
+        )
+    )
+    ns = pred.substr(F.lit(1), F.length(pred) - F.length(local))
+    start = F.concat(
+        F.lit("<p:"), local, F.lit(' xmlns:p="'), _xml_escape_attr(ns), F.lit('"')
+    )
+    attr_lang = F.when(
+        F.col("obj_lang").isNotNull(),
+        F.concat(F.lit(' xml:lang="'), _xml_escape_attr(F.col("obj_lang")), F.lit('"')),
+    ).otherwise(F.lit(""))
+    attr_dt = F.when(
+        F.col("obj_lang").isNull() & F.col("obj_datatype").isNotNull(),
+        F.concat(
+            F.lit(' rdf:datatype="'), _xml_escape_attr(F.col("obj_datatype")), F.lit('"')
+        ),
+    ).otherwise(F.lit(""))
+    prop_el = (
+        F.when(
+            F.col("obj_kind") == KIND_IRI,
+            F.concat(start, F.lit(' rdf:resource="'), _xml_escape_attr(v), F.lit('"/>')),
+        )
+        .when(
+            (F.col("obj_kind") == KIND_BNODE) & v.startswith("_:"),
+            F.concat(
+                start,
+                F.lit(' rdf:nodeID="'),
+                _xml_escape_attr(F.substring(v, 3, 1 << 30)),
+                F.lit('"/>'),
+            ),
+        )
+        .when(
+            # skolemized bnode (post-canonicalize input): plain resource ref
+            F.col("obj_kind") == KIND_BNODE,
+            F.concat(start, F.lit(' rdf:resource="'), _xml_escape_attr(v), F.lit('"/>')),
+        )
+        .otherwise(
+            F.concat(
+                start, attr_lang, attr_dt, F.lit(">"),
+                _xml_escape_text(v),
+                F.lit("</p:"), local, F.lit(">"),
+            )
+        )
+    )
+    per_subj = df.groupBy("doc_sha256", "subj").agg(
+        F.array_join(F.sort_array(F.collect_list(prop_el)), "\n    ").alias("_props")
+    )
+    subj_attr = F.when(
+        F.col("subj").startswith("_:"),
+        F.concat(
+            F.lit('rdf:nodeID="'),
+            _xml_escape_attr(F.substring(F.col("subj"), 3, 1 << 30)),
+            F.lit('"'),
+        ),
+    ).otherwise(
+        F.concat(F.lit('rdf:about="'), _xml_escape_attr(F.col("subj")), F.lit('"'))
+    )
+    desc = F.concat(
+        F.lit("<rdf:Description "), subj_attr, F.lit(">\n    "),
+        F.col("_props"), F.lit("\n  </rdf:Description>"),
+    )
+    per_doc = per_subj.select("doc_sha256", desc.alias("_desc")).groupBy(
+        "doc_sha256"
+    ).agg(F.array_join(F.sort_array(F.collect_list("_desc")), "\n  ").alias("_body"))
+    return per_doc.select(
+        "doc_sha256",
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="utf-8"?>\n'
+                  f'<rdf:RDF xmlns:rdf="{_RDF_NS}">\n  '),
+            F.col("_body"),
+            F.lit("\n</rdf:RDF>"),
+        ).alias("xml"),
+    )
+
+
+def _json_escape(col):
+    """JSON string-literal escaping for hand-assembled fragments (only the
+    ``@id`` key needs it — every other value goes through ``to_json``)."""
+    c = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    c = F.replace(c, F.lit("\n"), F.lit("\\n"))
+    c = F.replace(c, F.lit("\t"), F.lit("\\t"))
+    return F.replace(c, F.lit("\r"), F.lit("\\r"))
+
+
+def to_jsonld_per_doc(df: DataFrame) -> DataFrame:
+    """JSON-LD emitter (expanded form): one top-level node-object array per
+    document — ``[{"@id": s, "<pred>": [{"@id"|"@value"[, "@language" |
+    "@type"]}…]}, …]``, keys and arrays deterministically sorted.
+
+    Columnar assembly: the per-subject predicate map is one
+    ``map_from_entries`` + ``to_json`` (null fields dropped, so ``@value``
+    vs ``@id`` objects come out shape-correct); only the ``@id`` key is
+    string-spliced.  Returns ``(doc_sha256, jsonld)``."""
+    kind = F.col("obj_kind")
+    obj_struct = F.struct(
+        F.when(kind != KIND_LITERAL, F.col("obj_value")).alias("@id"),
+        F.when(kind == KIND_LITERAL, F.col("obj_value")).alias("@value"),
+        F.when(kind == KIND_LITERAL, F.col("obj_lang")).alias("@language"),
+        F.when(
+            (kind == KIND_LITERAL) & F.col("obj_lang").isNull(),
+            F.col("obj_datatype"),
+        ).alias("@type"),
+    )
+    po = df.groupBy("doc_sha256", "subj", "pred").agg(
+        F.sort_array(F.collect_list(obj_struct)).alias("_objs")
+    )
+    node = po.groupBy("doc_sha256", "subj").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("pred"), F.col("_objs"))))
+        ).alias("_pm")
+    )
+    node_json = F.concat(
+        F.lit('{"@id":"'),
+        _json_escape(F.col("subj")),
+        F.lit('",'),
+        F.substring(
+            F.to_json(F.col("_pm"), {"ignoreNullFields": "true"}), 2, 1 << 30
+        ),
+    )
+    per_doc = node.select("doc_sha256", node_json.alias("_node")).groupBy(
+        "doc_sha256"
+    ).agg(
+        F.concat(
+            F.lit("["),
+            F.array_join(F.sort_array(F.collect_list("_node")), ","),
+            F.lit("]"),
+        ).alias("jsonld")
+    )
+    return per_doc
+
+
+def to_rdfjson_per_doc(df: DataFrame) -> DataFrame:
+    """RDF/JSON (Talis) emitter: ``{subj: {pred: [{type, value, lang?,
+    datatype?}]}}`` per document (RdfFormat.scala:18-29 lists RDF/JSON).
+
+    The per-subject predicate map is one ``to_json``; subject keys are
+    spliced (maps are not orderable in Spark, so the outer object is
+    assembled from sorted per-subject fragments).  Returns
+    ``(doc_sha256, rdfjson)``."""
+    kind = F.col("obj_kind")
+    obj_struct = F.struct(
+        F.when(kind == KIND_IRI, F.lit("uri"))
+        .when(kind == KIND_BNODE, F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+        .alias("type"),
+        F.col("obj_value").alias("value"),
+        F.when(kind == KIND_LITERAL, F.col("obj_lang")).alias("lang"),
+        F.when(
+            (kind == KIND_LITERAL) & F.col("obj_lang").isNull(),
+            F.col("obj_datatype"),
+        ).alias("datatype"),
+    )
+    po = df.groupBy("doc_sha256", "subj", "pred").agg(
+        F.sort_array(F.collect_list(obj_struct)).alias("_objs")
+    )
+    node = po.groupBy("doc_sha256", "subj").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col("pred"), F.col("_objs"))))
+        ).alias("_pm")
+    )
+    entry = F.concat(
+        F.lit('"'),
+        _json_escape(F.col("subj")),
+        F.lit('":'),
+        F.to_json(F.col("_pm"), {"ignoreNullFields": "true"}),
+    )
+    return node.select("doc_sha256", entry.alias("_e")).groupBy("doc_sha256").agg(
+        F.concat(
+            F.lit("{"),
+            F.array_join(F.sort_array(F.collect_list("_e")), ","),
+            F.lit("}"),
+        ).alias("rdfjson")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DOT visual-graph export (reference: DataConvert builds a DOT SGraph via
 # RDF2SGraph/sgraph.toDot, DataConvert.scala:83-120; the SVG/PNG/PS raster

@@ -1,0 +1,110 @@
+"""Round-trip property tests for the K1 serializer matrix (SURVEY §2.2,
+RdfFormat.scala:18-29): parse(serialize(g)) == g through this package's own
+parsers — the SURVEY §5 property-test model ("parse(serialize(g)) == g").
+
+TriG / RDF-XML / JSON-LD / RDF-JSON emitters are exercised over an
+edge-case graph (quotes, newlines, CR, tabs, XML specials, backslashes,
+language tags, datatypes, blank nodes) and over the generated fixture
+corpus end-to-end.
+"""
+
+import pytest
+
+from rdfshape_api_spark.operators.serialize import (
+    to_jsonld_per_doc,
+    to_rdfjson_per_doc,
+    to_rdfxml_per_doc,
+    to_trig,
+)
+from rdfshape_api_spark.sources.parsers import parse_document
+
+E = "http://example.org/"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+EDGE_ROWS = [
+    ("d1", E + "s1", E + "p", "iri", E + "o1", None, None),
+    ("d1", E + "s1", E + "p", "literal", 'he said "hi"\nand <left> & 5\t.', None, None),
+    ("d1", E + "s1", E + "name", "literal", "José", "en", None),
+    ("d1", E + "s1", E + "age", "literal", "42", None, XSD + "integer"),
+    ("d1", E + "s1", E + "knows", "bnode", "_:b0", None, None),
+    ("d1", "_:b0", E + "name", "literal", "carriage\rreturn", None, None),
+    ("d1", "_:b0", E + "p", "literal", "", None, None),  # empty literal
+    ("d2", E + "s2", E + "p", "literal", "back\\slash }{ ", None, None),
+    ("d2", E + "s2", E + "p2", "literal", "zh tag", "zh-hans", None),
+]
+
+FORMATS = [
+    (to_trig, "trig", "trig"),
+    (to_rdfxml_per_doc, "xml", "rdfxml"),
+    (to_jsonld_per_doc, "jsonld", "jsonld"),
+    (to_rdfjson_per_doc, "rdfjson", "rdfjson"),
+]
+
+
+def _edge_df(spark):
+    return spark.createDataFrame(
+        EDGE_ROWS,
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+
+
+@pytest.mark.parametrize("fn,col,lang", FORMATS, ids=[f[2] for f in FORMATS])
+def test_edge_case_roundtrip(spark, fn, col, lang):
+    df = _edge_df(spark)
+    orig = set(EDGE_ROWS)
+    got = set()
+    for r in fn(df).collect():
+        tris, err = parse_document(r[col], lang)
+        assert err is None, (lang, err)
+        got |= {(r["doc_sha256"], *t) for t in tris}
+    assert got == orig
+
+
+@pytest.mark.parametrize("fn,col,lang", FORMATS, ids=[f[2] for f in FORMATS])
+def test_fixture_corpus_roundtrip(spark, fn, col, lang):
+    """Full corpus: raw-extract fixture docs, serialize, re-parse with the
+    original doc_sha256 threaded through, canonicalize both sides —
+    skolemization then lands identically and the canonical sets match."""
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.fixtures import ensure_fixtures
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    paths = ensure_fixtures("sf0.001")
+    docs = spark.read.parquet(paths["docs"])
+    raw = extract_triples(docs)
+    cols = ["doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+    expected = set(
+        map(tuple, dedup_triples(canonicalize(raw), scope_doc=True).select(*cols).collect())
+    )
+    ser = fn(raw)
+    redocs = ser.select(
+        F.lit("roundtrip").alias("repo"),
+        F.col("doc_sha256").alias("path"),
+        F.lit("c0").alias("commit"),
+        "doc_sha256",  # keep the ORIGINAL sha (with_doc_sha preserves it)
+        F.lit(lang).alias("lang"),
+        F.col(col).alias("content"),
+    )
+    got = set(
+        map(
+            tuple,
+            dedup_triples(canonicalize(extract_triples(redocs)), scope_doc=True)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert expected - got == set()
+    assert got - expected == set()
+
+
+def test_rdfxml_unsplittable_predicate_raises(spark):
+    df = spark.createDataFrame(
+        [("d1", E + "s", E + "p/", "literal", "x", None, None)],
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+    with pytest.raises(Exception, match="cannot split predicate"):
+        to_rdfxml_per_doc(df).collect()
