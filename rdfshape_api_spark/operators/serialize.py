@@ -4,10 +4,12 @@ Reference: ``DataConvert.dataConvert`` re-serializes a model to any
 RdfFormat (``modules/server/.../data/logic/operations/DataConvert.scala:66-127``)
 and builds JSON/DOT visual graphs (:83-120).  Spark mapping:
 
-* **N-Triples emitter** — pure columnar ``concat`` (the round-trip format;
-  feeds conversion tests and the K1 contract);
-* **Turtle emitter** — groupBy(subj) + one Arrow batch stage for
-  pretty-printing (presentation, not hot path);
+* **N-Triples / N-Quads / TriG emitters** — pure columnar ``concat``
+  (+ per-document graph blocks for NQ/TriG);
+* **Turtle emitter** — two-level groupBy assembly, fully columnar;
+* **RDF/XML / JSON-LD / RDF-JSON emitters** — two-level groupBy assembly
+  with columnar XML/JSON escaping; round-trip-checked against this
+  package's own parsers (parse(serialize(g)) == g, SURVEY §5);
 * **JSON adjacency export** (K2) — ``groupBy(subj).agg(collect_list(...))``
   → ``toJSON``;
 * **DOT visual graph** — per-document DOT statements as rows
