@@ -737,6 +737,30 @@ def _q_text_hash_sample(spark, sf_dir):
     )
 
 
+def _q_temperature_mix(spark, sf_dir):
+    """α=0.5 temperature rebalancing over lang strata: weights derived
+    from the corpus itself via IEEE-exact ops (max/divide/sqrt/floor), so
+    the DuckDB twin recomputes the micro-weights bit-identically."""
+    from rdfshape_api_spark.functions.sampling import temperature_mix
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return temperature_mix(docs, alpha=0.5, stratum_col="lang").select(
+        "doc_id", "lang", "weight_micro",
+        F.col("n_copy").cast("int").alias("n_copy"),
+    )
+
+
+def _q_epoch_shards(spark, sf_dir):
+    """Per-epoch deterministic shard assignment (3 epochs × 64 shards) —
+    the scale-correct 'reshuffle every epoch' (no global permutation)."""
+    from rdfshape_api_spark.functions.sampling import epoch_shards
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return epoch_shards(docs, epochs=3, n_shards=64).select(
+        F.col("epoch").cast("int").alias("epoch"), "shard", "sort_key", "doc_id"
+    )
+
+
 def _q_sim_pca(spark, sf_dir):
     """Distributed PCA: one-pass partial moments -> driver eigh -> map-only
     integerized projection onto the top-4 components.  No SQL twin (the
@@ -1395,6 +1419,8 @@ def _q_events_sessions(spark, sf_dir):
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
+    "text_temperature_mix",
+    "text_epoch_shards",
     "rdf_trig",
     "rdf_xml_roundtrip",
     "rdf_jsonld_roundtrip",
@@ -1545,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": _q_text_top_ngrams,
         "text_tfidf": _q_text_tfidf,
         "text_hash_sample": _q_text_hash_sample,
+        "text_temperature_mix": _q_temperature_mix,      # α-tempered rebalance (r4)
+        "text_epoch_shards": _q_epoch_shards,            # per-epoch shard shuffle (r4)
         "text_lm_score": _q_text_lm_score,
         "text_normalize": _q_text_normalize,
         "text_pack_sequences": _q_text_pack,
@@ -2884,6 +2912,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INTEGER) AS n_copy
             FROM n WHERE n_copies > 0
+        """,
+        "text_temperature_mix": """
+            -- α=0.5 temperature rebalance: w_l = sqrt(n_max/n_l), micro-
+            -- integerized; copy decision = hash_sample mechanism with
+            -- salt 'tmix'.  Every arithmetic step is IEEE-correctly-
+            -- rounded (max, divide, sqrt, floor) so the micro weight is
+            -- bit-identical across engines.
+            WITH c AS (
+              SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), w AS (
+              SELECT lang,
+                     CAST(floor(sqrt(CAST((SELECT max(n) FROM c) AS DOUBLE)
+                                     / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS weight_micro
+              FROM c
+            ), d AS (
+              SELECT doc_id, documents.lang, weight_micro,
+                     CAST('0x' || substring(md5('tmix:' || doc_id), 1, 8)
+                          AS BIGINT) % 1000000 AS bucket
+              FROM documents JOIN w ON w.lang = documents.lang
+            ), n AS (
+              SELECT doc_id, lang, weight_micro,
+                     CAST(floor(weight_micro / 1000000.0) AS BIGINT)
+                     + CASE WHEN bucket < weight_micro % 1000000
+                            THEN 1 ELSE 0 END AS n_copies
+              FROM d
+            )
+            SELECT doc_id, lang, weight_micro,
+                   CAST(unnest(range(0, n_copies)) AS INTEGER) AS n_copy
+            FROM n WHERE n_copies > 0
+        """,
+        "text_epoch_shards": """
+            -- epoch e, doc d -> shard = first-8-hex(md5('epoch:e:d')) mod 64
+            SELECT CAST(e AS INTEGER) AS epoch,
+                   CAST('0x' || substring(md5('epoch:' || e || ':' || doc_id), 1, 8)
+                        AS BIGINT) % 64 AS shard,
+                   md5('epoch:' || e || ':' || doc_id) AS sort_key,
+                   doc_id
+            FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS e) t
         """,
         "sim_semantic_dedup": """
             -- SemDeDup keep/drop: same md5-derived hyperplane buckets as

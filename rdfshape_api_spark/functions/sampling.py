@@ -118,3 +118,98 @@ def pack_sequences(
     return d.withColumn(
         "bin_id", F.floor(cum_before / max_tokens).cast("bigint")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled corpus rebalancing (the multilingual-LM α-mixing
+    recipe: sample stratum *l* with probability ∝ p_l^α, α<1 flattening
+    the head so low-resource strata are seen more).  Weights are derived
+    from the data itself — one tiny aggregation — then applied with the
+    same deterministic hash-copies mechanism as :func:`hash_sample`:
+
+        w_l = (n_max / n_l) ^ (1 - α)    (largest stratum keeps weight 1,
+                                          smaller strata upsample toward
+                                          the α-tempered distribution)
+
+    Normalizing by ``n_max`` instead of the usual Σ p^α keeps every
+    arithmetic step IEEE-correctly-rounded (max of integers, one divide,
+    one pow/sqrt) — no order-dependent float summation — so the
+    micro-integerized weight ``floor(10^6·w_l)`` is bit-reproducible
+    across engines and reruns (the DuckDB oracle recomputes it exactly).
+    After applying, stratum share ∝ n_l·w_l ∝ n_l^α: exactly the
+    α-tempered mixture, rescaled.
+
+    Returns the input columns plus ``weight_micro`` and ``n_copy``.
+
+    Scale design: one map-side-combine count per stratum (strata are
+    languages/sources — tiny), broadcast-joined back; the copy decision
+    is map-only hash logic as in :func:`hash_sample`.  α = 0.5 uses
+    ``sqrt`` (correctly rounded everywhere); other α go through ``pow``,
+    which is last-ulp engine-dependent — fine for training, but use 0.5
+    for cross-engine-exact contracts.
+    """
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    n_max = counts.agg(F.max("_n").alias("_nmax"))
+    ratio = F.col("_nmax").cast("double") / F.col("_n").cast("double")
+    w = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    weights = counts.crossJoin(F.broadcast(n_max)).select(
+        stratum_col,
+        F.floor(w * _MOD).cast("bigint").alias("weight_micro"),
+    )
+    d = docs.join(F.broadcast(weights), on=stratum_col, how="inner")
+    bucket = _hash_bucket(F.col(id_col), salt)
+    full = F.floor(F.col("weight_micro") / _MOD).cast("bigint")
+    frac_micro = F.col("weight_micro") % _MOD
+    n_copies = full + F.when(bucket < frac_micro, 1).otherwise(0)
+    return (
+        d.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("n_copy", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
+def epoch_shards(
+    docs: DataFrame,
+    epochs: int = 3,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch shard assignment — the scale-correct form
+    of "shuffle the corpus differently every epoch".  A global random
+    permutation needs a total order (single-node sort or rank window);
+    training loaders instead reshuffle by re-sharding: for epoch *e*,
+    document *d* lands in shard ``md5(salt:e:d) mod n_shards``, and
+    shards are read in order while documents within a shard are ordered
+    by the same hash.  Different epochs → independent assignments; no
+    shuffle key is ever coordinated globally.
+
+    Returns ``(epoch, shard, sort_key, <id_col>)`` — write partitioned by
+    ``(epoch, shard)`` with ``sortWithinPartitions(sort_key)`` and the
+    loader streams shards sequentially.
+
+    Scale design: map-only (an ``explode`` over the epoch sequence and
+    one md5 per (epoch, doc)); the write's ``partitionBy(epoch, shard)``
+    is the only exchange, and it is the layout the trainer wants anyway.
+    """
+    e = F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch")
+    d = docs.select(F.col(id_col), e)
+    key = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col("epoch").cast("string"),
+                    F.col(id_col).cast("string"))
+    )
+    return d.select(
+        "epoch",
+        (
+            F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+        ).alias("shard"),
+        key.alias("sort_key"),
+        id_col,
+    )

@@ -153,6 +153,52 @@ def test_hash_sample(docs):
         hash_sample(docs, {})
 
 
+def test_temperature_mix(docs):
+    import hashlib
+    import math
+
+    from rdfshape_api_spark.functions.sampling import temperature_mix
+
+    out = temperature_mix(docs, alpha=0.5, stratum_col="lang").collect()
+    # strata: en n=5 (max), es n=1 → w_en = 1.0, w_es = sqrt(5)
+    w = {r["lang"]: r["weight_micro"] for r in out}
+    assert w["en"] == 1_000_000
+    assert w["es"] == math.floor(math.sqrt(5.0) * 1_000_000)
+
+    def bucket(i):
+        return int(hashlib.md5(f"tmix:{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    copies = {}
+    for r in out:
+        copies.setdefault(r["doc_id"], []).append(r["n_copy"])
+    for i in (0, 1, 2, 3, 5):  # en: weight exactly 1 → exactly one copy
+        assert copies[i] == [0]
+    es_expect = 2 + (1 if bucket(4) < w["es"] % 1_000_000 else 0)
+    assert sorted(copies[4]) == list(range(es_expect))
+    # deterministic across reruns
+    again = {(r["doc_id"], r["n_copy"]) for r in
+             temperature_mix(docs, alpha=0.5, stratum_col="lang").collect()}
+    assert again == {(r["doc_id"], r["n_copy"]) for r in out}
+
+
+def test_epoch_shards(docs):
+    import hashlib
+
+    from rdfshape_api_spark.functions.sampling import epoch_shards
+
+    out = epoch_shards(docs, epochs=3, n_shards=64).collect()
+    assert len(out) == 18  # 6 docs × 3 epochs
+    for r in out:
+        key = hashlib.md5(f"epoch:{r['epoch']}:{r['doc_id']}".encode()).hexdigest()
+        assert r["sort_key"] == key
+        assert r["shard"] == int(key[:8], 16) % 64
+    # different epochs give independent assignments (not all identical)
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["shard"]
+    assert by_epoch[0] != by_epoch[1] or by_epoch[1] != by_epoch[2]
+
+
 def test_semantic_dedup(emb):
     from rdfshape_api_spark.functions.similarity import semantic_dedup
 

@@ -140,6 +140,30 @@ def test_hash_sample_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_temperature_mix_broadcasts_weights(spark):
+    """The per-stratum weight table (languages/sources — tiny) must be
+    the broadcast side: the corpus scan itself never shuffles."""
+    from rdfshape_api_spark.functions.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "es")], "doc_id bigint, text string, lang string"
+    )
+    plan = _plan(temperature_mix(docs, alpha=0.5, stratum_col="lang"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # corpus side reaches the join scan-direct: no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan
+
+
+def test_epoch_shards_is_map_only(spark):
+    """Per-epoch resharding is a pure map (explode + md5): the only
+    exchange in a real pipeline is the partitioned write itself."""
+    from rdfshape_api_spark.functions.sampling import epoch_shards
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    plan = _plan(epoch_shards(docs, epochs=2, n_shards=8))
+    assert "Exchange" not in plan
+
+
 def test_pack_sequences_single_exchange(spark):
     """Packing shuffles once (on the shard key for the window); the
     window sort is shard-local — no global sort, no second Exchange."""
