@@ -262,6 +262,36 @@ def _q_nquads(spark, sf_dir):
     return to_nquads(_rdf_triples(spark, sf_dir)).distinct()
 
 
+def _q_has_pred_subj(spark, sf_dir):
+    """P4 vectorized: hasPredicateWithSubject for ex:label over every
+    subject (9843 of ~17.8k subjects carry a label — the boolean varies)."""
+    from rdfshape_api_spark.operators.algebra import has_predicate_table
+
+    return has_predicate_table(_rdf_triples(spark, sf_dir), EX + "label")
+
+
+def _q_check_datatype(spark, sf_dir):
+    """P5 vectorized: checkDatatype over two claims — readingTemperature
+    vs xsd:decimal (valid) and label vs xsd:decimal (wrong datatype) — so
+    the verdict column varies."""
+    from rdfshape_api_spark.operators.algebra import check_datatype_table
+
+    tri = _rdf_triples(spark, sf_dir)
+    xsd_dec = "http://www.w3.org/2001/XMLSchema#decimal"
+    return check_datatype_table(tri, EX + "readingTemperature", xsd_dec).unionByName(
+        check_datatype_table(tri, EX + "label", xsd_dec)
+    ).distinct()
+
+
+def _q_graph_fp(spark, sf_dir):
+    """P9 at corpus scale: bnode-blind canonical graph fingerprints
+    (one groupBy render + one count; exact isomorphic() settles the tiny
+    candidate groups)."""
+    from rdfshape_api_spark.operators.algebra import graph_fingerprints
+
+    return graph_fingerprints(_rdf_triples(spark, sf_dir))
+
+
 def _q_trig(spark, sf_dir):
     """K1 TriG emitter: one <urn:doc:sha> { … } graph block per document
     (RdfFormat.scala:18-29 lists TriG as a DataConvert output)."""
@@ -1421,6 +1451,9 @@ _VERIFY_FIRST = [
     # (a) new in r4 — never verified
     "text_temperature_mix",
     "text_epoch_shards",
+    "rdf_has_pred_subj",
+    "rdf_check_datatype",
+    "rdf_graph_fp",
     "rdf_trig",
     "rdf_xml_roundtrip",
     "rdf_jsonld_roundtrip",
@@ -1501,6 +1534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_ntriples": _q_ntriples,                     # K1
         "rdf_nquads": _q_nquads,                         # K1 N-Quads (r4)
         "rdf_trig": _q_trig,                             # K1 TriG (r4)
+        "rdf_has_pred_subj": _q_has_pred_subj,           # P4 vectorized (r4)
+        "rdf_check_datatype": _q_check_datatype,         # P5 vectorized (r4)
+        "rdf_graph_fp": _q_graph_fp,                     # P9 corpus fingerprints (r4)
         "rdf_xml_roundtrip": _q_rdfxml_roundtrip,        # K1 RDF/XML round-trip (r4)
         "rdf_jsonld_roundtrip": _q_jsonld_roundtrip,     # K1 JSON-LD round-trip (r4)
         "rdf_rdfjson_roundtrip": _q_rdfjson_roundtrip,   # K1 RDF/JSON round-trip (r4)
@@ -1724,6 +1760,45 @@ def oracle_sql() -> dict[str, str]:
               || ' <' || pred || '> ' || {_NT_OBJ}
               || ' <urn:doc:' || doc_sha256 || '> .' AS line
             FROM {_T}
+        """,
+        "rdf_has_pred_subj": f"""
+            WITH s AS (SELECT DISTINCT subj FROM {_T}),
+            p AS (SELECT DISTINCT subj FROM {_T} WHERE pred = '{EX}label')
+            SELECT s.subj, (p.subj IS NOT NULL) AS has_pred
+            FROM s LEFT JOIN p ON p.subj = s.subj
+        """,
+        "rdf_check_datatype": f"""
+            -- datatype_ok = literal & dt IRI match & no lang & lexical form
+            SELECT DISTINCT subj, pred, obj_value,
+                   coalesce(obj_kind = 'literal'
+                    AND obj_datatype = 'http://www.w3.org/2001/XMLSchema#decimal'
+                    AND obj_lang IS NULL
+                    AND regexp_matches(obj_value, '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)$'),
+                    FALSE) AS datatype_ok
+            FROM {_T}
+            WHERE pred IN ('{EX}readingTemperature', '{EX}label')
+        """,
+        "rdf_graph_fp": f"""
+            -- bnode-blind canonical graph fingerprint per document:
+            -- sorted DISTINCT masked lines, md5 of the newline join
+            WITH l AS (
+              SELECT DISTINCT doc_sha256,
+                (CASE WHEN subj LIKE 'urn:skolem:%' THEN '_:' ELSE subj END)
+                || ' ' || pred || ' ' ||
+                (CASE WHEN obj_kind = 'literal'
+                      THEN '"' || obj_value || '"'
+                           || coalesce('@' || obj_lang, '')
+                           || coalesce('^^' || obj_datatype, '')
+                      WHEN obj_value LIKE 'urn:skolem:%' THEN '_:'
+                      ELSE obj_value END) AS line
+              FROM {_T}
+            ), fp AS (
+              SELECT doc_sha256,
+                     md5(string_agg(line, chr(10) ORDER BY line)) AS graph_fp
+              FROM l GROUP BY doc_sha256
+            )
+            SELECT graph_fp, count(*) AS n_docs, min(doc_sha256) AS rep_doc
+            FROM fp GROUP BY graph_fp
         """,
         "rdf_trig": f"""
             WITH l AS (

@@ -213,6 +213,77 @@ def isomorphic(df1: DataFrame, df2: DataFrame) -> bool:
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def has_predicate_table(df: DataFrame, pred: str) -> DataFrame:
+    """P4 vectorized: ``hasPredicateWithSubject`` for every subject at once
+    (the reference answers one (node, pred) probe per call,
+    MergedModels.scala; the corpus-scale twin is the whole boolean column).
+    Returns ``(subj, has_pred)``.
+
+    Scale: one pruned pass for the predicate's subjects (broadcast if the
+    predicate is selective), one left join against the subject set."""
+    subs = df.select("subj").distinct()
+    withp = (
+        df.filter(F.col("pred") == pred)
+        .select("subj")
+        .distinct()
+        .withColumn("_has", F.lit(True))
+    )
+    return subs.join(withp, on="subj", how="left").select(
+        "subj", F.coalesce(F.col("_has"), F.lit(False)).alias("has_pred")
+    )
+
+
+def check_datatype_table(df: DataFrame, pred: str, datatype: str) -> DataFrame:
+    """P5 vectorized: ``checkDatatype`` over every value at a predicate
+    (the reference checks one node's value, MergedModels.scala:96-97).
+    Returns ``(subj, pred, obj_value, datatype_ok)`` — datatype IRI match
+    plus lexical-form validity, plans/validate.datatype_ok semantics."""
+    from rdfshape_api_spark.plans.validate import datatype_ok
+
+    return df.filter(F.col("pred") == pred).select(
+        "subj", "pred", "obj_value",
+        # coalesce: `obj_datatype == dt` is SQL-NULL on untyped literals —
+        # a boolean verdict must be two-valued
+        F.coalesce(datatype_ok(datatype), F.lit(False)).alias("datatype_ok"),
+    )
+
+
+def graph_fingerprints(df: DataFrame) -> DataFrame:
+    """P9 at corpus scale: bnode-blind canonical graph fingerprints, for
+    finding isomorphism-candidate duplicate documents in one pass.
+
+    Each document's triples render to sorted N-Triples-style lines with
+    every skolemized blank node masked to ``_:`` (bnode-BLIND: graphs
+    differing only in bnode identity — or in bnode *wiring* invisible to
+    this mask — share a fingerprint).  This is the standard first
+    refinement of iso-canonicalisation (the colour-0 hash); candidate
+    groups are tiny, so the exact pairwise :func:`isomorphic` check
+    settles them.  Returns one row per distinct fingerprint:
+    ``(graph_fp, n_docs, rep_doc)``.
+
+    Scale: one groupBy(doc) render + one groupBy(fp) count — both
+    map-side-combinable; no pairwise comparison anywhere."""
+    mask = lambda c: F.when(  # noqa: E731 — tiny local combinator
+        c.startswith("urn:skolem:"), F.lit("_:")
+    ).otherwise(c)
+    subj_term = mask(F.col("subj"))
+    obj_term = F.when(
+        F.col("obj_kind") == KIND_LITERAL,
+        F.concat(
+            F.lit('"'), F.col("obj_value"), F.lit('"'),
+            F.coalesce(F.concat(F.lit("@"), F.col("obj_lang")), F.lit("")),
+            F.coalesce(F.concat(F.lit("^^"), F.col("obj_datatype")), F.lit("")),
+        ),
+    ).otherwise(mask(F.col("obj_value")))
+    line = F.concat_ws(" ", subj_term, F.col("pred"), obj_term)
+    per_doc = df.groupBy("doc_sha256").agg(
+        F.md5(F.array_join(F.sort_array(F.collect_set(line)), "\n")).alias("graph_fp")
+    )
+    return per_doc.groupBy("graph_fp").agg(
+        F.count("*").alias("n_docs"), F.min("doc_sha256").alias("rep_doc")
+    )
+
+
 # --- KG analytics: entity PageRank over the merged entity graph -------------
 # Complements rdf_hub_degree / link_entities: importance ranking of the
 # canonical entities (the classic KG-construction signal for entity

@@ -45,6 +45,54 @@ def test_selections(g):
     assert not algebra.has_predicate_with_subject(g, "http://e/c", "http://e/p")
 
 
+def test_has_predicate_table(g):
+    out = {r["subj"]: r["has_pred"] for r in algebra.has_predicate_table(g, "http://e/p").collect()}
+    assert len(out) == 7  # every subject gets a row
+    assert out["http://e/a"] and out["http://e/b"]
+    assert not out["http://e/c"] and not out["http://e/Sub"]
+
+
+def test_check_datatype_table(spark):
+    xsd_dec = "http://www.w3.org/2001/XMLSchema#decimal"
+    rows = [
+        ("d1", "http://e/a", "http://e/v", "literal", "4.2", None, xsd_dec),
+        ("d1", "http://e/b", "http://e/v", "literal", "nope", None, xsd_dec),  # bad lexical
+        ("d1", "http://e/c", "http://e/v", "literal", "4.2", None, None),      # untyped
+        ("d1", "http://e/d", "http://e/v", "iri", "http://e/x", None, None),   # not literal
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+    out = {r["subj"]: r["datatype_ok"] for r in
+           algebra.check_datatype_table(df, "http://e/v", xsd_dec).collect()}
+    assert out == {"http://e/a": True, "http://e/b": False,
+                   "http://e/c": False, "http://e/d": False}
+
+
+def test_graph_fingerprints(spark):
+    # d1 and d2 are identical up to bnode identity (skolem IRIs differ);
+    # d3 differs in a literal — d1/d2 share a fingerprint, d3 does not
+    rows = [
+        ("d1", "http://e/s", "http://e/p", "bnode", "urn:skolem:aaa", None, None),
+        ("d1", "http://e/s", "http://e/q", "literal", "x", None, None),
+        ("d2", "http://e/s", "http://e/p", "bnode", "urn:skolem:bbb", None, None),
+        ("d2", "http://e/s", "http://e/q", "literal", "x", None, None),
+        ("d3", "http://e/s", "http://e/p", "bnode", "urn:skolem:ccc", None, None),
+        ("d3", "http://e/s", "http://e/q", "literal", "y", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+    out = algebra.graph_fingerprints(df).collect()
+    assert len(out) == 2
+    by_rep = {r["rep_doc"]: r["n_docs"] for r in out}
+    assert by_rep == {"d1": 2, "d3": 1}
+
+
 def test_subclass_closure_and_instances(g):
     assert algebra.subclass_closure(g, "http://e/Top") == [
         "http://e/Mid",
