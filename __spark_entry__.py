@@ -1368,6 +1368,40 @@ def _q_stream_validate(spark, sf_dir):
     )
 
 
+def _q_docs_stream_dedup(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState) driven
+    over the documents table as a bounded stream: first-seen dedup keyed
+    by content fingerprint.  One availableNow trigger = one batch, and
+    the within-trigger representative is the min sha — so the result
+    equals the batch GROUP BY, which is exactly the DuckDB oracle."""
+    from rdfshape_api_spark.streaming.stateful_dedup import stream_dedup_first_seen
+
+    doc_schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    keyed = stream.select(
+        F.md5("text").alias("fp"), F.col("doc_id").cast("string").alias("doc_sha256")
+    )
+    name = "docs_stream_dedup_sink"
+    q = (
+        stream_dedup_first_seen(keyed)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("fp", "doc_sha256", "n_seen")
+
+
 def _q_events_windowed_stream(spark, sf_dir):
     """Structured-Streaming tumbling-window aggregation (watermark +
     event-time windows, streaming/windowed_events.py) driven over the
@@ -1485,6 +1519,7 @@ _VERIFY_FIRST = [
     "text_quality",
     "dedup_clusters",
     "events_windowed_stream",
+    "docs_stream_dedup",
     # (c) last green in r2
     "rdf_html_extract",
     "text_features",
@@ -1618,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_features": _q_mm_audio,
         "events_hourly": _q_events_hourly,
         "events_windowed_stream": _q_events_windowed_stream,  # T1+ watermarked windows
+        "docs_stream_dedup": _q_docs_stream_dedup,       # stateful streaming dedup (r4)
         "events_sessions": _q_events_sessions,
         "events_sessionize_gap": _q_events_sessionize,
     })
@@ -3164,6 +3200,13 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "docs_stream_dedup": """
+            -- one availableNow batch + min-sha representative == batch GROUP BY
+            SELECT md5(text) AS fp,
+                   min(CAST(doc_id AS VARCHAR)) AS doc_sha256,
+                   count(*) AS n_seen
+            FROM documents GROUP BY md5(text)
         """,
         "events_windowed_stream": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,

@@ -32,8 +32,12 @@ def _dedup_fn(
     n = 0
     for pdf in batches:
         n += len(pdf)
-        if first_sha is None and len(pdf):
-            first_sha = pdf["doc_sha256"].iloc[0]
+        if len(pdf):
+            # deterministic representative WITHIN a trigger: min sha (Arrow
+            # batch order is not stable, min is) — across triggers the
+            # first-arriving trigger still wins (stream-order semantics)
+            m = pdf["doc_sha256"].min()
+            first_sha = m if first_sha is None else min(first_sha, m)
     total = seen + n
     state.update((total,))
     if seen == 0 and n > 0:
