@@ -249,6 +249,25 @@ def _q_prefix_map(spark, sf_dir):
     return merged_prefix_map(extract_prefixes(_rdf_docs(spark, sf_dir)))
 
 
+def _q_shapemap_resolve(spark, sf_dir):
+    """A4/J1 ShapeMapInfo surface (ShapeMapInfo.scala:34-56 + the trigger
+    decoder TriggerShapeMap.scala:52-54): parse a compact multi-association
+    shapemap mixing query selectors ({FOCUS a C}, {FOCUS p o}) with fixed
+    nodes (prefixed and <iri> forms), then resolve the focus work-list
+    relationally against the canonical triples — filter+project per
+    association, no driver loop over data."""
+    from rdfshape_api_spark.plans.shapemap import parse_shapemap, resolve_focus
+
+    smap = (
+        "{FOCUS a ex:Reading}@ex:ValidReading, "
+        "{FOCUS ex:station ex:hub}@ex:Stationed, "
+        "ex:shared0@ex:SharedShape, "
+        "<http://example.org/shared1>@<http://example.org/SharedShape>"
+    )
+    assocs = parse_shapemap(smap, {"ex": EX})
+    return resolve_focus(_rdf_triples(spark, sf_dir), assocs)
+
+
 def _q_ntriples(spark, sf_dir):
     from rdfshape_api_spark.operators.serialize import to_ntriples
 
@@ -1483,6 +1502,7 @@ def _q_events_sessions(spark, sf_dir):
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
+    "rdf_shapemap_resolve",
     "text_temperature_mix",
     "text_epoch_shards",
     "rdf_has_pred_subj",
@@ -1567,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_error_count": _q_error_count,               # S1 error channel
         "rdf_prefix_map": _q_prefix_map,                 # P8
         "rdf_ntriples": _q_ntriples,                     # K1
+        "rdf_shapemap_resolve": _q_shapemap_resolve,     # A4/J1 (r4)
         "rdf_nquads": _q_nquads,                         # K1 N-Quads (r4)
         "rdf_trig": _q_trig,                             # K1 TriG (r4)
         "rdf_has_pred_subj": _q_has_pred_subj,           # P4 vectorized (r4)
@@ -1783,6 +1804,22 @@ def oracle_sql() -> dict[str, str]:
                 ('sensor', '{ex}'),
                 ('xsd', 'http://www.w3.org/2001/XMLSchema#')
             ) AS t(prefix, iri)
+        """,
+        "rdf_shapemap_resolve": f"""
+            SELECT DISTINCT doc_sha256, subj AS node,
+                   '{ex}ValidReading' AS shape_id
+            FROM {_T}
+            WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+              AND obj_value = '{ex}Reading'
+            UNION ALL
+            SELECT DISTINCT doc_sha256, subj, '{ex}Stationed'
+            FROM {_T} WHERE pred = '{ex}station' AND obj_value = '{ex}hub'
+            UNION ALL
+            SELECT DISTINCT doc_sha256, subj, '{ex}SharedShape'
+            FROM {_T} WHERE subj = '{ex}shared0'
+            UNION ALL
+            SELECT DISTINCT doc_sha256, subj, '{ex}SharedShape'
+            FROM {_T} WHERE subj = '{ex}shared1'
         """,
         "rdf_ntriples": f"""
             SELECT DISTINCT

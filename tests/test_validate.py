@@ -188,3 +188,32 @@ def test_shacl_target_kinds(spark):
     v = validate(tri, schema)
     res = {r["node"]: r["status"] for r in v.collect()}
     assert res == {"http://e/a": "conformant", "http://e/b": "nonconformant"}
+
+
+def test_resolve_focus_mixed_selectors(spark):
+    """A4/J1: a multi-association shapemap mixing fixed nodes with query
+    selectors resolves to one work-list row per (doc, node, shape)
+    (TriggerShapeMap.scala:52-54; NodeSelector.fromString,
+    DataExtract.scala:128)."""
+    from rdfshape_api_spark.model import RDF_TYPE
+    from rdfshape_api_spark.plans.shapemap import parse_shapemap, resolve_focus
+
+    rows = [
+        ("http://e/r1", RDF_TYPE, "iri", "http://e/C", None, None),
+        ("http://e/r1", "http://e/station", "iri", "http://e/hub", None, None),
+        ("http://e/r2", "http://e/station", "iri", "http://e/hub", None, None),
+        ("http://e/fix", "http://e/p", "literal", "v", None, None),
+    ]
+    tri = _mini_triples(spark, rows)
+    assocs = parse_shapemap(
+        "{FOCUS a ex:C}@ex:S1, {FOCUS ex:station ex:hub}@ex:S2, ex:fix@ex:S3",
+        {"ex": "http://e/"},
+    )
+    assert [a.kind for a in assocs] == ["query", "query", "fixed"]
+    got = {(r["node"], r["shape_id"]) for r in resolve_focus(tri, assocs).collect()}
+    assert got == {
+        ("http://e/r1", "http://e/S1"),
+        ("http://e/r1", "http://e/S2"),
+        ("http://e/r2", "http://e/S2"),
+        ("http://e/fix", "http://e/S3"),
+    }
