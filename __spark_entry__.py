@@ -473,6 +473,29 @@ def _q_social_nested_or(spark, sf_dir):
     ).select("doc_sha256", "node", "status")
 
 
+# ShEx shape ref inside a mixed-polarity value conjunction (r3's clean
+# reject, lifted in r4): `IRI AND NOT (@ex:Verified OR BNODE)` lowers to a
+# conjuncts carrier whose negated disjunct carries the ref — the evaluator
+# attaches a conformance column per ref-carrying node of the value tree
+# (validate._walk_value_nodes), so the complement is the column's negation.
+SHEX_CONJ_NOT_REF = """\
+PREFIX ex: <http://example.org/>
+ex:Verified { ex:verified [ "true" ] }
+ex:TrustCircle { ex:knows (IRI AND NOT (@ex:Verified OR BNODE)) * ; ex:name . }
+"""
+
+
+def _q_social_conj_not_ref(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shexc, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(
+        tri,
+        parse_shexc(SHEX_CONJ_NOT_REF),
+        shapemap="{FOCUS a ex:Person}@ex:TrustCircle",
+    ).select("doc_sha256", "node", "status")
+
+
 def _q_sparql_graph(spark, sf_dir):
     """SPARQL GRAPH over per-document graphs (engine extension; the
     reference's surface is the merged model, MergedModels.scala:182-191):
@@ -1503,6 +1526,7 @@ def _q_events_sessions(spark, sf_dir):
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
     "rdf_shapemap_resolve",
+    "social_shex_conj_not_ref",
     "text_temperature_mix",
     "text_epoch_shards",
     "rdf_has_pred_subj",
@@ -1634,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
         "social_shex_or_refs": _q_social_or_refs,        # §2.7 @<A> OR @<B> disjunct refs
         "social_shex_nested_or": _q_social_nested_or,    # §2.7 refs two OR-levels deep (r4)
+        "social_shex_conj_not_ref": _q_social_conj_not_ref,  # §2.7 ref in mixed-polarity AND (r4)
         "social_shex_paren_not": _q_social_paren_not,    # §2.7 NOT over (@ref OR …) paren group (r4)
         "social_shex_mixed_and": _q_social_mixed_and,    # §2.7 mixed-polarity AND conjuncts (r4)
         "rdf_sparql_graph": _q_sparql_graph,             # Q1 GRAPH doc-scoped BGPs (r4)
@@ -2450,6 +2475,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT b.s AS s, 'urn:doc:' || l.doc_sha256 AS g
             FROM broken b LEFT JOIN lab l ON l.subj = b.s
+        """,
+        "social_shex_conj_not_ref": f"""
+            -- ref inside a mixed-polarity conjunction: a knows-value
+            -- conforms iff it is an IRI and NOT (@ex:Verified OR BNODE);
+            -- @ex:Verified = exactly one ex:verified triple, value "true".
+            -- Focus conforms iff no knows value fails and it has exactly
+            -- one name (the `.` {{1}} constraint).
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value
+              FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = 'http://example.org/Person'
+            ), ver AS (
+              SELECT doc_sha256, subj FROM m
+              WHERE pred = 'http://example.org/verified'
+              GROUP BY 1, 2 HAVING count(*) = 1 AND max(obj_value) = 'true'
+            ), name1 AS (
+              SELECT doc_sha256, subj FROM m
+              WHERE pred = 'http://example.org/name'
+              GROUP BY 1, 2 HAVING count(*) = 1
+            ), badknows AS (
+              SELECT DISTINCT k.doc_sha256, k.subj AS node
+              FROM m k
+              LEFT JOIN ver v
+                ON v.doc_sha256 = k.doc_sha256 AND v.subj = k.obj_value
+              WHERE k.pred = 'http://example.org/knows'
+                AND (k.obj_kind <> 'iri' OR v.subj IS NOT NULL)
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN n.subj IS NOT NULL AND b.node IS NULL
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f
+            LEFT JOIN name1 n
+              ON n.doc_sha256 = f.doc_sha256 AND n.subj = f.node
+            LEFT JOIN badknows b
+              ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
         """,
         "social_shex_nested_or": f"""
             -- refs two OR-levels deep: knows-value conforms iff it is

@@ -213,9 +213,10 @@ def _read_value_constraints(
 def _splice_or_members(members: list[TripleConstraint]) -> list[TripleConstraint]:
     """OR associativity: a member that is a PURE disjunction carrier (a
     nested sh:or whose own fields were distributed away) splices its
-    disjuncts into the parent list, so sh:node/sh:class refs never sit
-    two disjunct levels deep (the evaluator threads per-disjunct ref
-    columns one level down only, plans/validate._ref_reqs).  ``sh:xone``
+    disjuncts into the parent list — pure simplification; since round 4
+    the evaluator threads path-keyed ref columns to ANY depth
+    (plans/validate._walk_value_nodes), so splicing is no longer
+    load-bearing for refs.  ``sh:xone``
     and negated carriers keep their nesting — exactly-one and NOT are not
     associative with the outer OR (pure-value nested xone/NOT is handled
     by the evaluator's recursive ``_value_ok``)."""
@@ -226,15 +227,6 @@ def _splice_or_members(members: list[TripleConstraint]) -> list[TripleConstraint
         else:
             out.append(m)
     return out
-
-
-def _pure_value_predicate(tc: TripleConstraint) -> bool:
-    """True iff the constraint's value conformance is a pure Column
-    predicate over the value row — no shape references (sh:node) or class
-    instance sets (sh:class), recursively through disjuncts."""
-    if tc.ref_shape is not None or tc.class_iri is not None:
-        return False
-    return all(_pure_value_predicate(d) for d in tc.disjuncts or [])
 
 
 def _has_value_fields(tc: TripleConstraint) -> bool:
@@ -565,23 +557,12 @@ def parse_shacl(text: str) -> CompiledSchema:
         # values regardless of the sibling's own path, so the evaluator
         # attaches dedicated per-(constraint, sibling) conformance columns
         # to each constraint's own value neighbourhood
-        # (plans/validate._sib_reqs).  Only refs nested two disjunct levels
-        # deep stay rejected (mirrors the general _ref_reqs limit).
+        # (plans/validate._sib_reqs) — path-keyed since round 4, so sibling
+        # refs resolve at any nesting depth.
         for qtc, disjoint in qvs_tcs:
             if not disjoint:
                 continue
-            sibs = [o for o, _ in qvs_tcs if o is not qtc]
-            for sib in sibs:
-                for d in sib.disjuncts or []:
-                    if d.disjuncts and not all(
-                        _pure_value_predicate(x) for x in d.disjuncts
-                    ):
-                        raise ValueError(
-                            "SHACL: sh:qualifiedValueShapesDisjoint sibling "
-                            "references nested two disjunct levels deep are "
-                            "unsupported"
-                        )
-            qtc.disjoint_siblings = sibs
+            qtc.disjoint_siblings = [o for o, _ in qvs_tcs if o is not qtc]
         shapes[s] = shape
 
     return CompiledSchema(engine="shacl", shapes=shapes, prefixes=prefixes)

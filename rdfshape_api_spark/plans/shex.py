@@ -561,20 +561,11 @@ class _ShexParser:
             # mixed-polarity conjunction, e.g. `xsd:string AND NOT ("bad"
             # OR "worse")` or `(NOT IRI OR xsd:string) AND MINLENGTH 2`:
             # no DNF — lower to a value-level `conjuncts` carrier the
-            # evaluator ANDs recursively (_value_ok).  Shape refs anywhere
-            # inside would need conformance-set complements / per-member
-            # conformance joins: still the clean boundary.
-            def _refs_in(g: TripleConstraint) -> bool:
-                return bool(g.ref_shape) or any(
-                    _refs_in(m) for m in (g.disjuncts or [])
-                ) or any(_refs_in(m) for m in (g.conjuncts or []))
-
-            if _refs_in(tc) or any(_refs_in(g) for g in groups):
-                raise ValueError(
-                    "ShExC: a shape reference inside a mixed-polarity "
-                    "(...) conjunction is unsupported — name the group "
-                    "as a shape"
-                )
+            # evaluator ANDs recursively (_value_ok).  Shape refs inside
+            # (e.g. `IRI AND NOT (@ex:Bad OR "x")`) are first-class: the
+            # evaluator attaches a conformance column per ref-carrying
+            # node of the tree (validate._walk_value_nodes colmap), and
+            # NOT over a ref compiles to the conformance-set complement.
             members_: list[TripleConstraint] = []
             if direct:
                 members_.append(tc_value_copy(tc))
@@ -765,20 +756,14 @@ def _inline_node_constraint_refs(shapes: dict[str, Shape]) -> None:
                         nc = shapes[d.ref_shape].node_constraint
                         if nc.disjuncts and not nc.negated:
                             if d.negated:
-                                # NOT @T where T = c1 OR c2 (pure value
-                                # constraints): keep the disjunction NESTED
-                                # on this disjunct with the negation bit —
-                                # validate._value_ok recurses and compiles
-                                # ~(c1 | c2) directly (De Morgan done by
-                                # the Column algebra, not the parser).
-                                # Refs inside T would need conformance-set
-                                # complements: still a clean reject.
-                                if any(x.ref_shape for x in nc.disjuncts):
-                                    raise ValueError(
-                                        "ShExC: NOT over an OR containing "
-                                        "shape references is unsupported "
-                                        "(negated-reference De Morgan)"
-                                    )
+                                # NOT @T where T = c1 OR c2: keep the
+                                # disjunction NESTED on this disjunct with
+                                # the negation bit — validate._value_ok
+                                # recurses and compiles ~(c1 | c2) directly
+                                # (De Morgan done by the Column algebra,
+                                # not the parser).  Refs inside T evaluate
+                                # via per-node conformance columns, so the
+                                # complement is the column's negation.
                                 _inline_into(d)
                                 spliced.append(d)
                                 continue

@@ -77,25 +77,42 @@ def datatype_ok(datatype: str) -> Column:
     return ok
 
 
+def _walk_value_nodes(tc: TripleConstraint, path: tuple = ()):
+    """DFS over a constraint's value-expression tree.  Yields
+    ``(path, node)`` where ``path`` is the node's address — a tuple of
+    ``("d", j)`` (disjunct j) / ``("c", k)`` (conjunct k) steps from the
+    constraint root.  This is the single traversal order shared by the
+    column-assignment pass (``_ref_reqs``) and the compiled expression
+    (``_value_ok``), so shape-reference / sh:class conformance columns
+    resolve at ANY nesting depth — refs under nested ORs, under sh:xone
+    members, inside mixed-polarity conjunctions, under NOT."""
+    yield path, tc
+    for j, d in enumerate(tc.disjuncts or []):
+        yield from _walk_value_nodes(d, path + (("d", j),))
+    for k, m in enumerate(tc.conjuncts or []):
+        yield from _walk_value_nodes(m, path + (("c", k),))
+
+
 def _value_ok(
     tc: TripleConstraint,
-    ref_ok_col: str | None,
-    disjunct_ref_cols: dict[int, str] | None = None,
-    class_ok_col: str | None = None,
-    disjunct_class_cols: dict[int, str] | None = None,
+    colmap: dict[tuple, tuple[str | None, str | None]] | None = None,
+    path: tuple = (),
 ) -> Column:
     """The compiled value expression: conjunction of the constraint's
     primitives (OR-of-disjuncts / NOT when present), all pure Column
-    logic.  ``disjunct_ref_cols`` / ``disjunct_class_cols`` map disjunct
-    index → the boolean column carrying that member's ``sh:node`` /
-    ``sh:class`` conformance (nested inside sh:or)."""
+    logic.  ``colmap`` maps a ``_walk_value_nodes`` path → the pair of
+    boolean column names carrying that node's shape-reference / sh:class
+    conformance (attached by ``_attach_refs`` joins); ``path`` is this
+    node's own address in that tree."""
     if tc.conjuncts:
         # mixed-polarity value conjunction (`xsd:string AND NOT (…)`):
-        # AND of the members' predicates; members are pure value carriers
-        # (possibly negated disjunctions), never refs — parser invariant
+        # AND of the members' predicates; members may carry (possibly
+        # negated) disjunctions and shape refs at any depth
         allok = F.lit(True)
-        for m in tc.conjuncts:
-            allok = allok & F.coalesce(_value_ok(m, None), F.lit(False))
+        for k, m in enumerate(tc.conjuncts):
+            allok = allok & F.coalesce(
+                _value_ok(m, colmap, path + (("c", k),)), F.lit(False)
+            )
         return ~allok if tc.negated else allok
     if tc.disjuncts:
         if tc.xone:
@@ -104,11 +121,7 @@ def _value_ok(
             for j, d in enumerate(tc.disjuncts):
                 cnt = cnt + F.when(
                     F.coalesce(
-                        _value_ok(
-                            d,
-                            (disjunct_ref_cols or {}).get(j),
-                            class_ok_col=(disjunct_class_cols or {}).get(j),
-                        ),
+                        _value_ok(d, colmap, path + (("d", j),)),
                         F.lit(False),
                     ),
                     1,
@@ -120,11 +133,7 @@ def _value_ok(
             # coalesce: SQL three-valued logic would poison the OR with
             # nulls from e.g. `obj_datatype == X` on a null datatype
             member = member | F.coalesce(
-                _value_ok(
-                    d,
-                    (disjunct_ref_cols or {}).get(j),
-                    class_ok_col=(disjunct_class_cols or {}).get(j),
-                ),
+                _value_ok(d, colmap, path + (("d", j),)),
                 F.lit(False),
             )
         return ~member if tc.negated else member
@@ -200,10 +209,22 @@ def _value_ok(
             # basic language range: exact tag or extended subtag (BCP47)
             lmatch = lmatch | (lang == t) | lang.startswith(t + "-")
         ok = ok & (F.col("obj_kind") == KIND_LITERAL) & F.coalesce(lmatch, F.lit(False))
-    if tc.ref_shape is not None:
-        ok = ok & F.col(ref_ok_col)
-    if tc.class_iri is not None:
-        ok = ok & F.col(class_ok_col)
+    if tc.ref_shape is not None or tc.class_iri is not None:
+        rc, cc = (colmap or {}).get(path, (None, None))
+        if tc.ref_shape is not None:
+            if rc is None:
+                raise ValueError(
+                    "internal: shape-reference conformance column missing "
+                    f"for path {path!r} (colmap not threaded)"
+                )
+            ok = ok & F.col(rc)
+        if tc.class_iri is not None:
+            if cc is None:
+                raise ValueError(
+                    "internal: sh:class conformance column missing "
+                    f"for path {path!r} (colmap not threaded)"
+                )
+            ok = ok & F.col(cc)
     # NOT under three-valued logic: null (e.g. datatype mismatch on a null
     # column) must negate to TRUE, so ground to false first
     return ~F.coalesce(ok, F.lit(False)) if tc.negated else ok
@@ -258,35 +279,29 @@ def _node_constraint_gate(nc: TripleConstraint) -> Column:
 
 def _count_ok(
     tc: TripleConstraint,
-    ref_ok_col: str | None,
-    disjunct_ref_cols: dict[int, str] | None = None,
-    class_ok_col: str | None = None,
-    disjunct_class_cols: dict[int, str] | None = None,
-    sib_cols: dict[int, tuple] | None = None,
+    colmap: dict[tuple, tuple[str | None, str | None]] | None = None,
+    sib_colmaps: dict[int, dict] | None = None,
 ) -> Column:
     """Value predicate used for the m-count aggregation: ``_value_ok`` plus
     sh:qualifiedValueShapesDisjoint sibling exclusions — a value counts
     toward a disjoint qualified constraint only if it conforms to NO
-    sibling qualified value shape.  ``sib_cols`` maps sibling position →
-    the sibling's own (ref, disj_ref, class, disj_class) column names, so
-    siblings carrying sh:node / sh:class evaluate with their conformance
-    joins (the frontend restricts ref-carrying siblings to the forward
-    direct-path aggregation, where those columns are attached)."""
-    ok = _value_ok(tc, ref_ok_col, disjunct_ref_cols, class_ok_col, disjunct_class_cols)
+    sibling qualified value shape.  ``sib_colmaps`` maps sibling position →
+    that sibling's own path-keyed conformance colmap, so siblings carrying
+    sh:node / sh:class at any nesting depth evaluate with their
+    conformance joins."""
+    ok = _value_ok(tc, colmap)
     for k, sib in enumerate(tc.disjoint_siblings or []):
-        rc, drc, cc, dcc = (sib_cols or {}).get(k, (None, None, None, None))
-        ok = ok & ~F.coalesce(_value_ok(sib, rc, drc, cc, dcc), F.lit(False))
+        ok = ok & ~F.coalesce(
+            _value_ok(sib, (sib_colmaps or {}).get(k)), F.lit(False)
+        )
     return ok
 
 
 def _refs_of(tc: TripleConstraint) -> list[str]:
     """Shape references this constraint evaluates: its own ``ref_shape``
-    plus any ``sh:node`` nested in OR disjuncts."""
-    out = [tc.ref_shape] if tc.ref_shape is not None else []
-    for d in tc.disjuncts or []:
-        if d.ref_shape is not None:
-            out.append(d.ref_shape)
-    return out
+    plus any ``sh:node`` nested at any depth of the value tree (ORs,
+    sh:xone members, mixed-polarity conjuncts)."""
+    return [n.ref_shape for _, n in _walk_value_nodes(tc) if n.ref_shape is not None]
 
 
 def _ref_order(schema: CompiledSchema, roots: list[str]) -> tuple[list[str], set[str]]:
@@ -450,68 +465,54 @@ def evaluate_shape(
             )
         return class_inst_cache[class_iri]
 
+    def _path_sfx(path: tuple) -> str:
+        return "".join(f"_{t}{idx}" for t, idx in path)
+
     def _ref_reqs(i: int, tc: TripleConstraint) -> list[tuple[str, DataFrame]]:
         """(column, conformant DF) requirements for constraint i, filling
-        ref_cols / class_cols / disjunct variants as a side effect."""
+        the path-keyed ``node_cols[i]`` colmap as a side effect — one
+        dedicated boolean column per ref/class-carrying node of the value
+        tree, at any nesting depth."""
         reqs = []
-        if tc.ref_shape is not None:
-            ref_cols[i] = f"_ref_ok_{i}"
-            reqs.append((ref_cols[i], conformant_refs[tc.ref_shape]))
-        if tc.class_iri is not None:
-            class_cols[i] = f"_cls_ok_{i}"
-            reqs.append((class_cols[i], _class_inst(tc.class_iri)))
-        for j, d in enumerate(tc.disjuncts or []):
-            if d.disjuncts and any(
-                x.ref_shape is not None or x.class_iri is not None
-                for x in d.disjuncts
-            ):
-                raise ValueError(
-                    "shape/class references nested two disjunct levels "
-                    "deep are unsupported"
-                )
-            if d.ref_shape is not None:
-                disj_ref_cols.setdefault(i, {})[j] = f"_ref_ok_{i}_d{j}"
-                reqs.append((disj_ref_cols[i][j], conformant_refs[d.ref_shape]))
-            if d.class_iri is not None:
-                disj_class_cols.setdefault(i, {})[j] = f"_cls_ok_{i}_d{j}"
-                reqs.append((disj_class_cols[i][j], _class_inst(d.class_iri)))
+        cm = node_cols.setdefault(i, {})
+        for path, n in _walk_value_nodes(tc):
+            rc = cc = None
+            if n.ref_shape is not None:
+                rc = f"_ref_ok_{i}{_path_sfx(path)}"
+                reqs.append((rc, conformant_refs[n.ref_shape]))
+            if n.class_iri is not None:
+                cc = f"_cls_ok_{i}{_path_sfx(path)}"
+                reqs.append((cc, _class_inst(n.class_iri)))
+            if rc or cc:
+                cm[path] = (rc, cc)
         return reqs
 
-    ref_cols: dict[int, str] = {}
-    class_cols: dict[int, str] = {}
-    disj_ref_cols: dict[int, dict[int, str]] = {}
-    disj_class_cols: dict[int, dict[int, str]] = {}
+    # per-constraint path-keyed conformance colmaps (see _walk_value_nodes)
+    node_cols: dict[int, dict[tuple, tuple[str | None, str | None]]] = {}
     # sh:qualifiedValueShapesDisjoint sibling conformance: per
     # (constraint i, sibling k) DEDICATED columns, attached to constraint
     # i's OWN value neighbourhood — the sibling's value shape applies to
     # THIS constraint's values and the sibling's path is irrelevant to the
     # disjointness test (spec §4.7), so this is sound for forward, inverse,
     # and non-trivial-path aggregations alike.
-    sib_cols_map: dict[int, dict[int, tuple]] = {}
+    sib_cols_map: dict[int, dict[int, dict[tuple, tuple[str | None, str | None]]]] = {}
 
     def _sib_reqs(i: int, tc: TripleConstraint) -> list[tuple[str, DataFrame]]:
         reqs: list[tuple[str, DataFrame]] = []
         for k, sib in enumerate(tc.disjoint_siblings or []):
-            rc = cc = None
-            drc: dict[int, str] = {}
-            dcc: dict[int, str] = {}
-            if sib.ref_shape is not None:
-                rc = f"_sib_ref_{i}_{k}"
-                reqs.append((rc, conformant_refs[sib.ref_shape]))
-            if sib.class_iri is not None:
-                cc = f"_sib_cls_{i}_{k}"
-                reqs.append((cc, _class_inst(sib.class_iri)))
-            for j2, d in enumerate(sib.disjuncts or []):
-                if d.ref_shape is not None:
-                    drc[j2] = f"_sib_ref_{i}_{k}_d{j2}"
-                    reqs.append((drc[j2], conformant_refs[d.ref_shape]))
-                if d.class_iri is not None:
-                    dcc[j2] = f"_sib_cls_{i}_{k}_d{j2}"
-                    reqs.append((dcc[j2], _class_inst(d.class_iri)))
-            if rc or cc or drc or dcc:
-                sib_cols_map.setdefault(i, {})[k] = (
-                    rc, drc or None, cc, dcc or None
-                )
+            cm: dict[tuple, tuple[str | None, str | None]] = {}
+            for path, n in _walk_value_nodes(sib):
+                rc = cc = None
+                if n.ref_shape is not None:
+                    rc = f"_sib_ref_{i}_{k}{_path_sfx(path)}"
+                    reqs.append((rc, conformant_refs[n.ref_shape]))
+                if n.class_iri is not None:
+                    cc = f"_sib_cls_{i}_{k}{_path_sfx(path)}"
+                    reqs.append((cc, _class_inst(n.class_iri)))
+                if rc or cc:
+                    cm[path] = (rc, cc)
+            if cm:
+                sib_cols_map.setdefault(i, {})[k] = cm
         return reqs
 
     fwd_reqs: list[tuple[str, DataFrame]] = []
@@ -574,10 +575,7 @@ def evaluate_shape(
                     on_pred
                     & _count_ok(
                         tc,
-                        ref_cols.get(i),
-                        disj_ref_cols.get(i),
-                        class_cols.get(i),
-                        disj_class_cols.get(i),
+                        node_cols.get(i),
                         sib_cols_map.get(i),
                     ),
                     1,
@@ -635,10 +633,7 @@ def evaluate_shape(
             ok = F.coalesce(
                 _value_ok(
                     flat_constraints[i],
-                    ref_cols.get(i),
-                    disj_ref_cols.get(i),
-                    class_cols.get(i),
-                    disj_class_cols.get(i),
+                    node_cols.get(i),
                 ),
                 F.lit(False),
             )
@@ -720,10 +715,7 @@ def evaluate_shape(
                         on_pred
                         & _count_ok(
                             tc,
-                            ref_cols.get(i),
-                            disj_ref_cols.get(i),
-                            class_cols.get(i),
-                            disj_class_cols.get(i),
+                            node_cols.get(i),
                             sib_cols_map.get(i),
                         ),
                         1,
@@ -749,10 +741,7 @@ def evaluate_shape(
                 F.when(
                     _count_ok(
                         tc,
-                        ref_cols.get(i),
-                        disj_ref_cols.get(i),
-                        class_cols.get(i),
-                        disj_class_cols.get(i),
+                        node_cols.get(i),
                         sib_cols_map.get(i),
                     ),
                     1,
@@ -981,7 +970,13 @@ def validate_batch(
                 or tc.pair_less_than is not None
                 or tc.pair_less_than_eq is not None
                 or tc.disjoint_siblings
-                or any(d.ref_shape or d.class_iri for d in tc.disjuncts or [])
+                # refs/classes at ANY depth of the value tree (nested ORs,
+                # xone members, mixed-polarity conjuncts) need conformance
+                # joins the batched m/t agg does not attach
+                or any(
+                    n.ref_shape or n.class_iri
+                    for _, n in _walk_value_nodes(tc)
+                )
                 for tc in sh.constraints
             )
             # repeated-property EachOf needs the partition-matching path
@@ -1234,17 +1229,24 @@ def validate(
         # a cycle from outside are fine: the referring shape evaluates
         # post-fixpoint (cycle_dep ordering above), when the cycle's
         # conformant sets are final.
+        def _nonmono_cyclic_ref(n: TripleConstraint, parity: bool, under_xone: bool) -> bool:
+            """True if the value tree uses a cyclic shape's conformance
+            set non-monotonically: under an odd number of negations
+            (parity), or anywhere under sh:xone (exactly-one counting is
+            non-monotone in each member)."""
+            p = parity ^ bool(n.negated)
+            if n.ref_shape is not None and n.ref_shape in cyclic and (p or under_xone):
+                return True
+            ux = under_xone or bool(n.xone)
+            return any(
+                _nonmono_cyclic_ref(d, p, ux) for d in (n.disjuncts or [])
+            ) or any(_nonmono_cyclic_ref(m, p, ux) for m in (n.conjuncts or []))
+
         for sid in sorted(cyclic):
             for tc in _tcs(schema.shapes[sid]):
-                neg_in_cycle = (
-                    tc.negated and any(ref in cyclic for ref in _refs_of(tc))
-                ) or any(
-                    d.negated and d.ref_shape in cyclic
-                    for d in tc.disjuncts or []
-                )
-                if neg_in_cycle:
+                if _nonmono_cyclic_ref(tc, False, False):
                     raise ValueError(
-                        f"shape {sid!r}: negated reference "
+                        f"shape {sid!r}: negated (or xone-counted) reference "
                         "inside a reference cycle is not stratifiable (unsupported)"
                     )
         # Recursive shape references (SURVEY §4 fixpoint row; the reference

@@ -121,13 +121,22 @@ def test_negated_group_conjunction_lowers_to_conjuncts():
     assert tc2.conjuncts and len(tc2.conjuncts) == 2
 
 
-def test_negated_group_conjunction_with_ref_rejects():
-    with pytest.raises(ValueError, match="mixed-polarity"):
-        parse_shexc(
-            f"PREFIX ex: <{E}>\nPREFIX xsd: <{XSD}>\n"
-            "ex:T { ex:name . }\n"
-            "ex:S { ex:v xsd:string AND NOT (@ex:T OR xsd:integer) }"
-        )
+def test_negated_group_conjunction_with_ref_parses():
+    """Round 4: a shape ref inside a mixed-polarity conjunction lowers to
+    a `conjuncts` carrier with the ref on a nested (negated) disjunct —
+    the evaluator attaches a conformance column per ref-carrying node
+    (validate._walk_value_nodes), so this is no longer a reject."""
+    schema = parse_shexc(
+        f"PREFIX ex: <{E}>\nPREFIX xsd: <{XSD}>\n"
+        "ex:T { ex:name . }\n"
+        "ex:S { ex:v xsd:string AND NOT (@ex:T OR xsd:integer) }"
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert tc.conjuncts is not None
+    neg = [m for m in tc.conjuncts if m.negated]
+    assert len(neg) == 1 and any(
+        d.ref_shape == E + "T" for d in neg[0].disjuncts
+    )
 
 
 def test_conflicting_pattern_rejects():
@@ -230,18 +239,27 @@ def test_and_distribution_end_to_end(spark):
     }
 
 
-def test_negated_ref_group_in_disjunct_position_rejects(spark):
-    # a negated group carrying a ref lands a ref at nested disjunct
-    # level — the evaluator's per-disjunct conformance columns are one
-    # level deep, so this is the documented clean reject
+def test_negated_ref_group_in_disjunct_position(spark):
+    """Round 4: a negated group carrying a ref at nested disjunct level is
+    now evaluated — path-keyed conformance columns reach any depth.
+    `LITERAL OR NOT (@ex:A OR IRI)`: conformant iff the value is a literal,
+    or is neither A-conformant nor an IRI."""
     schema = parse_shexc(
         f"PREFIX ex: <{E}>\n"
         "ex:A { ex:name . }\n"
         "ex:S { ex:v LITERAL OR NOT (@ex:A OR IRI) }"
     )
-    tri = _tri(spark, [(E + "a", E + "v", "literal", "x", None, None)])
-    with pytest.raises(ValueError, match="two disjunct levels"):
-        validate(tri, schema, shapemap=f"<{E}a>@<{E}S>").collect()
+    rows = [
+        (E + "named", E + "name", "literal", "N", None, None),
+        (E + "a", E + "v", "literal", "x", None, None),  # literal → ok
+        (E + "b", E + "v", "iri", E + "named", None, None),  # IRI → not ok
+        # bnode value, not A-conformant, not an IRI → second disjunct holds
+        (E + "c", E + "v", "bnode", "_:z", None, None),
+    ]
+    tri = _tri(spark, rows)
+    smap = ", ".join(f"<{E}{n}>@<{E}S>" for n in ("a", "b", "c"))
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "conformant"}
 
 
 def test_mixed_polarity_conjunction_end_to_end(spark):
