@@ -169,29 +169,12 @@ def _read_value_constraints(
         tc.disjuncts = _splice_or_members(members) if not is_xone else members
         tc.xone = is_xone
     if (v := g.obj1(node, SH + "and")) is not None:
+        members = []
         for _, mnode, _, _ in g.rdf_list(v[1]):
             m = TripleConstraint(pred=tc.pred)
             _read_value_constraints(g, mnode, m, nested=True)
-            if m.disjuncts:
-                if tc.disjuncts:
-                    raise ValueError(
-                        "SHACL: two disjunctions conjoined under one "
-                        "member node are unsupported in this subset"
-                    )
-                tc.disjuncts, tc.xone = m.disjuncts, m.xone
-                continue
-            for f in _VALUE_FIELDS:
-                mv = getattr(m, f)
-                if mv is None:
-                    continue
-                if getattr(tc, f) is not None and getattr(tc, f) != mv:
-                    raise ValueError(f"SHACL: conflicting {f} in sh:and members")
-                setattr(tc, f, mv)
-        # a TC carrying BOTH direct fields and a disjunction would drop
-        # the fields (_value_ok's disjunct branch returns the member-OR
-        # alone): distribute — (a OR b) AND dt ≡ (a AND dt) OR (b AND dt)
-        if tc.disjuncts and _has_value_fields(tc):
-            _distribute_siblings(tc, tc.disjuncts, "sh:and over a disjunction")
+            members.append(m)
+        _fold_and_members(tc, members)
     if (v := g.obj1(node, SH + "not")) is not None:
         if _has_value_fields(tc) or tc.disjuncts:
             raise ValueError(
@@ -227,6 +210,67 @@ def _splice_or_members(members: list[TripleConstraint]) -> list[TripleConstraint
         else:
             out.append(m)
     return out
+
+
+def _tc_value_copy(tc: TripleConstraint) -> TripleConstraint:
+    """Copy the value-level payload of ``tc`` (fields + structural
+    disjunction/conjunction/negation) onto a fresh carrier."""
+    m = TripleConstraint(pred=tc.pred)
+    for f in _VALUE_FIELDS:
+        setattr(m, f, getattr(tc, f))
+    m.disjuncts = tc.disjuncts
+    m.xone = tc.xone
+    m.negated = tc.negated
+    m.conjuncts = tc.conjuncts
+    return m
+
+
+def _clear_value(tc: TripleConstraint) -> None:
+    for f in _VALUE_FIELDS:
+        setattr(tc, f, None)
+    tc.disjuncts = None
+    tc.xone = False
+    tc.negated = False
+    tc.conjuncts = None
+
+
+def _fold_and_members(tc: TripleConstraint, members: list[TripleConstraint]) -> None:
+    """Conjoin sh:and members into ``tc``.  Pure-value members field-fold
+    (conflicting values raise; one disjunction may survive, with direct
+    fields distributed into it).  A member carrying negation (sh:not), a
+    nested conjunction, or a SECOND disjunction lowers the whole
+    conjunction to a ``conjuncts`` carrier instead — the evaluator ANDs
+    members recursively (validate._value_ok), with shape refs supported at
+    any depth, so no component is ever silently dropped (before round 4 a
+    negated member's NOT was lost by the field fold — the inverted-verdict
+    failure mode)."""
+    complex_ = any(m.negated or m.conjuncts for m in members) or (
+        sum(1 for m in members if m.disjuncts) + (1 if tc.disjuncts else 0) > 1
+    )
+    if complex_:
+        conj: list[TripleConstraint] = []
+        if _has_value_fields(tc) or tc.disjuncts or tc.negated or tc.conjuncts:
+            conj.append(_tc_value_copy(tc))
+            _clear_value(tc)
+        conj.extend(members)
+        tc.conjuncts = conj
+        return
+    for m in members:
+        if m.disjuncts:
+            tc.disjuncts, tc.xone = m.disjuncts, m.xone
+            continue
+        for f in _VALUE_FIELDS:
+            mv = getattr(m, f)
+            if mv is None:
+                continue
+            if getattr(tc, f) is not None and getattr(tc, f) != mv:
+                raise ValueError(f"SHACL: conflicting {f} in sh:and members")
+            setattr(tc, f, mv)
+    # a TC carrying BOTH direct fields and a disjunction would drop the
+    # fields (_value_ok's disjunct branch returns the member-OR alone):
+    # distribute — (a OR b) AND dt ≡ (a AND dt) OR (b AND dt)
+    if tc.disjuncts and _has_value_fields(tc):
+        _distribute_siblings(tc, tc.disjuncts, "sh:and over a disjunction")
 
 
 def _has_value_fields(tc: TripleConstraint) -> bool:
@@ -492,32 +536,12 @@ def parse_shacl(text: str) -> CompiledSchema:
             # sh:and ( m1 m2 … ): conjunction — members' value components
             # merge onto the property shape (conflicting fields rejected)
             if (v := g.obj1(pshape, SH + "and")) is not None:
+                members = []
                 for _, mnode, _, _ in g.rdf_list(v[1]):
                     m = TripleConstraint(pred=tc.pred)
                     _read_value_constraints(g, mnode, m, nested=True)
-                    if m.disjuncts:
-                        if tc.disjuncts:
-                            raise ValueError(
-                                "SHACL: two disjunctions conjoined under "
-                                "sh:and are unsupported in this subset"
-                            )
-                        tc.disjuncts, tc.xone = m.disjuncts, m.xone
-                        continue
-                    for f in _VALUE_FIELDS:
-                        mv = getattr(m, f)
-                        if mv is None:
-                            continue
-                        if getattr(tc, f) is not None and getattr(tc, f) != mv:
-                            raise ValueError(
-                                f"SHACL: conflicting {f} in sh:and members"
-                            )
-                        setattr(tc, f, mv)
-                # fields folded by sh:and alongside a disjunction (from a
-                # sibling sh:or or an sh:and member carrying one) would be
-                # silently dropped by _value_ok's disjunct branch —
-                # distribute instead: (a OR b) AND dt ≡ (a∧dt) OR (b∧dt)
-                if tc.disjuncts and _has_value_fields(tc):
-                    _distribute_siblings(tc, tc.disjuncts, "sh:and over a disjunction")
+                    members.append(m)
+                _fold_and_members(tc, members)
 
             # sh:not [ … ]: negated value constraint (only form supported:
             # no sibling value constraints on the property shape itself)

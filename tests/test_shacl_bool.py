@@ -373,3 +373,66 @@ def test_sh_and_over_disjunction_distributes():
         (True, "literal"),
         (False, "iri"),
     ]
+
+
+def test_sh_and_with_not_member(spark):
+    """Round-4 fix: an sh:and member carrying sh:not lowered through the
+    field fold LOST its negation (inverted verdicts).  Mixed-polarity
+    sh:and now lowers to a `conjuncts` carrier the evaluator ANDs
+    recursively."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ;
+    sh:or ( [ sh:and ( [ sh:not [ sh:in ( "BAD" ) ] ] [ sh:minLength 2 ] ) ]
+            [ sh:in ( "ZZ" ) ] ) ] ."""
+    )
+    tc = schema.shapes[E + "S"].constraints[0]
+    assert tc.disjuncts[0].conjuncts is not None
+    assert any(m.negated for m in tc.disjuncts[0].conjuncts)
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "BAD", None, None),  # NOT-BAD fails
+            (E + "b", E + "v", "literal", "FINE", None, None),  # ok
+            (E + "c", E + "v", "literal", "ZZ", None, None),  # 2nd or-member
+            (E + "e", E + "v", "literal", "x", None, None),  # minLength fails
+        ],
+    )
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema).collect()}
+    assert out == {
+        "a": "nonconformant",
+        "b": "conformant",
+        "c": "conformant",
+        "e": "nonconformant",
+    }
+
+
+def test_sh_and_two_disjunctions(spark):
+    """Two disjunctions conjoined under sh:and (previously a reject):
+    (integer OR decimal) AND (minInclusive 1 OR maxInclusive -1)."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ;
+    sh:and (
+      [ sh:or ( [ sh:datatype xsd:integer ] [ sh:datatype xsd:decimal ] ) ]
+      [ sh:or ( [ sh:minInclusive 1 ] [ sh:maxInclusive -1 ] ) ]
+    ) ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "5", None, XSD + "integer"),
+            (E + "b", E + "v", "literal", "-2.5", None, XSD + "decimal"),
+            (E + "c", E + "v", "literal", "0", None, XSD + "integer"),
+            (E + "e", E + "v", "literal", "5", None, XSD + "string"),
+        ],
+    )
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema).collect()}
+    assert out == {
+        "a": "conformant",
+        "b": "conformant",
+        "c": "nonconformant",
+        "e": "nonconformant",
+    }
