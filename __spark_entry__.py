@@ -249,6 +249,21 @@ def _q_prefix_map(spark, sf_dir):
     return merged_prefix_map(extract_prefixes(_rdf_docs(spark, sf_dir)))
 
 
+def _q_shex2shacl_validate(spark, sf_dir):
+    """K3 EXCEEDS-reference direction: ShEx → SHACL Turtle → reparse →
+    validate (shapemap trigger).  The converted schema must reproduce the
+    golden ShEx verdicts exactly (oracle = expected_verdicts shex_sensor).
+    Reference refuses this direction (SchemaConvert.scala:183-186)."""
+    from rdfshape_api_spark.plans import parse_shacl, parse_shexc, validate
+    from rdfshape_api_spark.plans.convert import shex_to_shacl, to_shacl_turtle
+
+    converted = parse_shacl(to_shacl_turtle(shex_to_shacl(parse_shexc(SHEX_SENSOR))))
+    tri = _rdf_triples(spark, sf_dir)
+    return validate(tri, converted, shapemap=SHAPEMAP_QUERY).select(
+        "doc_sha256", "node", "status"
+    )
+
+
 def _q_shapemap_resolve(spark, sf_dir):
     """A4/J1 ShapeMapInfo surface (ShapeMapInfo.scala:34-56 + the trigger
     decoder TriggerShapeMap.scala:52-54): parse a compact multi-association
@@ -1526,6 +1541,7 @@ def _q_events_sessions(spark, sf_dir):
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
     "rdf_shapemap_resolve",
+    "rdf_shex2shacl_validate",
     "social_shex_conj_not_ref",
     "text_temperature_mix",
     "text_epoch_shards",
@@ -1612,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_prefix_map": _q_prefix_map,                 # P8
         "rdf_ntriples": _q_ntriples,                     # K1
         "rdf_shapemap_resolve": _q_shapemap_resolve,     # A4/J1 (r4)
+        "rdf_shex2shacl_validate": _q_shex2shacl_validate,  # K3 reverse direction (r4)
         "rdf_nquads": _q_nquads,                         # K1 N-Quads (r4)
         "rdf_trig": _q_trig,                             # K1 TriG (r4)
         "rdf_has_pred_subj": _q_has_pred_subj,           # P4 vectorized (r4)
@@ -1782,6 +1799,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rdf_extract_canonical": f"SELECT DISTINCT * FROM {_T}",
         "rdf_validate_shex": (
+            f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
+        ),
+        "rdf_shex2shacl_validate": (
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
         ),
         "rdf_validate_shacl": (

@@ -3,8 +3,9 @@
 Reference: ``SchemaConvert.schemaConvert`` (same-engine format conversion,
 ``modules/server/.../schema/logic/operations/SchemaConvert.scala:69-105``),
 SHACL→ShEx via ``Shacl2ShEx.shacl2ShEx`` (:203-232), and ShEx→SHACL
-explicitly **not implemented** in the reference (:183-186) — we mirror that
-asymmetry.  ``SchemaInfo`` extracts shape list + prefix map
+explicitly **not implemented** in the reference (:183-186) — this engine
+EXCEEDS the reference there: the shared IR makes the reverse direction an
+engine flip + renderable-subset guard (see :func:`shex_to_shacl`).  ``SchemaInfo`` extracts shape list + prefix map
 (``SchemaInfo.scala:33-46``); ``ShapeMapInfo`` counts associations
 (``ShapeMapInfo.scala:34-56``).
 
@@ -38,12 +39,91 @@ def shacl_to_shex(schema: CompiledSchema) -> CompiledSchema:
 
 
 def shex_to_shacl(schema: CompiledSchema) -> CompiledSchema:
-    """Mirrors the reference: 'conversion from ShEx to SHACL is not
-    implemented' (SchemaConvert.scala:183-186)."""
-    raise NotImplementedError(
-        "ShEx -> SHACL conversion is not implemented (parity with "
-        "SchemaConvert.scala:183-186)"
-    )
+    """ShEx → SHACL on the shared IR — an engine EXTENSION beyond the
+    reference, which refuses this direction ('conversion from ShEx to
+    SHACL is not implemented', SchemaConvert.scala:183-186).
+
+    The two engines share one constraint IR here, so the conversion is an
+    engine flip plus a renderable-subset guard: the result must survive
+    ``to_shacl_turtle`` → ``parse_shacl`` with identical verdicts.
+    Mappings:
+
+    * triple constraints → sh:property (datatype / nodeKind / sh:in /
+      numeric facets / pattern / length / languageIn / sh:node carry over
+      verbatim — same IR fields);
+    * cardinality → sh:minCount / sh:maxCount;
+    * ``EXTRA p`` → sh:qualifiedValueShape + qualifiedMin/MaxCount (both
+      compile to the same count-only verdict, validate.py: the
+      ``tc.extra or tc.qualified`` branch);
+    * CLOSED → sh:closed;
+    * value-level OR / NOT / AND trees → sh:or / sh:not / sh:and (the
+      SHACL frontend reads them back recursively).
+
+    Out of the renderable subset (clean rejects): OneOf alternatives and
+    repeated-predicate EachOf groups (SHACL property shapes conjoin — no
+    partition matching), shape-level node constraints / conjunct / disjunct
+    refs (no SHACL core counterpart read by this frontend), value-set
+    stems / exclusions / wildcards / language members (sh:in is an
+    enumerated list).
+    """
+    if schema.engine != "shex":
+        raise ValueError(f"expected a shex schema, got {schema.engine!r}")
+
+    def _check_node(n: TripleConstraint, where: str) -> None:
+        if n.value_set_has_wildcard or n.value_set_excl:
+            raise ValueError(
+                f"ShEx->SHACL: value-set wildcard/exclusions on {where} "
+                "have no sh:in equivalent"
+            )
+        for kind, _ in n.value_set or []:
+            if kind not in ("iri", "literal"):
+                raise ValueError(
+                    f"ShEx->SHACL: value-set {kind} member on {where} has "
+                    "no sh:in equivalent"
+                )
+        for d in n.disjuncts or []:
+            _check_node(d, where)
+        for m in n.conjuncts or []:
+            _check_node(m, where)
+
+    shapes: dict[str, Shape] = {}
+    for sid, sh in schema.shapes.items():
+        if sh.alternatives is not None:
+            raise ValueError(
+                "ShEx->SHACL: OneOf alternatives have no SHACL core "
+                f"counterpart (shape {sid})"
+            )
+        if sh.node_constraint is not None or sh.conjunct_refs or sh.disjunct_refs:
+            raise ValueError(
+                "ShEx->SHACL: shape-level node constraints / shape-ref "
+                f"algebra have no SHACL core counterpart (shape {sid})"
+            )
+        preds = [tc.pred for tc in sh.constraints]
+        if len(set(preds)) != len(preds):
+            raise ValueError(
+                "ShEx->SHACL: repeated-predicate EachOf groups use "
+                "partition matching — SHACL property shapes conjoin "
+                f"(shape {sid})"
+            )
+        out_tcs: list[TripleConstraint] = []
+        for tc in sh.constraints:
+            _check_node(tc, f"{sid} / {tc.pred}")
+            c = _tc_deep_copy(tc)
+            if c.extra:
+                c.extra = False
+                c.qualified = True
+            out_tcs.append(c)
+        shapes[sid] = Shape(
+            shape_id=sid, constraints=out_tcs, closed=sh.closed,
+            ignored=list(sh.ignored),
+        )
+    return CompiledSchema(engine="shacl", shapes=shapes, prefixes=dict(schema.prefixes))
+
+
+def _tc_deep_copy(tc: TripleConstraint) -> TripleConstraint:
+    import copy as _copy
+
+    return _copy.deepcopy(tc)
 
 
 def _pname(iri: str, prefixes: dict[str, str]) -> str:
@@ -181,6 +261,68 @@ def to_shexc(schema: CompiledSchema) -> str:
     return "\n".join(lines).rstrip() + "\n"
 
 
+def _shacl_components(tc: TripleConstraint, pm: dict[str, str], indent: int) -> list[str]:
+    """Value-level SHACL component lines for one node of the value tree,
+    recursive through sh:or / sh:xone / sh:and / sh:not — mirrors exactly
+    what the SHACL frontend reads back (``_read_value_constraints``), so
+    render → parse round-trips."""
+    ind = " " * indent
+
+    def _nested(n: TripleConstraint) -> str:
+        body = _shacl_components(n, pm, indent + 4)
+        return "[ " + " ; ".join(x.strip() for x in body) + " ]" if body else "[ ]"
+
+    out: list[str] = []
+    inner = tc
+    if tc.negated:
+        # NOT wraps the node's whole value expression: sh:not [ … ]
+        import copy as _copy
+
+        inner = _copy.copy(tc)
+        inner.negated = False
+        return [f"{ind}sh:not {_nested(inner)}"]
+    if tc.conjuncts:
+        members = " ".join(_nested(m) for m in tc.conjuncts)
+        return [f"{ind}sh:and ( {members} )"]
+    if tc.disjuncts:
+        comp = "sh:xone" if tc.xone else "sh:or"
+        members = " ".join(_nested(d) for d in tc.disjuncts)
+        return [f"{ind}{comp} ( {members} )"]
+    if tc.datatype:
+        out.append(f"{ind}sh:datatype {_pname(tc.datatype, pm)}")
+    if tc.node_kind:
+        nk = {"iri": "sh:IRI", "bnode": "sh:BlankNode", "literal": "sh:Literal",
+              "nonliteral": "sh:BlankNodeOrIRI"}[tc.node_kind]
+        out.append(f"{ind}sh:nodeKind {nk}")
+    if tc.value_set is not None:
+        vals = " ".join(
+            (f'"{v}"' if k == "literal" else _pname(v, pm)) for k, v in tc.value_set
+        )
+        out.append(f"{ind}sh:in ( {vals} )")
+    if tc.min_inclusive is not None:
+        out.append(f"{ind}sh:minInclusive {_numlex(tc.min_inclusive)}")
+    if tc.max_inclusive is not None:
+        out.append(f"{ind}sh:maxInclusive {_numlex(tc.max_inclusive)}")
+    if tc.min_exclusive is not None:
+        out.append(f"{ind}sh:minExclusive {_numlex(tc.min_exclusive)}")
+    if tc.max_exclusive is not None:
+        out.append(f"{ind}sh:maxExclusive {_numlex(tc.max_exclusive)}")
+    if tc.pattern:
+        out.append(f'{ind}sh:pattern "{tc.pattern}"')
+    if tc.min_length is not None:
+        out.append(f"{ind}sh:minLength {tc.min_length}")
+    if tc.max_length is not None:
+        out.append(f"{ind}sh:maxLength {tc.max_length}")
+    if tc.language_in is not None:
+        tags = " ".join(f'"{t}"' for t in tc.language_in)
+        out.append(f"{ind}sh:languageIn ( {tags} )")
+    if tc.ref_shape:
+        out.append(f"{ind}sh:node {_pname(tc.ref_shape, pm)}")
+    if tc.class_iri:
+        out.append(f"{ind}sh:class {_pname(tc.class_iri, pm)}")
+    return out
+
+
 def to_shacl_turtle(schema: CompiledSchema) -> str:
     """Render the IR to SHACL Turtle (same-engine format conversion path,
     SchemaConvert.scala:69-105)."""
@@ -204,34 +346,29 @@ def to_shacl_turtle(schema: CompiledSchema) -> str:
         if sh.closed:
             props.append("  sh:closed true")
         for tc in sh.constraints:
-            c = [f"    sh:path {_pname(tc.pred, pm)}"]
-            if tc.datatype:
-                c.append(f"    sh:datatype {_pname(tc.datatype, pm)}")
-            if tc.node_kind:
-                nk = {"iri": "sh:IRI", "bnode": "sh:BlankNode", "literal": "sh:Literal",
-                      "nonliteral": "sh:BlankNodeOrIRI"}[tc.node_kind]
-                c.append(f"    sh:nodeKind {nk}")
-            if tc.value_set is not None:
-                vals = " ".join(
-                    (f'"{v}"' if k == "literal" else _pname(v, pm)) for k, v in tc.value_set
+            path = (
+                f"[ sh:inversePath {_pname(tc.pred, pm)} ]"
+                if tc.inverse
+                else _pname(tc.pred, pm)
+            )
+            c = [f"    sh:path {path}"]
+            if tc.qualified:
+                body = _shacl_components(tc, pm, indent=6)
+                c.append(
+                    "    sh:qualifiedValueShape [\n"
+                    + " ;\n".join(body)
+                    + " ;\n    ]"
                 )
-                c.append(f"    sh:in ( {vals} )")
-            if tc.min_count:
-                c.append(f"    sh:minCount {tc.min_count}")
-            if tc.max_count is not None:
-                c.append(f"    sh:maxCount {tc.max_count}")
-            if tc.min_inclusive is not None:
-                c.append(f"    sh:minInclusive {_numlex(tc.min_inclusive)}")
-            if tc.max_inclusive is not None:
-                c.append(f"    sh:maxInclusive {_numlex(tc.max_inclusive)}")
-            if tc.min_exclusive is not None:
-                c.append(f"    sh:minExclusive {_numlex(tc.min_exclusive)}")
-            if tc.max_exclusive is not None:
-                c.append(f"    sh:maxExclusive {_numlex(tc.max_exclusive)}")
-            if tc.pattern:
-                c.append(f'    sh:pattern "{tc.pattern}"')
-            if tc.ref_shape:
-                c.append(f"    sh:node {_pname(tc.ref_shape, pm)}")
+                if tc.min_count:
+                    c.append(f"    sh:qualifiedMinCount {tc.min_count}")
+                if tc.max_count is not None:
+                    c.append(f"    sh:qualifiedMaxCount {tc.max_count}")
+            else:
+                c.extend(_shacl_components(tc, pm, indent=4))
+                if tc.min_count:
+                    c.append(f"    sh:minCount {tc.min_count}")
+                if tc.max_count is not None:
+                    c.append(f"    sh:maxCount {tc.max_count}")
             props.append("  sh:property [\n" + " ;\n".join(c) + " ;\n  ]")
         lines.append(f"{head}\n" + " ;\n".join(props) + " .")
         lines.append("")

@@ -38,9 +38,100 @@ def test_shacl_to_shex_roundtrip_validates_identically(spark, triples_001):
     assert orig.exceptAll(conv).isEmpty() and conv.exceptAll(orig).isEmpty()
 
 
-def test_shex_to_shacl_not_implemented():
-    with pytest.raises(NotImplementedError):
-        shex_to_shacl(parse_shexc(SHEX_SENSOR))
+def test_shex_to_shacl_roundtrip_validates_identically(spark, triples_001):
+    """ShEx → IR → SHACL Turtle → reparse → validate (same shapemap
+    trigger) must agree with the original ShEx verdicts.  An engine
+    EXTENSION: the reference refuses this direction
+    (SchemaConvert.scala:183-186)."""
+    shex = parse_shexc(SHEX_SENSOR)
+    ttl = to_shacl_turtle(shex_to_shacl(shex))
+    reparsed = parse_shacl(ttl)
+    assert reparsed.engine == "shacl"
+    smap = "{FOCUS a <" + EX + "Reading>}@<" + EX + "ValidReading>"
+    orig = validate(triples_001, shex, shapemap=smap, shape_label="s").select(
+        "doc_sha256", "node", "status"
+    )
+    conv = validate(triples_001, reparsed, shapemap=smap, shape_label="s").select(
+        "doc_sha256", "node", "status"
+    )
+    assert orig.exceptAll(conv).isEmpty() and conv.exceptAll(orig).isEmpty()
+
+
+def test_shex_to_shacl_extra_becomes_qualified(spark):
+    """EXTRA p → sh:qualifiedValueShape + qualifiedMin/MaxCount: both
+    compile to the count-only verdict, so extras never violate."""
+    shex = parse_shexc(
+        f"PREFIX ex: <{EX}>\nPREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        "ex:S EXTRA ex:v { ex:v xsd:integer + }"
+    )
+    ttl = to_shacl_turtle(shex_to_shacl(shex))
+    assert "sh:qualifiedValueShape" in ttl and "sh:qualifiedMinCount 1" in ttl
+    reparsed = parse_shacl(ttl)
+    rows = [
+        ("d", EX + "a", EX + "v", "literal", "5", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("d", EX + "a", EX + "v", "literal", "oops", None, None),  # extra, allowed
+        ("d", EX + "b", EX + "v", "literal", "oops", None, None),  # no match → fail
+    ]
+    cols = (
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string"
+    )
+    tri = spark.createDataFrame(rows, cols)
+    smap = f"<{EX}a>@<{EX}S>, <{EX}b>@<{EX}S>"
+    for schema in (parse_shexc(
+        f"PREFIX ex: <{EX}>\nPREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        "ex:S EXTRA ex:v { ex:v xsd:integer + }"
+    ), reparsed):
+        out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+        assert out == {"a": "conformant", "b": "nonconformant"}, (schema.engine, out)
+
+
+def test_shex_to_shacl_renders_value_tree(spark):
+    """OR / NOT value trees render to sh:or / sh:not and read back with
+    identical verdicts."""
+    src = (
+        f"PREFIX ex: <{EX}>\nPREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        'ex:S { ex:v (xsd:integer OR NOT ([ "BAD" ] OR IRI)) }'
+    )
+    shex = parse_shexc(src)
+    ttl = to_shacl_turtle(shex_to_shacl(shex))
+    reparsed = parse_shacl(ttl)
+    rows = [
+        ("d", EX + "a", EX + "v", "literal", "5", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("d", EX + "b", EX + "v", "literal", "BAD", None, None),
+        ("d", EX + "c", EX + "v", "iri", EX + "x", None, None),
+        ("d", EX + "e", EX + "v", "literal", "fine", None, None),
+    ]
+    cols = (
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string"
+    )
+    tri = spark.createDataFrame(rows, cols)
+    smap = ", ".join(f"<{EX}{n}>@<{EX}S>" for n in ("a", "b", "c", "e"))
+    want = {"a": "conformant", "b": "nonconformant", "c": "nonconformant", "e": "conformant"}
+    for schema in (shex, reparsed):
+        out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+        assert out == want, (schema.engine, out)
+
+
+def test_shex_to_shacl_rejects_out_of_subset():
+    with pytest.raises(ValueError, match="OneOf"):
+        shex_to_shacl(parse_shexc(
+            f"PREFIX ex: <{EX}>\n"
+            "ex:S { ex:a . | ex:b . }"
+        ))
+    with pytest.raises(ValueError, match="stem|exclusion|wildcard"):
+        shex_to_shacl(parse_shexc(
+            f"PREFIX ex: <{EX}>\n"
+            "ex:S { ex:v [ ex:~ ] }"
+        ))
+    with pytest.raises(ValueError, match="repeated"):
+        shex_to_shacl(parse_shexc(
+            f"PREFIX ex: <{EX}>\nPREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+            'ex:S { ex:v xsd:integer ; ex:v [ "x" ] }'
+        ))
 
 
 def test_shacl_turtle_roundtrip(spark, triples_001):
