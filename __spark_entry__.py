@@ -813,6 +813,32 @@ def _q_text_tfidf(spark, sf_dir):
     return tfidf_topk(docs, k=5)
 
 
+def _q_text_leakage_split(spark, sf_dir):
+    """Duplicate-cluster-aware train/val/test split: the split key is the
+    duplicate-family component (dups land in one split — no train/eval
+    contamination), singletons key on themselves; md5-bucket assignment
+    into cumulative ratio ranges (96/2/2).  Families here = the
+    normalized-prefix exact-dup groups (the LSH transitive components
+    chain 494/500 synthetic docs into ONE family at sf0.01 — correct CC
+    but a degenerate split demo; the `clusters` parameter exists for
+    exactly this policy choice)."""
+    from rdfshape_api_spark.functions.dedup import exact_duplicates
+    from rdfshape_api_spark.functions.sampling import leakage_safe_split
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(F.substring(norm, 1, 80))
+    groups = exact_duplicates(docs, fp=fp)
+    clusters = (
+        docs.select("doc_id", fp.alias("fp"))
+        .join(groups.select("fp", F.col("min_doc_id").alias("component")), on="fp")
+        .select("doc_id", "component")
+    )
+    return leakage_safe_split(
+        docs, {"train": 0.96, "val": 0.02, "test": 0.02}, clusters=clusters
+    )
+
+
 def _q_text_hash_sample(spark, sf_dir):
     """Deterministic corpus-mixing sample: en halved, es upsampled 2.25x,
     de kept whole, zh/fr dropped (explicit-manifest convention)."""
@@ -1542,6 +1568,7 @@ _VERIFY_FIRST = [
     # (a) new in r4 — never verified
     "rdf_shapemap_resolve",
     "rdf_shex2shacl_validate",
+    "text_leakage_split",
     "social_shex_conj_not_ref",
     "text_temperature_mix",
     "text_epoch_shards",
@@ -1705,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": _q_text_top_ngrams,
         "text_tfidf": _q_text_tfidf,
         "text_hash_sample": _q_text_hash_sample,
+        "text_leakage_split": _q_text_leakage_split,  # cluster-aware split (r4)
         "text_temperature_mix": _q_temperature_mix,      # α-tempered rebalance (r4)
         "text_epoch_shards": _q_epoch_shards,            # per-epoch shard shuffle (r4)
         "text_lm_score": _q_text_lm_score,
@@ -2856,6 +2884,32 @@ def oracle_sql() -> dict[str, str]:
                    (b.doc_id = min(m.bmin)) AS keep
             FROM bands b JOIN bmin m ON b.band = m.band AND b.band_key = m.band_key
             GROUP BY b.doc_id
+        """,
+        "text_leakage_split": """
+            -- cluster-aware split: component = min doc_id of the
+            -- normalized-prefix exact-dup family (singletons: own doc_id),
+            -- md5 bucket into cumulative 96/2/2 ranges
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 80)) AS fp
+              FROM documents
+            ), groups AS (
+              SELECT fp, min(doc_id) AS component
+              FROM fp GROUP BY 1 HAVING count(*) > 1
+            ), keyed AS (
+              SELECT f.doc_id, COALESCE(g.component, f.doc_id) AS split_key
+              FROM fp f LEFT JOIN groups g ON g.fp = f.fp
+            )
+            SELECT doc_id, split_key,
+                   CASE WHEN bucket < 960000 THEN 'train'
+                        WHEN bucket < 980000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, split_key,
+                     CAST('0x' || substring(md5('split:v1:' || split_key), 1, 8)
+                          AS BIGINT) % 1000000 AS bucket
+              FROM keyed
+            )
         """,
         "dedup_clusters": """
             WITH RECURSIVE sigs AS (

@@ -213,3 +213,61 @@ def epoch_shards(
         key.alias("sort_key"),
         id_col,
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    ratios: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test split.
+
+    Hashing the DOCUMENT id leaks: near-duplicates straddle the split
+    boundary and the eval set scores memorization (the classic
+    train/test-contamination failure).  The split key here is the
+    duplicate-family component — every member of an LSH duplicate cluster
+    (``dedup.lsh_duplicate_clusters``: full connected components over
+    star-contracted buckets) lands in the SAME split; singletons key on
+    themselves.  The assignment is the same md5-bucket rule as
+    :func:`hash_sample` (map-only, no RNG state, rerun-stable, DuckDB-
+    reproducible): bucket(component) falls into cumulative ratio ranges
+    in declaration order.
+
+    100 TB: one left join against the (small) cluster table + a map-only
+    bucket expression; the CC itself is the already-bounded
+    ``lsh_duplicate_clusters`` path.  Pass ``clusters`` to reuse a
+    materialized cluster table across pipeline stages.
+
+    Returns ``(doc_id, split_key, split)``.
+    """
+    total = sum(ratios.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split ratios must sum to 1, got {total}")
+    if clusters is None:
+        from rdfshape_api_spark.functions.dedup import lsh_duplicate_clusters
+
+        clusters = lsh_duplicate_clusters(docs)
+    keyed = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            clusters.select(
+                F.col("doc_id").alias("_c_doc"), F.col("component")
+            ),
+            on=[F.col("doc_id") == F.col("_c_doc")],
+            how="left",
+        )
+        .withColumn("split_key", F.coalesce(F.col("component"), F.col("doc_id")))
+        .select("doc_id", "split_key")
+    )
+    bucket = _hash_bucket(F.col("split_key"), salt)
+    names = list(ratios)
+    col = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += ratios[name]
+        cnd = bucket < int(round(acc * _MOD))
+        col = F.when(cnd, name) if col is None else col.when(cnd, name)
+    split = col.otherwise(names[-1]) if col is not None else F.lit(names[-1])
+    return keyed.withColumn("split", split)

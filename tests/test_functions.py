@@ -695,3 +695,33 @@ def test_pca_fit_project_matches_numpy(spark):
     P = (X - X.mean(axis=0)) @ np.array(comps).T * 1000
     for i in range(300):
         assert all(abs(g - e) <= 1 for g, e in zip(got[f"v{i}"], np.floor(P[i])))
+
+
+def test_leakage_safe_split(spark, docs):
+    """Cluster-aware split: duplicate-family members share a split,
+    singletons key on themselves, assignment is deterministic and
+    ratio-driven."""
+    from rdfshape_api_spark.functions.sampling import leakage_safe_split
+
+    out = leakage_safe_split(
+        docs, {"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect()
+    assert len(out) == 6
+    by_id = {r["doc_id"]: r for r in out}
+    # docs 0/1/2 are one LSH duplicate family → same key, same split
+    fam = {by_id[i]["split_key"] for i in (0, 1, 2)}
+    assert len(fam) == 1
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    # singleton keys on itself
+    assert by_id[3]["split_key"] == 3
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    # deterministic across reruns
+    again = {
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(
+            docs, {"train": 0.5, "val": 0.25, "test": 0.25}
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, {"train": 0.5, "val": 0.1})
