@@ -185,7 +185,20 @@ def _read_value_constraints(
         tc.negated = not tc.negated
     # anything else a member node could carry that this frontend does not
     # evaluate at value level must reject, not silently pass
-    for unread in ("property", "qualifiedValueShape", "hasValue", "closed"):
+    # sh:hasValue on a node shape: "at least one value node equals the
+    # term" — a logical member applies to ONE value node, so the value-node
+    # set is {v} and the condition degenerates to v == term, i.e. a
+    # one-member sh:in (spec §4.5.2 over a singleton value set)
+    if (hv := g.obj1(node, SH + "hasValue")) is not None:
+        member = ("literal" if hv[0] == "literal" else "iri", hv[1])
+        if tc.value_set is None:
+            tc.value_set = [member]
+        else:
+            # conjoined with a sibling sh:in: intersect — {term} if the
+            # sh:in admits it, else unsatisfiable (empty set keeps AND
+            # semantics honest for the single value node)
+            tc.value_set = [member] if member in tc.value_set else []
+    for unread in ("property", "qualifiedValueShape", "closed"):
         if g.obj1(node, SH + unread) is not None:
             raise ValueError(
                 f"SHACL: sh:{unread} on a logical-member node is "

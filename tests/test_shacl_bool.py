@@ -335,7 +335,7 @@ def test_member_field_distributes_into_nested_or():
 def test_unread_member_component_rejects():
     """A member node carrying a component the frontend cannot evaluate at
     value level must reject, never silently pass."""
-    for comp in ("sh:hasValue ex:x", "sh:qualifiedValueShape [ sh:node ex:N ]"):
+    for comp in ("sh:property [ sh:path ex:p ]", "sh:qualifiedValueShape [ sh:node ex:N ]"):
         with pytest.raises(ValueError, match="logical-member"):
             parse_shacl(
                 PRELUDE
@@ -436,3 +436,46 @@ def test_sh_and_two_disjunctions(spark):
         "c": "nonconformant",
         "e": "nonconformant",
     }
+
+
+def test_sh_hasvalue_on_logical_member(spark):
+    """sh:hasValue on a node shape applies to a single value node → the
+    condition degenerates to value == term (one-member sh:in).  Previously
+    a clean reject."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ;
+    sh:or ( [ sh:hasValue ex:gold ] [ sh:datatype xsd:integer ] ) ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "iri", E + "gold", None, None),
+            (E + "b", E + "v", "literal", "7", None, XSD + "integer"),
+            (E + "c", E + "v", "iri", E + "lead", None, None),
+        ],
+    )
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema).collect()}
+    assert out == {"a": "conformant", "b": "conformant", "c": "nonconformant"}
+
+
+def test_sh_hasvalue_member_intersects_sh_in(spark):
+    """hasValue conjoined with a sibling sh:in on one member: intersect
+    ({term} if admitted, unsatisfiable otherwise)."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:v ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ;
+    sh:or ( [ sh:in ( "A" "B" ) ; sh:hasValue "A" ] [ sh:in ( "Z" ) ] ) ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            (E + "a", E + "v", "literal", "A", None, None),
+            (E + "b", E + "v", "literal", "B", None, None),  # in sh:in, not hasValue
+            (E + "z", E + "v", "literal", "Z", None, None),
+        ],
+    )
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant", "z": "conformant"}
