@@ -530,28 +530,34 @@ def evaluate_shape(
     # problem in the verdict expression — still one hash aggregation, all
     # Column logic.  (Reference semantics live behind the shexs engine call
     # at SchemaValidate.scala:97-99.)
-    group_of: dict[tuple[int, str], list[int]] = {}
+    # group key: (alternative, predicate, inverse?) — forward groups
+    # aggregate profiles over nbr, inverse groups over inv_nbr; the
+    # transportation-feasibility verdict is neighbourhood-agnostic.
+    # Partition matching is ShEx EachOf semantics ONLY: repeated SHACL
+    # property shapes on one path CONJOIN (spec: every shape applies to
+    # every value independently), so shacl-engine schemas never group —
+    # each repeat keeps its own m/t aggregation.  (Inverse repeats reach
+    # the shex engine via shacl_to_shex conversion.)
+    partition_semantics = schema.engine == "shex"
+    group_of: dict[tuple[int, str, bool], list[int]] = {}
     inv_indices: set[int] = set()
     path_indices: set[int] = set()
-    inv_seen: set[tuple[int, str]] = set()
     for i, tc in enumerate(flat_constraints):
         if tc.path is not None:
             path_indices.add(i)
             continue  # own focus-seeded neighbourhood below
-        if tc.inverse:
-            if not tc.qualified and (alt_of[i], tc.pred) in inv_seen:
-                raise ValueError(
-                    f"repeated inverse-path constraint on <{tc.pred}> "
-                    "(partition matching over inverse paths is unsupported)"
-                )
-            if not tc.qualified:
-                inv_seen.add((alt_of[i], tc.pred))
-            inv_indices.add(i)
-            continue  # inverse constraints aggregate over inv_nbr below
         if tc.qualified:
-            continue  # SHACL qualified constraints evaluate independently —
+            if tc.inverse:
+                inv_indices.add(i)
+            continue  # qualified constraints evaluate independently —
             # they never join repeated-property partition matching
-        group_of.setdefault((alt_of[i], tc.pred), []).append(i)
+        if tc.inverse:
+            inv_indices.add(i)
+            if partition_semantics:
+                group_of.setdefault((alt_of[i], tc.pred, True), []).append(i)
+            continue  # inverse constraints aggregate over inv_nbr below
+        if partition_semantics:
+            group_of.setdefault((alt_of[i], tc.pred, False), []).append(i)
     rep_groups = {k: v for k, v in group_of.items() if len(v) > 1}
     rep_indices = {i for idxs in rep_groups.values() for i in idxs}
     rep_ids = {key: gi for gi, key in enumerate(sorted(rep_groups))}
@@ -624,10 +630,9 @@ def evaluate_shape(
             aggs.append(
                 F.sum(F.when(on_q & num.isNull(), 1).otherwise(0)).alias(f"qnn{i}")
             )
-    for key, idxs in sorted(rep_groups.items()):
+    def _profile_aggs(key: tuple, idxs: list[int]) -> list[Column]:
         gi = rep_ids[key]
-        pred = key[1]
-        on_pred = F.col("pred") == pred
+        on_pred = F.col("pred") == key[1]
         profile = F.lit(0)
         for pos, i in enumerate(idxs):
             ok = F.coalesce(
@@ -638,10 +643,15 @@ def evaluate_shape(
                 F.lit(False),
             )
             profile = profile + F.when(ok, F.lit(1 << pos)).otherwise(F.lit(0))
-        for s in range(1 << len(idxs)):
-            aggs.append(
-                F.sum(F.when(on_pred & (profile == s), 1).otherwise(0)).alias(f"g{gi}_n{s}")
-            )
+        return [
+            F.sum(F.when(on_pred & (profile == s), 1).otherwise(0)).alias(f"g{gi}_n{s}")
+            for s in range(1 << len(idxs))
+        ]
+
+    for key, idxs in sorted(rep_groups.items()):
+        if key[2]:
+            continue  # inverse groups aggregate over inv_nbr below
+        aggs.extend(_profile_aggs(key, idxs))
     if shape.closed:
         # sh:ignoredProperties (SHACL §4.8.1): permitted beyond the
         # sh:path set — commonly rdf:type
@@ -707,6 +717,8 @@ def evaluate_shape(
         inv_nbr = _attach_refs(inv_nbr, inv_reqs)
         inv_aggs = []
         for i in sorted(inv_indices):
+            if i in rep_indices:
+                continue  # repeated inverse constraints verdict via profiles
             tc = flat_constraints[i]
             on_pred = F.col("pred") == tc.pred
             inv_aggs.append(
@@ -723,6 +735,10 @@ def evaluate_shape(
                 ).alias(f"m{i}")
             )
             inv_aggs.append(F.sum(F.when(on_pred, 1).otherwise(0)).alias(f"t{i}"))
+        for key, idxs in sorted(rep_groups.items()):
+            if key[2]:  # inverse repeated-property groups: same
+                # satisfaction-profile bitset aggregation, over inv_nbr
+                inv_aggs.extend(_profile_aggs(key, idxs))
         inv_grouped = inv_nbr.groupBy(
             "doc_sha256", F.col("_inode").alias("node")
         ).agg(*inv_aggs)
@@ -814,7 +830,7 @@ def evaluate_shape(
             )
     for key, idxs in sorted(rep_groups.items()):
         gi = rep_ids[key]
-        alt, pred = key
+        alt, pred = key[0], key[1]
         k = len(idxs)
         tcs = [flat_constraints[i] for i in idxs]
         extra = tcs[0].extra  # per-predicate flag, shared across the group

@@ -92,7 +92,11 @@ ex:S a sh:NodeShape ;
     assert out == {"a": "conformant", "b": "nonconformant"}
 
 
-def test_repeated_inverse_rejected(spark):
+def test_repeated_inverse_shacl_conjoins(spark):
+    """Round 4: repeated SHACL property shapes on one (inverse) path
+    CONJOIN per the spec — every shape applies to all values — so
+    minCount 1 + maxCount 2 means 1 ≤ inbound ≤ 2.  (Previously a clean
+    reject; partition matching is ShEx-only semantics.)"""
     shapes = f"""\
 @prefix sh: <http://www.w3.org/ns/shacl#> .
 @prefix ex: <{EX}> .
@@ -101,6 +105,44 @@ ex:S a sh:NodeShape ;
   sh:property [ sh:path [ sh:inversePath ex:p ] ; sh:minCount 1 ] ;
   sh:property [ sh:path [ sh:inversePath ex:p ] ; sh:maxCount 2 ] .
 """
-    tri = _tri(spark, [("a", "name", "literal", "A")])
-    with pytest.raises(ValueError, match="repeated inverse-path"):
-        validate(tri, parse_shacl(shapes)).collect()
+    rows = [("a", "name", "literal", "A"), ("b", "name", "literal", "B"),
+            ("c", "name", "literal", "C"),
+            ("s1", "p", "iri", "b"),
+            ("s1", "p", "iri", "c"), ("s2", "p", "iri", "c"),
+            ("s3", "p", "iri", "c")]
+    tri = _tri(spark, rows)
+    out = {r["node"][-1]: r["status"] for r in validate(tri, parse_shacl(shapes)).collect()}
+    # a: 0 inbound (min fails); b: 1 inbound ok; c: 3 inbound (max fails)
+    assert out == {"a": "nonconformant", "b": "conformant", "c": "nonconformant"}
+
+
+def test_repeated_inverse_shex_partitions(spark):
+    """The shex engine (reached for inverse constraints via shacl_to_shex)
+    partition-matches repeated inverse constraints: each inbound subject
+    is assigned to exactly one constraint, EachOf-style."""
+    from rdfshape_api_spark.plans.convert import shacl_to_shex
+
+    shapes = f"""\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{EX}> .
+ex:S a sh:NodeShape ;
+  sh:property [ sh:path [ sh:inversePath ex:p ] ; sh:minCount 1 ; sh:maxCount 1 ;
+                sh:in ( ex:boss ) ] ;
+  sh:property [ sh:path [ sh:inversePath ex:p ] ; sh:minCount 1 ] .
+"""
+    schema = shacl_to_shex(parse_shacl(shapes))
+    rows = [
+        # focus nodes must occur as subjects for fixed-node resolution
+        ("a", "name", "literal", "A"), ("b", "name", "literal", "B"),
+        ("c", "name", "literal", "C"),
+        # a: inbound from boss + other → boss satisfies c1, other c2 → ok
+        ("boss", "p", "iri", "a"), ("other", "p", "iri", "a"),
+        # b: inbound from boss only → c1 takes boss, c2 starves → fail
+        ("boss", "p", "iri", "b"),
+        # c: two non-boss inbound → c1 starves → fail
+        ("x", "p", "iri", "c"), ("y", "p", "iri", "c"),
+    ]
+    tri = _tri(spark, rows)
+    smap = ", ".join(f"<{EX}{n}>@<{EX}S>" for n in ("a", "b", "c"))
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "nonconformant"}
