@@ -526,6 +526,15 @@ def _q_sparql_graph(spark, sf_dir):
     return sparql_select(tri, q)
 
 
+def _q_sparql_graph_enum(spark, sf_dir):
+    """`GRAPH ?g {}` (§13.3): the empty group matches every named graph
+    with the empty solution, enumerating the per-document graph names."""
+    from rdfshape_api_spark.plans.sparql import sparql_select
+
+    tri = _rdf_triples(spark, sf_dir)
+    return sparql_select(tri, "SELECT ?g WHERE { GRAPH ?g { } }")
+
+
 def _q_sparql_construct_limit(spark, sf_dir):
     """CONSTRUCT with trailing ORDER BY/LIMIT (ADVICE r3 medium: solution
     modifiers on non-SELECT forms now apply to the solution sequence
@@ -1569,6 +1578,7 @@ _VERIFY_FIRST = [
     "rdf_shapemap_resolve",
     "rdf_shex2shacl_validate",
     "text_leakage_split",
+    "rdf_sparql_graph_enum",
     "social_shex_conj_not_ref",
     "text_temperature_mix",
     "text_epoch_shards",
@@ -1656,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_ntriples": _q_ntriples,                     # K1
         "rdf_shapemap_resolve": _q_shapemap_resolve,     # A4/J1 (r4)
         "rdf_shex2shacl_validate": _q_shex2shacl_validate,  # K3 reverse direction (r4)
+        "rdf_sparql_graph_enum": _q_sparql_graph_enum,   # GRAPH ?g {} enumeration (r4)
         "rdf_nquads": _q_nquads,                         # K1 N-Quads (r4)
         "rdf_trig": _q_trig,                             # K1 TriG (r4)
         "rdf_has_pred_subj": _q_has_pred_subj,           # P4 vectorized (r4)
@@ -1828,6 +1839,9 @@ def oracle_sql() -> dict[str, str]:
         "rdf_extract_canonical": f"SELECT DISTINCT * FROM {_T}",
         "rdf_validate_shex": (
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
+        ),
+        "rdf_sparql_graph_enum": (
+            f"SELECT DISTINCT 'urn:doc:' || doc_sha256 AS g FROM {_T}"
         ),
         "rdf_shex2shacl_validate": (
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"

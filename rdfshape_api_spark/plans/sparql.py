@@ -1504,6 +1504,26 @@ def _graph_block_df(
             "GRAPH requires a per-document triple source (merged or "
             "doc-scoped inputs carry no graph labels)"
         )
+    if (
+        not gg.patterns
+        and not gg.graph_groups
+        and not gg.exists_groups
+        and not gg.minus_groups
+        and not gg.filters
+    ):
+        # `GRAPH ?g {}` — SPARQL §13.3: the empty group matches every
+        # named graph with the empty solution μ{}, so the block enumerates
+        # the graph names (one row per document graph).  The IRI form
+        # would yield a zero-column solution — still a clean reject.
+        if not gterm.startswith("?"):
+            raise SparqlParseError(
+                "GRAPH <iri> {} has no bindings — use a triple pattern"
+            )
+        return doc_triples.select(
+            F.concat(F.lit(DOC_GRAPH_PREFIX), F.col("doc_sha256")).alias(
+                gterm[1:]
+            )
+        ).distinct()
     docm = doc_triples.select(
         F.col("doc_sha256").alias("_g_doc"),
         "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype",

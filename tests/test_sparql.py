@@ -1128,3 +1128,20 @@ def test_select_reduced_dedupes(spark):
     )
     out = sparql_select(tri, PREFIX + "SELECT REDUCED ?o WHERE { ?s ex:p ?o . }")
     assert [r["o"] for r in out.collect()] == ["1"]
+
+
+def test_graph_empty_group_enumerates_graphs(spark):
+    """`GRAPH ?g {}` — the empty group matches every named graph with the
+    empty solution (§13.3), so the block enumerates graph names."""
+    tri = _mk_docs_tri(spark, [
+        ("d1", EX + "a", EX + "p", "literal", "1", None, None),
+        ("d2", EX + "b", EX + "p", "literal", "2", None, None),
+        ("d2", EX + "c", EX + "q", "literal", "3", None, None),
+    ])
+    out = sparql_select(tri, "SELECT ?g WHERE { GRAPH ?g { } } ORDER BY ?g").collect()
+    assert [r["g"] for r in out] == ["urn:doc:d1", "urn:doc:d2"]
+    # the IRI form with an empty group stays a clean reject
+    import pytest as _pytest
+    from rdfshape_api_spark.plans.sparql import SparqlParseError
+    with _pytest.raises(SparqlParseError, match="no bindings"):
+        sparql_select(tri, "SELECT ?s WHERE { ?s ?p ?o . GRAPH <urn:doc:d1> { } }").collect()
