@@ -247,7 +247,8 @@ def to_shexc(schema: CompiledSchema) -> str:
 
         def _group(tcs) -> str:
             return " ;\n".join(
-                f"  {'a' if tc.pred == RDF_TYPE else _pname(tc.pred, schema.prefixes)} "
+                f"  {'^' if tc.inverse else ''}"
+                f"{'a' if tc.pred == RDF_TYPE else _pname(tc.pred, schema.prefixes)} "
                 f"{_value_expr(tc, schema.prefixes)}{_card(tc)}"
                 for tc in tcs
             )

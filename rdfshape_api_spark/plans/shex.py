@@ -301,12 +301,12 @@ class _ShexParser:
             # evaluated via transportation-feasibility over satisfaction
             # profiles in plans/validate.py; cap the group fan-out so the
             # 2^k profile aggregation stays codegen-friendly
-            preds = [tc.pred for tc in g]
+            preds = [(tc.pred, tc.inverse) for tc in g]
             for p in set(preds):
                 if preds.count(p) > 4:
                     raise ValueError(
-                        f"ShExC: property <{p}> repeated more than 4 times in "
-                        "one EachOf group (profile blow-up; unsupported)"
+                        f"ShExC: property <{p[0]}> repeated more than 4 times "
+                        "in one EachOf group (profile blow-up; unsupported)"
                     )
         if len(groups) == 1:
             shape.constraints = groups[0]
@@ -318,12 +318,21 @@ class _ShexParser:
 
     def parse_constraint(self) -> TripleConstraint:
         k, v = self.peek()
+        inverse = False
+        if k == "punct" and v == "^":
+            # inverse triple constraint `^ex:p …` (ShExC senseFlags): the
+            # constraint ranges over triples whose OBJECT is the focus
+            # node; values are the pointing subjects (evaluated over the
+            # inverse neighbourhood, plans/validate.py inv_nbr)
+            self.next()
+            inverse = True
+            k, v = self.peek()
         if k == "kw" and v == "a":
             self.next()
             pred = RDF_TYPE
         else:
             pred = self.iri_or_pname()
-        tc = TripleConstraint(pred=pred)
+        tc = TripleConstraint(pred=pred, inverse=inverse)
         self.parse_value_expr_or(tc)
         self.parse_cardinality(tc)
         # annotations (`// pred value`): metadata with no validation

@@ -217,3 +217,43 @@ def test_resolve_focus_mixed_selectors(spark):
         ("http://e/r2", "http://e/S2"),
         ("http://e/fix", "http://e/S3"),
     }
+
+
+def test_shex_inverse_triple_constraint(spark):
+    """ShExC inverse constraint `^ex:p` (senseFlags): ranges over triples
+    whose OBJECT is the focus node; values are the pointing subjects."""
+    schema = parse_shexc(
+        "PREFIX ex: <http://e/>\n"
+        "ex:Managed { ^ex:managerOf [ ex:boss ] ; ex:name . }"
+    )
+    tc = [c for c in schema.shapes["http://e/Managed"].constraints if c.inverse]
+    assert len(tc) == 1 and tc[0].pred == "http://e/managerOf"
+    rows = [
+        ("http://e/a", "http://e/name", "literal", "A", None, None),
+        ("http://e/b", "http://e/name", "literal", "B", None, None),
+        ("http://e/c", "http://e/name", "literal", "C", None, None),
+        ("http://e/boss", "http://e/managerOf", "iri", "http://e/a", None, None),
+        ("http://e/other", "http://e/managerOf", "iri", "http://e/b", None, None),
+        # c: nobody manages it
+    ]
+    tri = _mini_triples(spark, rows)
+    smap = ", ".join(f"<http://e/{n}>@<http://e/Managed>" for n in ("a", "b", "c"))
+    out = {r["node"][-1]: r["status"] for r in validate(tri, schema, shapemap=smap).collect()}
+    # a: managed by boss (in value set, exactly one) → conformant
+    # b: managed by other (not ex:boss) → nonconformant
+    # c: zero inbound → cardinality {1,1} fails
+    assert out == {"a": "conformant", "b": "nonconformant", "c": "nonconformant"}
+
+
+def test_shex_inverse_renders_roundtrip():
+    """to_shexc renders the ^ flag; reparse is stable."""
+    src = (
+        "PREFIX ex: <http://e/>\n"
+        "ex:Managed { ^ex:managerOf [ ex:boss ] ; ex:name . }"
+    )
+    from rdfshape_api_spark.plans.convert import to_shexc
+
+    text = to_shexc(parse_shexc(src))
+    assert "^ex:managerOf" in text
+    re = parse_shexc(text)
+    assert any(c.inverse for c in re.shapes["http://e/Managed"].constraints)
