@@ -70,6 +70,23 @@ def shex_to_shacl(schema: CompiledSchema) -> CompiledSchema:
         raise ValueError(f"expected a shex schema, got {schema.engine!r}")
 
     def _check_node(n: TripleConstraint, where: str) -> None:
+        if (n.disjuncts or n.conjuncts) and any(
+            getattr(n, f) not in (None, False)
+            for f in (
+                "datatype", "node_kind", "value_set", "min_inclusive",
+                "max_inclusive", "min_exclusive", "max_exclusive",
+                "pattern", "min_length", "max_length", "language_in",
+                "ref_shape", "class_iri",
+            )
+        ):
+            # the renderer emits sh:or/sh:and ALONE for structural nodes;
+            # direct fields alongside would be silently dropped — the ShEx
+            # frontend never produces this shape (fields distribute into
+            # disjuncts at parse time), so reject defensively
+            raise ValueError(
+                f"ShEx->SHACL: direct value fields alongside a nested "
+                f"disjunction/conjunction on {where} do not render"
+            )
         if n.value_set_has_wildcard or n.value_set_excl:
             raise ValueError(
                 f"ShEx->SHACL: value-set wildcard/exclusions on {where} "
