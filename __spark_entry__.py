@@ -437,6 +437,74 @@ def _q_social_validate(spark, sf_dir):
     ).select("doc_sha256", "node", "status")
 
 
+# The SAME schema in ShExJ, the JSON ShEx syntax (reference parity:
+# `ShExFormat.availableFormats = List(ShExC, ShExJ)`, ShExFormat.scala:21-26)
+# — hand-written AST, NOT printed from SHEX_PERSON, so the entry proves the
+# two syntaxes reach identical verdicts through plans/shexj.py's printer +
+# the shared lowering pipeline.  Oracle: the same golden verdicts as
+# social_validate_person.
+_SHEXJ_TC = lambda pred, **kw: {  # noqa: E731 — local AST shorthand
+    "type": "TripleConstraint",
+    "predicate": EX + pred,
+    **kw,
+}
+SHEXJ_PERSON = {
+    "type": "Schema",
+    "shapes": [
+        {
+            "type": "ShapeDecl",
+            "id": EX + "PersonShape",
+            "shapeExpr": {
+                "type": "Shape",
+                "expression": {
+                    "type": "OneOf",
+                    "expressions": [
+                        {
+                            "type": "EachOf",
+                            "expressions": [
+                                _SHEXJ_TC("name"),
+                                _SHEXJ_TC("knows", valueExpr=EX + "PersonShape",
+                                          min=0, max=-1),
+                                _SHEXJ_TC("email"),
+                                _SHEXJ_TC("verified", valueExpr={
+                                    "type": "NodeConstraint",
+                                    "values": [{"value": "true"}],
+                                }),
+                            ],
+                        },
+                        {
+                            "type": "EachOf",
+                            "expressions": [
+                                _SHEXJ_TC("name"),
+                                _SHEXJ_TC("knows", valueExpr=EX + "PersonShape",
+                                          min=0, max=-1),
+                                _SHEXJ_TC("phone"),
+                                _SHEXJ_TC("country"),
+                            ],
+                        },
+                    ],
+                },
+            },
+        }
+    ],
+}
+
+
+def _q_social_shexj(spark, sf_dir):
+    from rdfshape_api_spark.plans import validate
+    from rdfshape_api_spark.plans.shexj import parse_shexj
+
+    tri = _social_triples(spark, sf_dir)
+    # ShExJ documents carry absolute IRIs only (no prefix map), so the
+    # shapemap spells them out too
+    return validate(
+        tri,
+        parse_shexj(SHEXJ_PERSON),
+        shapemap=f"{{FOCUS a <{EX}Person>}}@<{EX}PersonShape>",
+        shape_label="shex_person",
+    ).select("doc_sha256", "node", "status")
+
+
 # ShEx disjunction of shape references (`@<A> OR @<B>` inside a value
 # expression — reference surface: shexs ShapeOr over ShapeRefs, SURVEY
 # §2.7): every person someone knows must be reachable as an email-contact
@@ -1308,6 +1376,35 @@ def _q_shacl_pair_equals(spark, sf_dir):
     )
 
 
+# The SAME shapes graph in RDF/XML (reference parity: shaclex reads the
+# shapes graph from any Jena syntax — `ShaclFormat.availableFormats =
+# List(Turtle, NTriples, NQuads, TriG, JsonLd, RdfXml)`,
+# ShaclFormat.scala:20-28).  Hand-written XML, parsed by this package's own
+# RDF/XML parser via parse_shacl(fmt="rdf-xml"); oracle: the same SQL as
+# social_shacl_pair_equals.
+SHACL_PAIR_SOCIAL_XML = f"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:sh="http://www.w3.org/ns/shacl#">
+  <sh:NodeShape rdf:about="{EX}ContactParity">
+    <sh:targetClass rdf:resource="{EX}Person"/>
+    <sh:property rdf:parseType="Resource">
+      <sh:path rdf:resource="{EX}email"/>
+      <sh:equals rdf:resource="{EX}phone"/>
+    </sh:property>
+  </sh:NodeShape>
+</rdf:RDF>
+"""
+
+
+def _q_shacl_from_xml(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_PAIR_SOCIAL_XML, fmt="rdf-xml")).select(
+        "doc_sha256", "node", "status"
+    )
+
+
 # sh:xone over the sensor model: every temperature must satisfy EXACTLY
 # one of {≥18, ≤20} — values inside [18,20] satisfy both (violation),
 # values outside satisfy one (ok), non-numerics satisfy none (violation)
@@ -1575,6 +1672,8 @@ def _q_events_sessions(spark, sf_dir):
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
+    "social_shexj_validate",
+    "social_shacl_rdfxml",
     "rdf_shapemap_resolve",
     "rdf_shex2shacl_validate",
     "text_leakage_split",
@@ -1699,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_shacl_qualified": _q_shacl_qualified,         # §2.7 sh:qualifiedValueShape
         "rdf_shacl_sparql": _q_shacl_sparql,               # §2.7 SHACL-SPARQL (sh:sparql)
         "social_shacl_pair_equals": _q_shacl_pair_equals,  # §2.7 sh:equals pair
+        "social_shacl_rdfxml": _q_shacl_from_xml,        # shapes graph in RDF/XML
         "rdf_shacl_xone": _q_shacl_xone,                   # §2.7 sh:xone
         "rdf_shacl_hasvalue": _q_shacl_hasvalue,           # §2.7 sh:hasValue
         "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
@@ -1711,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_stream_validate": _q_stream_validate,       # T1 streaming validation
         "social_extract": _q_social_extract,             # S1 incl. N-Quads/TriG
         "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
+        "social_shexj_validate": _q_social_shexj,        # §2.7 ShExJ syntax
         "social_shex_or_refs": _q_social_or_refs,        # §2.7 @<A> OR @<B> disjunct refs
         "social_shex_nested_or": _q_social_nested_or,    # §2.7 refs two OR-levels deep (r4)
         "social_shex_conj_not_ref": _q_social_conj_not_ref,  # §2.7 ref in mixed-polarity AND (r4)
@@ -1835,7 +1936,7 @@ def _dot_esc_sql(x: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     ex = EX
-    return {
+    d = {
         "rdf_extract_canonical": f"SELECT DISTINCT * FROM {_T}",
         "rdf_validate_shex": (
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
@@ -3422,3 +3523,11 @@ def oracle_sql() -> dict[str, str]:
             FROM b
         """,
     }
+    # Syntax-twin entries run the SAME semantics through a different schema
+    # syntax, so they share the original entry's oracle by construction:
+    # ShExJ twin of social_validate_person (plans/shexj.py) and the RDF/XML
+    # shapes-graph twin of social_shacl_pair_equals (parse_shacl
+    # fmt="rdf-xml", ShaclFormat.scala:20-28 parity).
+    d["social_shexj_validate"] = d["social_validate_person"]
+    d["social_shacl_rdfxml"] = d["social_shacl_pair_equals"]
+    return d

@@ -48,7 +48,11 @@ from rdfshape_api_spark.plans.paths import (
     PathSeq,
     path_display,
 )
-from rdfshape_api_spark.sources.parsers import parse_turtle, turtle_prefixes
+from rdfshape_api_spark.sources.parsers import (
+    PARSERS,
+    parse_turtle,
+    turtle_prefixes,
+)
 
 _NODEKIND = {
     SH + "IRI": "iri",
@@ -373,11 +377,25 @@ def _read_sparql_constraint(
     return header + sel[1], (msg[1] if msg is not None else None)
 
 
-def parse_shacl(text: str) -> CompiledSchema:
-    """Parse a SHACL shapes graph (Turtle) into the shared constraint IR."""
-    triples = parse_turtle(text)
+def parse_shacl(text: str, fmt: str = "turtle") -> CompiledSchema:
+    """Parse a SHACL shapes graph into the shared constraint IR.
+
+    ``fmt`` accepts any RDF syntax this engine parses — reference parity
+    with ``ShaclFormat.availableFormats = List(Turtle, NTriples, NQuads,
+    TriG, JsonLd, RdfXml)`` (``ShaclFormat.scala:20-28``; shaclex reads
+    the shapes graph through Jena from any of them).  The shapes-document
+    prefix map (a convenience merged into ``sh:sparql`` query headers) is
+    only recoverable from Turtle/TriG text; other syntaxes carry absolute
+    IRIs, so their SPARQL constraints must declare prefixes via
+    ``sh:prefixes``/``sh:declare`` (the spec's own mechanism).
+    """
+    key = (fmt or "turtle").lower()
+    parser = PARSERS.get(key)
+    if parser is None or key.startswith("html"):
+        raise ValueError(f"SHACL: unsupported shapes-graph format {fmt!r}")
+    triples = parser(text)
     g = _Graph(triples)
-    prefixes = turtle_prefixes(text)
+    prefixes = turtle_prefixes(text) if parser is parse_turtle else {}
     shapes: dict[str, Shape] = {}
 
     node_shapes = [
