@@ -57,7 +57,62 @@ def _expand(term: str, prefixes: dict[str, str]) -> str:
     raise ValueError(f"shapemap: cannot resolve term {term!r}")
 
 
+def parse_shapemap_json(text: str, prefixes: dict[str, str]) -> list[Association]:
+    """The JSON ShapeMap syntax (reference parity:
+    ``ShapeMapFormat.availableFormats = List(Compact, Json)``,
+    ``ShapeMapFormat.scala:20-26``; JSON representation per the ShapeMap
+    spec / shex.js): an array of association objects ``{"node": …,
+    "shape": …}`` where ``node`` is an IRI / prefixed name / ``_:label``
+    string, or a triple-pattern object ``{"subject": "FOCUS",
+    "predicate": p, "object": o}`` (compact ``{FOCUS p o}``).  A
+    ``status`` other than ``"conformant"`` (negative shapemaps) and
+    object-side FOCUS patterns are outside this engine's subset and
+    reject cleanly, the compact parser's convention."""
+    import json
+
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"shapemap: bad JSON: {e}") from e
+    if not isinstance(doc, list):
+        raise ValueError("shapemap: JSON form must be an array of associations")
+    assocs: list[Association] = []
+    for entry in doc:
+        if not isinstance(entry, dict) or "node" not in entry or "shape" not in entry:
+            raise ValueError(
+                f"shapemap: JSON association needs 'node' and 'shape': {entry!r}"
+            )
+        if entry.get("status", "conformant") != "conformant":
+            raise ValueError(
+                "shapemap: negative/other-status associations are unsupported"
+            )
+        shape = _expand(str(entry["shape"]), prefixes)
+        node = entry["node"]
+        if isinstance(node, str):
+            assocs.append(Association("fixed", _expand(node, prefixes), None, None, shape))
+            continue
+        if not isinstance(node, dict):
+            raise ValueError(f"shapemap: bad node selector {node!r}")
+        subj = node.get("subject")
+        if subj != "FOCUS":
+            raise ValueError(
+                "shapemap: only subject-side FOCUS triple patterns are "
+                f"supported, got subject {subj!r}"
+            )
+        pred_t = str(node.get("predicate"))
+        pred = RDF_TYPE if pred_t in ("a", "rdf:type") else _expand(pred_t, prefixes)
+        assocs.append(
+            Association("query", None, pred, _expand(str(node.get("object")), prefixes), shape)
+        )
+    if not assocs:
+        raise ValueError("shapemap: no associations in the JSON array")
+    return assocs
+
+
 def parse_shapemap(text: str, prefixes: dict[str, str]) -> list[Association]:
+    if text.lstrip().startswith("["):
+        # '[' can't start a compact association — the JSON array form
+        return parse_shapemap_json(text, prefixes)
     assocs: list[Association] = []
     for m in _ASSOC.finditer(text):
         sel, shape_t = m.group(1), m.group(2)

@@ -331,3 +331,42 @@ def test_validation_equivalence(spark):
              for r in validate(tri, parse_shexc(c), shapemap=smap).collect()}
     assert got_j == got_c
     assert got_j[E + "a"] == "conformant" and got_j[E + "c"] == "nonconformant"
+
+
+def test_json_shapemap_equivalent(spark):
+    """JSON ShapeMap form ≡ compact form (ShapeMapFormat.scala:20-26)."""
+    import json as _json
+
+    from rdfshape_api_spark.plans.shapemap import parse_shapemap
+
+    prefixes = {"ex": E}
+    compact = parse_shapemap(f"{{FOCUS a ex:Person}}@ex:S, <{E}n1>@ex:T", prefixes)
+    jtext = _json.dumps(
+        [
+            {"node": {"subject": "FOCUS", "predicate": "a",
+                      "object": E + "Person"}, "shape": "ex:S"},
+            {"node": f"<{E}n1>", "shape": E + "T", "status": "conformant"},
+        ]
+    )
+    assert parse_shapemap(jtext, prefixes) == compact
+
+
+def test_json_shapemap_rejects():
+    import pytest as _pytest
+
+    from rdfshape_api_spark.plans.shapemap import parse_shapemap_json
+
+    with _pytest.raises(ValueError, match="negative"):
+        parse_shapemap_json(
+            '[{"node": "<http://e/n>", "shape": "<http://e/S>", '
+            '"status": "nonconformant"}]',
+            {},
+        )
+    with _pytest.raises(ValueError, match="subject-side FOCUS"):
+        parse_shapemap_json(
+            '[{"node": {"subject": "<http://e/s>", "predicate": "<http://e/p>", '
+            '"object": "FOCUS"}, "shape": "<http://e/S>"}]',
+            {},
+        )
+    with _pytest.raises(ValueError, match="bad JSON"):
+        parse_shapemap_json("[oops", {})
