@@ -193,13 +193,16 @@ def _value_expr(tc: TripleConstraint, prefixes: dict[str, str]) -> str:
             _member(k, v) for k, v in tc.value_set
         ] + [f"- {_member(k, v)}" for k, v in (tc.value_set_excl or [])]
         parts.append(f"[ {' '.join(toks)} ]")
-    elif tc.datatype:
+    # independent appends, NOT an elif chain: one carrier can conjoin a
+    # datatype/nodeKind/value set with a shape reference (`xsd:string AND
+    # @ex:A`) — an exclusive chain silently dropped the reference
+    if tc.datatype:
         parts.append(_pname(tc.datatype, prefixes))
-    elif tc.node_kind:
+    if tc.node_kind:
         parts.append(tc.node_kind.upper() if tc.node_kind != "nonliteral" else "NONLITERAL")
-    elif tc.ref_shape:
+    if tc.ref_shape:
         parts.append(f"@{_pname(tc.ref_shape, prefixes)}")
-    else:
+    if not parts:
         parts.append(".")
     for attr, kw in (
         ("min_inclusive", "MININCLUSIVE"),
@@ -213,7 +216,9 @@ def _value_expr(tc: TripleConstraint, prefixes: dict[str, str]) -> str:
         if v is not None:
             parts.append(f"{kw} {int(v) if float(v).is_integer() else v}")
     if tc.pattern:
-        parts.append(f"/{tc.pattern}/")
+        # spec REGEXP form with `/` escaped — self-round-trips through the
+        # tokenizer's regexp token
+        parts.append(f"/{tc.pattern.replace('/', chr(92) + '/')}/")
     return neg + " ".join(parts)
 
 

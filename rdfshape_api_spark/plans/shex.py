@@ -71,6 +71,7 @@ _TOK = re.compile(
     | (?P<atref>@(?:[A-Za-z0-9_][\w.-]*)?:[\w.%-]*|@<[^<>\s]*>)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<regexp>/(?:[^/\\\n]|\\.)+/[a-z]*)
     | (?P<semact>%[A-Za-z_][\w.:-]*\{(?:[^%]|%(?!\}))*%\}|%[A-Za-z_][\w.:-]*%)
     | (?P<annot>//)
     | (?P<punct>[{}\[\]();,.?*+|~^=-])
@@ -497,6 +498,16 @@ class _ShexParser:
                 self.next()
                 _, s = self.next()
                 tc.pattern = _unquote(s)
+                continue
+            if k == "regexp":
+                # spec-standard regex form `/re/` (xsFacet ::= stringFacet;
+                # stringFacet ::= REGEXP): body is the regex source with
+                # only `\/` unescaped; flags are out of subset
+                self.next()
+                body, _, flags = v[1:].rpartition("/")
+                if flags:
+                    raise ValueError(f"ShExC: regex flags {flags!r} are unsupported")
+                tc.pattern = body.replace("\\/", "/")
                 continue
             if k in ("iri", "pname"):
                 if shape_level and (_has_any_value_field(tc) or groups):

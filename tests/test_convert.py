@@ -245,3 +245,27 @@ def test_schema_to_uml_sensor_fixture():
     assert cls["entries"], "sensor shape has attribute entries"
     assert any("MININCLUSIVE" in e["type"] for e in cls["entries"])
     assert "|" in uml_to_dot(uml)  # record rows rendered
+
+
+def test_to_shexc_pattern_roundtrips():
+    """Patterns render as the spec /re/ form (slash-escaped) and reparse."""
+    from rdfshape_api_spark.plans.convert import to_shexc
+
+    s = parse_shexc('PREFIX ex: <http://e/>\nex:S { ex:p PATTERN "^x/y$" }')
+    assert parse_shexc(to_shexc(s)) == s
+    # the /re/ input form is the same constraint
+    assert parse_shexc('PREFIX ex: <http://e/>\nex:S { ex:p /^x\\/y$/ }') == s
+
+
+def test_to_shexc_keeps_ref_conjoined_with_datatype():
+    from rdfshape_api_spark.plans.convert import to_shexc
+
+    src = (
+        "PREFIX ex: <http://e/>\n"
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        "ex:S { ex:p xsd:string AND @ex:A }\n"
+        "ex:A { ex:q . }"
+    )
+    s = parse_shexc(src)
+    tc = parse_shexc(to_shexc(s)).shapes["http://e/S"].constraints[0]
+    assert tc.ref_shape == "http://e/A" and tc.datatype.endswith("string")
