@@ -927,6 +927,17 @@ def _q_text_hash_sample(spark, sf_dir):
     )
 
 
+def _q_text_source_cap(spark, sf_dir):
+    """Per-source quota (Dolma/RefinedWeb-style skew guard): at most 10
+    docs per source, selected by deterministic hash rank."""
+    from rdfshape_api_spark.functions.sampling import per_source_cap
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return per_source_cap(docs, cap=10).select(
+        "doc_id", "source", F.col("src_rank").cast("int").alias("src_rank")
+    )
+
+
 def _q_temperature_mix(spark, sf_dir):
     """α=0.5 temperature rebalancing over lang strata: weights derived
     from the corpus itself via IEEE-exact ops (max/divide/sqrt/floor), so
@@ -1708,6 +1719,7 @@ _VERIFY_FIRST = [
     "mm_audio_features",
     "rdf_nquads",
     "text_hash_sample",
+    "text_source_cap",
     "text_lm_score",
     "text_pack_sequences",
     # (b) registered in r3, never driver-verified
@@ -1844,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_ngrams": _q_text_top_ngrams,
         "text_tfidf": _q_text_tfidf,
         "text_hash_sample": _q_text_hash_sample,
+        "text_source_cap": _q_text_source_cap,           # per-source quota
         "text_leakage_split": _q_text_leakage_split,  # cluster-aware split (r4)
         "text_temperature_mix": _q_temperature_mix,      # α-tempered rebalance (r4)
         "text_epoch_shards": _q_epoch_shards,            # per-epoch shard shuffle (r4)
@@ -3291,6 +3304,17 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score_micro DESC, term ASC)::BIGINT AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "text_source_cap": """
+            -- per-source quota: hash-rank within source, first 10 survive
+            SELECT doc_id, source, src_rank FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)) ASC,
+                                doc_id ASC)::INT AS src_rank
+              FROM documents
+            ) WHERE src_rank <= 10
         """,
         "text_hash_sample": """
             -- deterministic corpus-mixing sample: bucket = first 8 md5 hex

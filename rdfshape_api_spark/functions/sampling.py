@@ -271,3 +271,43 @@ def leakage_safe_split(
         col = F.when(cnd, name) if col is None else col.when(cnd, name)
     split = col.otherwise(names[-1]) if col is not None else F.lit(names[-1])
     return keyed.withColumn("split", split)
+
+
+def per_source_cap(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-source quota: keep at most ``cap`` documents from each source,
+    chosen deterministically — the skew guard every corpus recipe applies
+    so one giant crawl/domain/repo cannot flood the mixture (Dolma's
+    per-source quotas, RefinedWeb's domain caps).
+
+    Selection is the hash-rank within the source: documents ordered by
+    ``md5(salt ':' id)`` (id tiebreak), first ``cap`` survive.  Hash
+    order ≈ a uniform random sample, but with no RNG state: rerun-stable,
+    engine-portable (a DuckDB ``ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY md5(...))`` reproduces the exact set), and append-stable in
+    the sense that a document's rank only grows as a source grows.
+
+    Returns the input columns plus ``src_rank`` (1-based).
+
+    Scale design: ONE shuffle (hash-partition by source) + per-partition
+    sort — the window never needs a global order.  At pathological skew
+    (one source ≫ executor memory) the same decision can be taken in two
+    passes: salted per-bucket top-``cap`` then a merge of ``n_salt·cap``
+    candidates; the single-window form is right up to ~10^8 docs/source
+    since only (id, hash) pairs sort, not payloads.
+    """
+    if cap < 1:
+        raise ValueError(f"per_source_cap: cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= cap)
+    )

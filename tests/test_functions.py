@@ -725,3 +725,33 @@ def test_leakage_safe_split(spark, docs):
     assert again == {(r["doc_id"], r["split"]) for r in out}
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_per_source_cap(spark):
+    import hashlib
+
+    from rdfshape_api_spark.functions.sampling import per_source_cap
+
+    rows = [(i, f"t{i}", "en", "A" if i < 7 else "B", 2) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = per_source_cap(docs, cap=3).collect()
+    # at most 3 per source; B has exactly 3 members so all survive
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["A"]) == 3 and len(by_src["B"]) == 3
+    assert all(1 <= r["src_rank"] <= 3 for r in out)
+    # selection = hash order, reproducible driver-side
+    expect_a = sorted(
+        range(7), key=lambda i: (hashlib.md5(f"cap:{i}".encode()).hexdigest(), i)
+    )[:3]
+    assert sorted(r["doc_id"] for r in by_src["A"]) == sorted(expect_a)
+    # rerun-stable
+    again = {(r["doc_id"], r["src_rank"]) for r in per_source_cap(docs, cap=3).collect()}
+    assert again == {(r["doc_id"], r["src_rank"]) for r in out}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap"):
+        per_source_cap(docs, cap=0)
