@@ -766,6 +766,56 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_duplicates(docs, fp=F.md5(F.substring(norm, 1, 80)))
 
 
+def _q_dedup_bloom(spark, sf_dir):
+    """Bloom-filter incremental dedup: the 100 TB ingest pattern — the
+    existing corpus (doc_id % 10 < 8) is distilled once into its bloom
+    bit set; the incoming batch (the other 20%) is flagged map-side +
+    one small groupBy, never joining the corpus itself.  Key = normalized
+    80-char-prefix fingerprint (same as dedup_exact, so real collisions
+    exist at every tier)."""
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.functions.dedup import bloom_build, bloom_dedup_incremental
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = F.md5(F.substring(norm, 1, 80))
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    incoming = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id", fp.alias("fp"))
+    bloom = bloom_build(corpus, fp, k=5, m=1 << 20)
+    return bloom_dedup_incremental(incoming, bloom, "fp", k=5, m=1 << 20)
+
+
+def _q_corpus_stats(spark, sf_dir):
+    """Corpus mixture report per (lang, source): doc/token/char counts +
+    exact-integer ppm shares (functions/textops.corpus_stats)."""
+    from rdfshape_api_spark.functions.textops import corpus_stats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return corpus_stats(docs)
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """Real corpus-trained BPE tokenization (functions/tokenize.py):
+    merges trained on the distributed word-frequency table (top-2000
+    words, 200 merges, deterministic tiebreaks), applied corpus-wide in
+    one Arrow-batched mapInPandas stage.  Iterative merge order is not
+    SQL-expressible — rows-only contract entry; pytest pins hand-computed
+    merges + the decode∘encode identity."""
+    from rdfshape_api_spark.functions.tokenize import (
+        bpe_encode,
+        build_vocab,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    wf = [(r["word"], r["n"]) for r in word_frequencies(docs, top_k=2000).collect()]
+    merges = train_bpe(wf, num_merges=200)
+    vocab = build_vocab(merges, wf)
+    return bpe_encode(docs, merges, vocab)
+
+
 def _q_dedup_lsh(spark, sf_dir):
     from rdfshape_api_spark.functions.dedup import lsh_candidate_pairs
 
@@ -1720,6 +1770,9 @@ _VERIFY_FIRST = [
     "rdf_nquads",
     "text_hash_sample",
     "text_source_cap",
+    "dedup_bloom_incremental",
+    "text_corpus_stats",
+    "text_bpe_encode",
     "text_lm_score",
     "text_pack_sequences",
     # (b) registered in r3, never driver-verified
@@ -1841,6 +1894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_quality": _q_text_quality,
         "dedup_exact": _q_dedup_exact,
+        "dedup_bloom_incremental": _q_dedup_bloom,   # bloom ingest guard (r4s7)
+        "text_corpus_stats": _q_corpus_stats,        # mixture report (r4s7)
+        "text_bpe_encode": _q_bpe_encode,            # real BPE tokenizer (r4s7, rows-only)
         "dedup_lsh_pairs": _q_dedup_lsh,
         "dedup_lsh_keep": _q_dedup_lsh_keep,
         "dedup_clusters": _q_dedup_clusters,
@@ -2974,6 +3030,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 80)) AS fp,
                    count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "dedup_bloom_incremental": """
+            -- bloom membership by relational division: a doc is maybe_dup
+            -- iff every one of its k=5 distinct bit positions is lit by
+            -- some corpus key (m = 2^20; same md5-derived positions)
+            WITH keyed AS (
+              SELECT doc_id,
+                     md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 80)) AS fp
+              FROM documents
+            ),
+            cpos AS (
+              SELECT DISTINCT
+                     CAST('0x' || substring(md5('bloom:' || CAST(i AS VARCHAR) || ':' || fp), 1, 8) AS BIGINT) % 1048576 AS pos
+              FROM (SELECT DISTINCT fp FROM keyed WHERE doc_id % 10 < 8), range(5) r(i)
+            ),
+            ipos AS (
+              SELECT DISTINCT doc_id, fp,
+                     CAST('0x' || substring(md5('bloom:' || CAST(i AS VARCHAR) || ':' || fp), 1, 8) AS BIGINT) % 1048576 AS pos
+              FROM keyed, range(5) r(i) WHERE doc_id % 10 >= 8
+            )
+            SELECT i.doc_id, i.fp,
+                   (count(*) = count(c.pos)) AS maybe_dup
+            FROM ipos i LEFT JOIN cpos c ON i.pos = c.pos
+            GROUP BY i.doc_id, i.fp
+        """,
+        "text_corpus_stats": """
+            -- mixture report: counts + exact-integer ppm shares
+            WITH per AS (
+              SELECT lang, source,
+                     count(*)::BIGINT AS n_docs,
+                     sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens,
+                     sum(length(text))::BIGINT AS n_chars
+              FROM documents GROUP BY lang, source
+            ), tot AS (
+              SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM per
+            )
+            SELECT lang, source, n_docs, n_tokens, n_chars,
+                   ((n_docs * 1000000) // td)::BIGINT AS docs_ppm,
+                   ((n_tokens * 1000000) // tt)::BIGINT AS tokens_ppm
+            FROM per, tot
         """,
         "dedup_lsh_pairs": """
             WITH sigs AS (

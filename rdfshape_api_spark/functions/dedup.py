@@ -484,3 +484,77 @@ def simhash_bucket_pairs(docs: DataFrame, band_bits: int = 16) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def bloom_positions(key, k: int = 5, m: int = 1 << 20, salt: str = "bloom"):
+    """The ``k`` bit positions of ``key`` in an ``m``-bit Bloom filter,
+    as an array<long> Column.  Hashes are md5-derived (first 8 hex chars
+    of ``md5('<salt>:<i>:<key>')`` mod ``m``) so the identical positions
+    are computable in any engine — the DuckDB oracle recomputes them with
+    ``CAST('0x' || substring(md5(...), 1, 8) AS BIGINT) % m``."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{salt}:{i}:"), key)), 1, 8), 16, 10
+            ).cast("long")
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(corpus: DataFrame, key, k: int = 5, m: int = 1 << 20) -> DataFrame:
+    """Distill a reference corpus into its Bloom-filter bit set: the
+    DISTINCT positions lit by any corpus key — a DataFrame with a single
+    ``pos`` long column, at most ``m`` rows (≈ ``min(k·n, m)``).
+
+    This is the 100 TB incremental-ingest pattern: the existing corpus is
+    reduced ONCE to ≤ m integers (m = 2^20 ⇒ ≤ 8 MiB), and every future
+    batch tests membership against the broadcast bit set — no shuffle of,
+    or join against, the corpus itself ever again.  The reduction is one
+    map-side explode + a distinct on a bounded-cardinality integer key
+    (map-side combine absorbs almost everything before the shuffle)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return (
+        corpus.select(F.explode(bloom_positions(key, k=k, m=m)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_dedup_incremental(
+    incoming: DataFrame,
+    bloom: DataFrame,
+    key,
+    k: int = 5,
+    m: int = 1 << 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag each incoming document whose key is *possibly* already in the
+    reference corpus (``maybe_dup`` = every one of its Bloom positions is
+    lit; false positives at the classic ``(1-e^{-kn/m})^k`` rate, never
+    false negatives).  Returns ``(id_col, fp, maybe_dup)``.
+
+    Plan: explode the k positions (map-side), LEFT join the (small,
+    ≤ m-row) bloom side — Spark broadcasts it — then a groupBy on the
+    incoming ids only: ``maybe_dup ⇔ #distinct positions matched =
+    #distinct positions``.  The only shuffle is the k×|incoming| rows of
+    the per-doc count; the corpus never moves.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    pos = incoming.select(
+        F.col(id_col), key.alias("fp"), F.explode(bloom_positions("fp", k=k, m=m)).alias("pos")
+    ).dropDuplicates([id_col, "pos"])
+    lit_marked = pos.join(
+        F.broadcast(bloom.withColumn("hit", F.lit(1))), on="pos", how="left"
+    )
+    return (
+        lit_marked.groupBy(id_col, "fp")
+        .agg(
+            F.count("*").alias("_npos"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("_nhit"),
+        )
+        .select(
+            id_col, "fp", (F.col("_nhit") == F.col("_npos")).alias("maybe_dup")
+        )
+    )

@@ -447,3 +447,40 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(key_src).alias("dedup_key"),
         (norm != F.col("_u.norm")).alias("had_control_chars"),
     )
+
+
+def corpus_stats(docs: DataFrame, strata=("lang", "source")) -> DataFrame:
+    """Corpus mixture report: per stratum (default ``lang × source``) the
+    document / whitespace-token / character counts plus each stratum's
+    parts-per-million share of the corpus — the summary every mixing
+    recipe starts from (and the input `temperature_mix` reweights).
+
+    Shares are exact integers (``floor(n · 1e6 / total)``) so the result
+    hashes identically across engines — no float division anywhere.
+
+    Plan shape: ONE shuffle (the groupBy on the stratum key, map-side
+    combine absorbing per-partition rows first); the corpus totals come
+    from a second aggregation over the (tiny, #strata-row) grouped result
+    itself — never a second pass over the data — cross-joined back as a
+    broadcast 1-row dimension.
+    """
+    strata = list(strata)
+    per = docs.groupBy(*strata).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(ws_token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            *strata,
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("(n_docs * 1000000) div _td").alias("docs_ppm"),
+            F.expr("(n_tokens * 1000000) div _tt").alias("tokens_ppm"),
+        )
+    )

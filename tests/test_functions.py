@@ -755,3 +755,96 @@ def test_per_source_cap(spark):
 
     with _pytest.raises(ValueError, match="cap"):
         per_source_cap(docs, cap=0)
+
+
+def test_bloom_dedup_incremental(spark):
+    from rdfshape_api_spark.functions.dedup import (
+        bloom_build,
+        bloom_dedup_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"key{i % 5}") for i in range(20)], "doc_id long, fp string"
+    )
+    incoming = spark.createDataFrame(
+        [(100, "key0"), (101, "key3"), (102, "fresh-a"), (103, "fresh-b")],
+        "doc_id long, fp string",
+    )
+    bloom = bloom_build(corpus, "fp", k=5, m=1 << 16)
+    out = {r["doc_id"]: r["maybe_dup"] for r in
+           bloom_dedup_incremental(incoming, bloom, "fp", k=5, m=1 << 16).collect()}
+    # no false negatives ever: the two corpus keys MUST flag
+    assert out[100] is True and out[101] is True
+    # at 5 distinct corpus keys in a 64k-bit filter, FPs are ~(25/65536)^5
+    assert out[102] is False and out[103] is False
+    # bloom set is bounded by k * n_distinct_keys
+    assert bloom.count() <= 5 * 5
+
+
+def test_corpus_stats(spark):
+    from rdfshape_api_spark.functions.textops import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "s1", 5),
+            (1, "d e", "en", "s1", 3),
+            (2, "f g h i", "en", "s2", 7),
+            (3, "x y z", "de", "s1", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r["lang"], r["source"]): r for r in corpus_stats(docs).collect()}
+    assert out[("en", "s1")]["n_docs"] == 2
+    assert out[("en", "s1")]["n_tokens"] == 5
+    assert out[("en", "s2")]["n_chars"] == 7
+    assert out[("de", "s1")]["docs_ppm"] == 250000
+    # ppm shares are integral and sum to <= 1e6
+    assert sum(r["tokens_ppm"] for r in out.values()) <= 1_000_000
+    assert out[("en", "s1")]["tokens_ppm"] == (5 * 1_000_000) // 12
+
+
+def test_bpe_train_and_encode(spark):
+    from rdfshape_api_spark.functions.tokenize import (
+        END,
+        _encode_word,
+        bpe_decode,
+        bpe_encode,
+        build_vocab,
+        train_bpe,
+        word_frequencies,
+    )
+
+    # hand-checkable corpus: 'low' x5, 'lowest' x2
+    wf = [("low", 5), ("lowest", 2)]
+    merges = train_bpe(wf, num_merges=4)
+    # pair counts round 1: (l,o)=7 (o,w)=7 ... tie broken lexicographically
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    vocab = build_vocab(merges, wf)
+    assert END in vocab and ("low" + END) in vocab
+
+    ids_low = [vocab.get(t, -1) for t in _encode_word("low", {p: i for i, p in enumerate(merges)})]
+    assert -1 not in ids_low
+
+    docs = spark.createDataFrame(
+        [(0, "low low lowest"), (1, "newword low")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges, vocab).collect()}
+    assert out[0]["n_tokens"] == len(out[0]["token_ids"])
+    # decode round-trips (OOV chars of 'newword' not in training chars? l/o/w/e/s/t + n... 'n' unseen => -1)
+    assert bpe_decode(out[0]["token_ids"], vocab) == "low low lowest"
+    # rerun-stable
+    again = {r["doc_id"]: list(r["token_ids"]) for r in bpe_encode(docs, merges, vocab).collect()}
+    assert again[0] == list(out[0]["token_ids"])
+
+
+def test_bpe_word_frequencies_deterministic(spark):
+    from rdfshape_api_spark.functions.tokenize import train_bpe, word_frequencies
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta beta gamma") for i in range(3)], "doc_id long, text string"
+    )
+    wf = [(r["word"], r["n"]) for r in word_frequencies(docs, top_k=10).collect()]
+    assert wf[0] == ("beta", 6)
+    # full determinism end-to-end: same merges twice
+    assert train_bpe(wf, 5) == train_bpe(wf, 5)
