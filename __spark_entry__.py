@@ -816,6 +816,29 @@ def _q_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges, vocab)
 
 
+def _q_pack_token_ids(spark, sf_dir):
+    """Concat-and-chunk packing (functions/sampling.pack_token_ids) over a
+    portable hash-word tokenization (md5-derived int per whitespace word),
+    so the DuckDB twin can rebuild the identical token stream: unnest WITH
+    ORDINALITY → row_number within shard → (rn-1)//seq_len groups, full
+    sequences only.  Spark never shuffles per-token rows — one doc-level
+    repartition + a streaming Arrow chunker; the oracle (tiny data) can
+    afford the per-token form."""
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.functions.sampling import pack_token_ids
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    word_id = lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("int")
+    encoded = docs.select(
+        "doc_id",
+        F.transform(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), word_id
+        ).alias("token_ids"),
+    )
+    return pack_token_ids(encoded, seq_len=32, n_shards=8)
+
+
 def _q_dedup_lsh(spark, sf_dir):
     from rdfshape_api_spark.functions.dedup import lsh_candidate_pairs
 
@@ -1773,6 +1796,7 @@ _VERIFY_FIRST = [
     "dedup_bloom_incremental",
     "text_corpus_stats",
     "text_bpe_encode",
+    "text_pack_token_ids",
     "text_lm_score",
     "text_pack_sequences",
     # (b) registered in r3, never driver-verified
@@ -1897,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_incremental": _q_dedup_bloom,   # bloom ingest guard (r4s7)
         "text_corpus_stats": _q_corpus_stats,        # mixture report (r4s7)
         "text_bpe_encode": _q_bpe_encode,            # real BPE tokenizer (r4s7, rows-only)
+        "text_pack_token_ids": _q_pack_token_ids,    # concat-and-chunk packing (r4s7)
         "dedup_lsh_pairs": _q_dedup_lsh,
         "dedup_lsh_keep": _q_dedup_lsh_keep,
         "dedup_clusters": _q_dedup_clusters,
@@ -3070,6 +3095,32 @@ def oracle_sql() -> dict[str, str]:
                    ((n_docs * 1000000) // td)::BIGINT AS docs_ppm,
                    ((n_tokens * 1000000) // tt)::BIGINT AS tokens_ppm
             FROM per, tot
+        """,
+        "text_pack_token_ids": """
+            -- per-token twin of the streaming chunker: global order within
+            -- shard = (doc_id, word ordinal); sequences = (rn-1)//32 groups;
+            -- trailing partials dropped (HAVING = seq_len)
+            WITH split AS (
+              SELECT (doc_id % 8)::INT AS shard, doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+              FROM documents
+            ),
+            toks AS (
+              SELECT shard, doc_id,
+                     unnest(arr) AS w, generate_subscripts(arr, 1) AS ord
+              FROM split
+            ),
+            ranked AS (
+              SELECT shard,
+                     CAST(CAST('0x' || substring(md5(w), 1, 7) AS BIGINT) AS INT) AS tid,
+                     row_number() OVER (PARTITION BY shard ORDER BY doc_id, ord) AS rn
+              FROM toks
+            )
+            SELECT shard, ((rn - 1) // 32)::BIGINT AS seq_idx,
+                   list(tid ORDER BY rn) AS token_ids
+            FROM ranked
+            GROUP BY shard, ((rn - 1) // 32)
+            HAVING count(*) = 32
         """,
         "dedup_lsh_pairs": """
             WITH sigs AS (

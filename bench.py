@@ -46,6 +46,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "dedup_lsh_keep",
         "dedup_clusters",
         "text_span_dedup",
+        "text_bpe_encode",
         "sim_cosine_topk",
         "sim_semantic_dedup",
         "mm_features",

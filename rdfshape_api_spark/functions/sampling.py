@@ -311,3 +311,64 @@ def per_source_cap(
         docs.withColumn("src_rank", F.row_number().over(w))
         .filter(F.col("src_rank") <= cap)
     )
+
+
+def pack_token_ids(
+    encoded: DataFrame,
+    seq_len: int,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Concat-and-chunk packing — the last mile of a pretraining data
+    pipeline: concatenate the token ids of a shard's documents (in
+    deterministic ``doc_id`` order) and cut the stream into fixed
+    ``seq_len`` sequences.  Each shard's trailing partial sequence is
+    DROPPED (the standard block-packing loader behavior; padding is a
+    trainer concern).  Returns ``(shard, seq_idx, token_ids[seq_len])``.
+
+    Scale design — no per-token shuffle: the naive plan (posexplode every
+    token, row_number, re-group) shuffles ONE ROW PER TOKEN, i.e. the
+    whole 100 TB corpus re-keyed token-wise.  Here the only movement is
+    ONE repartition of doc-level rows by shard; inside each partition a
+    streaming Arrow kernel chunks with an O(seq_len + longest doc) buffer.
+    ``sortWithinPartitions(shard, doc_id)`` keeps every shard contiguous
+    and ordered, so the output is bit-identical under ANY partition count
+    or executor fleet — the property the DuckDB twin checks.
+    """
+    import pandas as pd
+
+    if seq_len < 1:
+        raise ValueError(f"pack_token_ids: seq_len must be >= 1, got {seq_len}")
+
+    d = encoded.select(
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        F.col(ids_col).alias("token_ids"),
+    )
+
+    schema = "shard int, seq_idx long, token_ids array<int>"
+
+    def kernel(batches):
+        cur_shard, buf, seq_idx = None, [], 0
+        for pdf in batches:
+            out_s, out_i, out_t = [], [], []
+            for shard, ids in zip(pdf["shard"], pdf["token_ids"]):
+                if shard != cur_shard:
+                    cur_shard, buf, seq_idx = shard, [], 0  # drop prior remainder
+                buf.extend(int(x) for x in ids)
+                while len(buf) >= seq_len:
+                    out_s.append(shard)
+                    out_i.append(seq_idx)
+                    out_t.append(buf[:seq_len])
+                    del buf[:seq_len]
+                    seq_idx += 1
+            yield pd.DataFrame(
+                {"shard": out_s, "seq_idx": out_i, "token_ids": out_t}
+            )
+
+    return (
+        d.repartition("shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .mapInPandas(kernel, schema=schema)
+    )

@@ -848,3 +848,33 @@ def test_bpe_word_frequencies_deterministic(spark):
     assert wf[0] == ("beta", 6)
     # full determinism end-to-end: same merges twice
     assert train_bpe(wf, 5) == train_bpe(wf, 5)
+
+
+def test_pack_token_ids(spark):
+    import pytest as _pytest
+
+    from rdfshape_api_spark.functions.sampling import pack_token_ids
+
+    # 2 shards (doc_id % 2); shard 0: docs 0,2 -> 7 tokens; shard 1: docs 1,3 -> 6
+    rows = [
+        (0, [1, 2, 3]),
+        (1, [10, 11]),
+        (2, [4, 5, 6, 7]),
+        (3, [12, 13, 14, 15]),
+    ]
+    enc = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    out = {(r["shard"], r["seq_idx"]): list(r["token_ids"])
+           for r in pack_token_ids(enc, seq_len=3, n_shards=2).collect()}
+    # shard 0 stream: 1 2 3 4 5 6 7 -> [1,2,3],[4,5,6], remainder [7] dropped
+    assert out[(0, 0)] == [1, 2, 3]
+    assert out[(0, 1)] == [4, 5, 6]
+    # shard 1 stream: 10 11 12 13 14 15 -> two full sequences
+    assert out[(1, 0)] == [10, 11, 12]
+    assert out[(1, 1)] == [13, 14, 15]
+    assert len(out) == 4
+    # partition-layout independence: different parallelism, same result
+    again = {(r["shard"], r["seq_idx"]): list(r["token_ids"])
+             for r in pack_token_ids(enc.repartition(7), seq_len=3, n_shards=2).collect()}
+    assert again == out
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_token_ids(enc, seq_len=0)
