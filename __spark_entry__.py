@@ -853,6 +853,13 @@ def _q_dedup_lsh_keep(spark, sf_dir):
     return lsh_dedup_keep(docs)
 
 
+def _q_dedup_verified(spark, sf_dir):
+    from rdfshape_api_spark.functions.dedup import lsh_verified_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return lsh_verified_pairs(docs, threshold=0.5)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: connected components of the LSH candidate-pair
     graph, computed by contracting each bucket-clique to a star before the
@@ -1799,6 +1806,7 @@ _VERIFY_FIRST = [
     "text_pack_token_ids",
     "text_lm_score",
     "text_pack_sequences",
+    "dedup_verified_pairs",
     # (b) registered in r3, never driver-verified
     "text_repetition",
     "text_quality",
@@ -1923,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": _q_bpe_encode,            # real BPE tokenizer (r4s7, rows-only)
         "text_pack_token_ids": _q_pack_token_ids,    # concat-and-chunk packing (r4s7)
         "dedup_lsh_pairs": _q_dedup_lsh,
+        "dedup_verified_pairs": _q_dedup_verified,   # est-Jaccard refine (r4s8)
         "dedup_lsh_keep": _q_dedup_lsh_keep,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -3138,6 +3147,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dedup_verified_pairs": """
+            -- LSH candidates refined by estimated Jaccard: fraction of
+            -- equal minhash slots; n_eq >= 8 == est_jaccard >= 0.5 (exact)
+            WITH sigs AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), i ->
+                       list_min(list_transform(
+                         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                         w -> md5(i::VARCHAR || ':' || w)))) AS sig
+              FROM documents
+            ), bands AS (
+              SELECT doc_id, b AS band,
+                     md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '|')) AS band_key
+              FROM sigs, unnest(range(0, 4)) AS t(b)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ), scored AS (
+              SELECT p.doc_a, p.doc_b,
+                     CAST(len(list_filter(range(1, 17),
+                           i -> sa.sig[i] = sb.sig[i])) AS INTEGER) AS n_eq
+              FROM pairs p
+              JOIN sigs sa ON sa.doc_id = p.doc_a
+              JOIN sigs sb ON sb.doc_id = p.doc_b
+            )
+            SELECT doc_a, doc_b, n_eq,
+                   CAST(n_eq AS DOUBLE) / 16 AS est_jaccard
+            FROM scored
+            WHERE n_eq >= 8
         """,
         "dedup_lsh_keep": """
             WITH sigs AS (

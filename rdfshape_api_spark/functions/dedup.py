@@ -134,6 +134,56 @@ def lsh_dedup_keep(docs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate refinement — the verify step of the classic LSH two-phase
+    (generate candidates cheaply, then CONFIRM each with the signature):
+    per candidate pair, the estimated Jaccard = fraction of equal minhash
+    components, kept iff ≥ ``threshold``.
+
+    LSH banding admits false positives by construction (one colliding
+    band out of 4 is enough), so downstream dedup decisions on raw
+    candidate pairs over-merge; this bound the error with zero extra text
+    reads — the signature already exists.
+
+    Returns ``(doc_a, doc_b, n_eq, est_jaccard)``; ``n_eq`` = number of
+    equal signature slots, ``est_jaccard = n_eq / num_hashes`` (exact in
+    binary for the default 16, so portable to the DuckDB oracle).
+
+    Scale design: two hash joins of the pair list against the signature
+    table keyed on doc_id — no self-join, no re-shingling; the comparison
+    is a JVM ``zip_with`` over 16-element arrays (whole-stage codegen, no
+    Python).  At 100 TB the signature table is written once at ingest and
+    both joins are plain shuffle-hash joins on the dedup key.
+    """
+    sigs = docs.select(
+        "doc_id", minhash_signature(num_hashes=num_hashes).alias("sig")
+    )
+    pairs = lsh_candidate_pairs(docs, max_bucket=max_bucket)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sig_b"))
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return (
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_eq.alias("n_eq"),
+            (n_eq / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def lsh_duplicate_clusters(
     docs: DataFrame, max_bucket: int | None = None
 ) -> DataFrame:

@@ -190,3 +190,40 @@ def test_lsh_duplicate_clusters_max_bucket(spark):
         for r in lsh_duplicate_clusters(docs, max_bucket=3).collect()
     }
     assert via_stars == via_pairs and via_stars
+
+
+def test_lsh_verified_pairs_filters_false_positives(docs, spark):
+    """est-Jaccard refinement: identical docs score 16/16; a pair that
+    collides on one band but differs elsewhere is dropped at 0.5."""
+    from rdfshape_api_spark.functions.dedup import (
+        lsh_verified_pairs,
+        minhash_signature,
+    )
+
+    verified = lsh_verified_pairs(docs, threshold=0.5)
+    fam = verified.filter((F.col("doc_a") < 6) & (F.col("doc_b") < 6))
+    rows = fam.collect()
+    # identical texts: every signature slot equal
+    assert len(rows) == 15
+    assert all(r["n_eq"] == 16 and r["est_jaccard"] == 1.0 for r in rows)
+
+    # verified output is a subset of the candidates, schema carries scores
+    cands = lsh_candidate_pairs(docs)
+    assert verified.select("doc_a", "doc_b").exceptAll(cands).isEmpty()
+
+    # a high threshold admits nothing that isn't near-identical
+    strict = lsh_verified_pairs(docs, threshold=0.99)
+    assert strict.filter(F.col("n_eq") < 16).isEmpty()
+
+    # n_eq agrees with a direct signature comparison for one known pair
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", minhash_signature().alias("sig")
+        ).collect()
+    }
+    expect = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    got = verified.filter(
+        (F.col("doc_a") == 0) & (F.col("doc_b") == 1)
+    ).collect()[0]["n_eq"]
+    assert got == expect == 16
