@@ -142,6 +142,42 @@ def _q_rdf_extract(spark, sf_dir):
     ).distinct()
 
 
+def _q_incremental_merge(spark, sf_dir):
+    """Incremental construction (operators/incremental.py): build the store
+    from STALE versions of 1/8 of the line-oriented docs (extra marker
+    triple, zeroed commit), then MERGE the true versions as a delta.  The
+    merged store must equal the full extraction — the golden-triples
+    oracle — which fails if retraction leaks stale triples OR the delta
+    append misses rows.  Reference has no incremental mode (stateless per
+    request, DataSingle.scala:78-93); this is the 10^12-file north-rule
+    path: never re-extract the corpus for a delta of commits."""
+    from rdfshape_api_spark.operators.incremental import incremental_merge
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    docs = _rdf_docs(spark, sf_dir)
+    is_delta = (F.pmod(F.xxhash64("path"), F.lit(8)) == 0) & F.lower(
+        F.col("lang")
+    ).isin("ntriples", "nt", "turtle", "ttl")
+    delta = docs.filter(is_delta)
+    stale = (
+        delta.withColumn(
+            "content",
+            F.concat(
+                F.lit('<http://stale.example/f> <http://stale.example/p> "stale" .\n'),
+                F.col("content"),
+            ),
+        )
+        .withColumn("commit", F.lit("0" * 40))
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    )
+    base = docs.filter(~is_delta).unionByName(stale)
+    store = dedup_triples(canonicalize(extract_triples(base)), scope_doc=True)
+    return incremental_merge(store, delta).select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+    ).distinct()
+
+
 def _q_validate_shex(spark, sf_dir):
     from rdfshape_api_spark.plans import parse_shexc, validate
 
@@ -1763,6 +1799,7 @@ def _q_events_sessions(spark, sf_dir):
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
+    "rdf_incremental_merge",
     "social_shexj_validate",
     "social_shacl_rdfxml",
     "rdf_shapemap_resolve",
@@ -1846,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _rotate_for_verification({
         # SURVEY §2 operators (RDF engine)
         "rdf_extract_canonical": _q_rdf_extract,         # S1+S4, canonicalize
+        "rdf_incremental_merge": _q_incremental_merge,   # incremental MERGE (r4s8)
         "rdf_validate_shex": _q_validate_shex,           # §2.7 flagship + J1
         "rdf_validate_shacl": _q_validate_shacl,         # §2.7 + J2 targets
         "rdf_validate_batch": _q_validate_batch,         # §2.7 single-pass multi-schema
@@ -2041,6 +2079,9 @@ def oracle_sql() -> dict[str, str]:
     ex = EX
     d = {
         "rdf_extract_canonical": f"SELECT DISTINCT * FROM {_T}",
+        # incremental MERGE must reproduce the full extraction exactly:
+        # stale-version triples retracted, delta extraction appended
+        "rdf_incremental_merge": f"SELECT DISTINCT * FROM {_T}",
         "rdf_validate_shex": (
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
         ),

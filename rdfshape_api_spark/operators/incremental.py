@@ -1,0 +1,210 @@
+"""Incremental construction: Iceberg-style MERGE of document deltas into
+the canonical triple store.
+
+North rule context: at 10^12 source files the pipeline cannot re-extract
+the corpus on every commit — construction must be *incremental*.  The
+reference is stateless per request (every call re-parses its input,
+``DataSingle.scala:78-93``), so there is nothing to port; this module is
+the Spark-native design for keeping a canonical store current as new
+commits land:
+
+* **Delta semantics** — a delta batch of document versions is
+  *authoritative* for its ``(repo, path)`` keys: every triple extracted
+  from ANY previous version of those files is retracted and the delta's
+  extraction is appended.  A delta doc that fails to parse still retracts
+  (the new version is authoritative even when broken — its triples are
+  simply the empty set, and the parse error flows through the normal
+  error channel).
+* **Merge-on-read snapshot log** — ``merge_snapshot`` never rewrites the
+  base store.  Each merge appends two O(delta)-sized parquet logs (added
+  triples, retracted keys) under a monotonically versioned directory;
+  ``read_snapshot`` reconciles them with one broadcast join.  This is the
+  same copy-on-write-avoidance trade Iceberg makes with delete files: at
+  100 TB a delta of 10^6 files must not touch the 10^12-file base.
+* **Compaction** — ``compact_snapshot`` folds the log back into a new
+  base (the Iceberg ``rewrite_data_files`` analog) once the log's read
+  amplification outweighs the rewrite cost.
+
+Scale shape of the read-side reconciliation: the retract log holds one
+row per superseded ``(repo, path)`` — delta-sized, so it broadcasts; the
+join against the base is then a map-side hash probe, no shuffle of the
+store.  Version ordering (a key retracted at v2 but re-added at v3 must
+survive) reduces to ``max(retract version) <= row version`` per key,
+computed on the broadcast side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rdfshape_api_spark.model import TRIPLE_COLUMNS
+
+
+def _extract_canonical(docs: DataFrame) -> DataFrame:
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    return dedup_triples(canonicalize(extract_triples(docs)), scope_doc=True)
+
+
+def incremental_merge(store_triples: DataFrame, delta_docs: DataFrame) -> DataFrame:
+    """Triple-level MERGE: retract every store triple whose ``(repo, path)``
+    appears in ``delta_docs``, then append the delta's own extraction.
+
+    The retraction key set is delta-sized (≪ store), so it broadcasts and
+    the anti-join streams the store without a shuffle; the append is a
+    union Catalyst plans as extra scan branches.  Equivalent Iceberg op:
+    ``MERGE INTO store USING delta ON (repo, path) WHEN MATCHED DELETE +
+    INSERT`` — see :func:`merge_snapshot` for the log-structured on-disk
+    form that avoids rewriting the base.
+    """
+    keys = delta_docs.select("repo", "path").distinct()
+    kept = store_triples.join(F.broadcast(keys), on=["repo", "path"], how="left_anti")
+    new = _extract_canonical(delta_docs)
+    return kept.unionByName(new.select(*store_triples.columns))
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read snapshot store
+# ---------------------------------------------------------------------------
+
+_VERSION_FILE = "_SNAPSHOT_VERSION"
+
+
+def _log_dir(store_dir: str, kind: str, version: int) -> str:
+    return os.path.join(store_dir, "log", f"{kind}_v{version:06d}")
+
+
+def snapshot_version(store_dir: str) -> int:
+    """Current snapshot version (0 = base only, no merges yet)."""
+    vf = os.path.join(store_dir, _VERSION_FILE)
+    if not os.path.exists(vf):
+        return 0
+    with open(vf) as fh:
+        return int(fh.read().strip() or 0)
+
+
+def _write_version(store_dir: str, version: int) -> None:
+    vf = os.path.join(store_dir, _VERSION_FILE)
+    tmp = vf + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, vf)  # atomic pointer swap = the commit point
+
+
+def init_snapshot(
+    docs: DataFrame, store_dir: str, subj_buckets: int = 16
+) -> None:
+    """Write the base store (version 0) in the canonical predicate-
+    partitioned layout, with the dedup fused into the layout shuffle."""
+    from rdfshape_api_spark.operators.canonicalize import (
+        canonicalize,
+        write_canonical_store,
+    )
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    tri = canonicalize(extract_triples(docs))
+    write_canonical_store(
+        tri,
+        os.path.join(store_dir, "base"),
+        subj_buckets=subj_buckets,
+        dedup=True,
+        scope_doc=True,
+        layout_partitions=None,
+    )
+    _write_version(store_dir, 0)
+
+
+def merge_snapshot(spark: SparkSession, store_dir: str, delta_docs: DataFrame) -> int:
+    """Apply one delta batch as snapshot version N+1.
+
+    Cost is O(delta): two parquet writes (added triples, retracted keys);
+    the base is untouched.  The version-file swap is the atomic commit —
+    a crash before it leaves a dangling log directory that the next read
+    ignores (versions > the pointer are invisible), so the merge is
+    idempotently re-runnable: the re-run overwrites the same vN+1 dirs
+    and then swings the pointer.  Returns the new version.
+    """
+    v = snapshot_version(store_dir) + 1
+    delta_docs.persist()
+    try:
+        adds = _extract_canonical(delta_docs)
+        adds.write.mode("overwrite").parquet(_log_dir(store_dir, "adds", v))
+        (
+            delta_docs.select("repo", "path")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(_log_dir(store_dir, "retracts", v))
+        )
+    finally:
+        delta_docs.unpersist()
+    _write_version(store_dir, v)
+    return v
+
+
+def read_snapshot(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Reconcile base + logs into the current canonical triple set.
+
+    One broadcast left join: rows (base at version 0, adds at their merge
+    version) survive iff no retract of their ``(repo, path)`` happened at
+    a LATER version — ``max(retract_v) <= row_v`` per key, aggregated on
+    the broadcast (delta-sized) side.  The base scan itself is untouched:
+    predicate-directory pruning and column pruning still apply before the
+    probe.
+    """
+    from rdfshape_api_spark.operators.canonicalize import read_canonical_store
+
+    v = snapshot_version(store_dir)
+    tri = read_canonical_store(spark, os.path.join(store_dir, "base")).withColumn(
+        "_v", F.lit(0)
+    )
+    retracts = None
+    for i in range(1, v + 1):
+        adds = spark.read.parquet(_log_dir(store_dir, "adds", i)).select(
+            *[c for c in TRIPLE_COLUMNS]
+        )
+        tri = tri.unionByName(adds.withColumn("_v", F.lit(i)))
+        r = spark.read.parquet(_log_dir(store_dir, "retracts", i)).withColumn(
+            "_rv", F.lit(i)
+        )
+        retracts = r if retracts is None else retracts.unionByName(r)
+    if retracts is None:
+        return tri.drop("_v")
+    sup = retracts.groupBy("repo", "path").agg(F.max("_rv").alias("_max_rv"))
+    out = (
+        tri.join(F.broadcast(sup), on=["repo", "path"], how="left")
+        .filter(F.col("_max_rv").isNull() | (F.col("_max_rv") <= F.col("_v")))
+        .drop("_v", "_max_rv")
+    )
+    return out.select(*[c for c in TRIPLE_COLUMNS if c in out.columns])
+
+
+def compact_snapshot(
+    spark: SparkSession, store_dir: str, subj_buckets: int = 16
+) -> None:
+    """Fold the merge log into a fresh base (Iceberg rewrite_data_files
+    analog): materialize the reconciled snapshot, rewrite the canonical
+    layout, reset the log.  Run when the accumulated log size makes the
+    read-side reconciliation join dominate scan cost."""
+    import shutil
+
+    from rdfshape_api_spark.operators.canonicalize import write_canonical_store
+
+    cur = read_snapshot(spark, store_dir)
+    new_base = os.path.join(store_dir, "base_compacting")
+    write_canonical_store(
+        cur,
+        new_base,
+        subj_buckets=subj_buckets,
+        dedup=False,
+        layout_partitions=None,
+    )
+    old_base = os.path.join(store_dir, "base")
+    shutil.rmtree(old_base)
+    os.replace(new_base, old_base)
+    log_root = os.path.join(store_dir, "log")
+    if os.path.isdir(log_root):
+        shutil.rmtree(log_root)
+    _write_version(store_dir, 0)
