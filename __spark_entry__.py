@@ -896,6 +896,19 @@ def _q_dedup_verified(spark, sf_dir):
     return lsh_verified_pairs(docs, threshold=0.5)
 
 
+def _q_dedup_lsh_incremental(spark, sf_dir):
+    """Batch-vs-corpus near-dup dedup: docs with doc_id % 4 == 0 arrive as
+    the incoming batch; the rest are the existing corpus, represented ONLY
+    by its stored band table (the 100 TB ingest contract — the corpus text
+    is never re-read)."""
+    from rdfshape_api_spark.functions.dedup import lsh_incremental_keep, minhash_bands
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus_bands = minhash_bands(docs.filter(F.col("doc_id") % 4 != 0))
+    return lsh_incremental_keep(corpus_bands, batch)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: connected components of the LSH candidate-pair
     graph, computed by contracting each bucket-clique to a star before the
@@ -1800,6 +1813,7 @@ def _q_events_sessions(spark, sf_dir):
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
     "rdf_incremental_merge",
+    "dedup_lsh_incremental",
     "social_shexj_validate",
     "social_shacl_rdfxml",
     "rdf_shapemap_resolve",
@@ -1970,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_token_ids": _q_pack_token_ids,    # concat-and-chunk packing (r4s7)
         "dedup_lsh_pairs": _q_dedup_lsh,
         "dedup_verified_pairs": _q_dedup_verified,   # est-Jaccard refine (r4s8)
+        "dedup_lsh_incremental": _q_dedup_lsh_incremental,  # batch-vs-corpus ingest (r4s8)
         "dedup_lsh_keep": _q_dedup_lsh_keep,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -3188,6 +3203,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        """,
+        "dedup_lsh_incremental": """
+            -- batch (doc_id % 4 = 0) vs corpus (rest): drop on any corpus
+            -- bucket collision OR smaller-id batch bucket-mate; dup_of =
+            -- smallest colliding doc, NULL when kept
+            WITH sigs AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), i ->
+                       list_min(list_transform(
+                         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                         w -> md5(i::VARCHAR || ':' || w)))) AS sig
+              FROM documents
+            ), bands AS (
+              SELECT doc_id, b AS band,
+                     md5(array_to_string(list_slice(sig, b*4+1, b*4+4), '|')) AS band_key
+              FROM sigs, unnest(range(0, 4)) AS t(b)
+            ), batchb AS (
+              SELECT * FROM bands WHERE doc_id % 4 = 0
+            ), cmin AS (
+              SELECT band, band_key, min(doc_id) AS cmin
+              FROM bands WHERE doc_id % 4 <> 0 GROUP BY 1, 2
+            ), bmin AS (
+              SELECT band, band_key, min(doc_id) AS bmin
+              FROM batchb GROUP BY 1, 2
+            ), per AS (
+              SELECT b.doc_id,
+                     min(c.cmin) AS corpus_dup, min(m.bmin) AS batch_rep
+              FROM batchb b
+              LEFT JOIN cmin c ON b.band = c.band AND b.band_key = c.band_key
+              JOIN bmin m ON b.band = m.band AND b.band_key = m.band_key
+              GROUP BY 1
+            )
+            SELECT doc_id,
+                   (corpus_dup IS NULL AND batch_rep = doc_id) AS keep,
+                   CASE
+                     WHEN corpus_dup IS NOT NULL AND batch_rep <> doc_id
+                       THEN least(corpus_dup, batch_rep)
+                     WHEN corpus_dup IS NOT NULL THEN corpus_dup
+                     WHEN batch_rep <> doc_id THEN batch_rep
+                   END AS dup_of
+            FROM per
         """,
         "dedup_verified_pairs": """
             -- LSH candidates refined by estimated Jaccard: fraction of

@@ -134,6 +134,52 @@ def lsh_dedup_keep(docs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_incremental_keep(
+    corpus_bands: DataFrame, batch_docs: DataFrame
+) -> DataFrame:
+    """Incremental near-dup dedup: keep/drop decisions for an incoming
+    batch against the EXISTING corpus — the production ingest path, where
+    re-running corpus-wide dedup per batch is impossible.
+
+    ``corpus_bands`` is the write-once ``(doc_id, band, band_key)`` table
+    (:func:`minhash_bands` of the corpus, computed at ingest and stored —
+    the near-dup analog of the Bloom bit set in
+    :func:`bloom_dedup_incremental`).  The corpus is only ever touched by
+    a semi-join on the batch's band keys: broadcast the (batch-sized) key
+    set, prune the corpus band table down to colliding buckets, and
+    aggregate only those.  No corpus×corpus work, no batch×corpus
+    self-join — at 100 TB the probe reads a key-pruned slice of a
+    bucketed table.
+
+    A batch doc is dropped iff any band hits an existing corpus bucket,
+    or it shares a bucket with a smaller-id batch doc (one representative
+    per NEW duplicate family still survives — same 1-hop min rule as
+    :func:`lsh_dedup_keep`).  Returns ``(doc_id, keep, dup_of)`` with
+    ``dup_of`` = the smallest colliding corpus/batch doc (NULL when kept).
+    """
+    bb = minhash_bands(batch_docs)
+    keys = bb.select("band", "band_key").distinct()
+    hits = corpus_bands.join(
+        F.broadcast(keys), on=["band", "band_key"], how="left_semi"
+    )
+    cmin = hits.groupBy("band", "band_key").agg(F.min("doc_id").alias("_cmin"))
+    bmin = bb.groupBy("band", "band_key").agg(F.min("doc_id").alias("_bmin"))
+    per = (
+        bb.join(F.broadcast(cmin), on=["band", "band_key"], how="left")
+        .join(bmin, on=["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("_cmin").alias("_corpus_dup"), F.min("_bmin").alias("_batch_rep"))
+    )
+    cd, br = F.col("_corpus_dup"), F.col("_batch_rep")
+    keep = cd.isNull() & (br == F.col("doc_id"))
+    dup_of = (
+        F.when(cd.isNotNull() & (br != F.col("doc_id")), F.least(cd, br))
+        .when(cd.isNotNull(), cd)
+        .when(br != F.col("doc_id"), br)
+    )
+    return per.select("doc_id", keep.alias("keep"), dup_of.alias("dup_of"))
+
+
 def lsh_verified_pairs(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -227,3 +227,35 @@ def test_lsh_verified_pairs_filters_false_positives(docs, spark):
         (F.col("doc_a") == 0) & (F.col("doc_b") == 1)
     ).collect()[0]["n_eq"]
     assert got == expect == 16
+
+
+def test_lsh_incremental_keep_batch_vs_corpus(spark):
+    from rdfshape_api_spark.functions.dedup import lsh_incremental_keep, minhash_bands
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an existing corpus document about shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # dup of corpus doc 1 → dropped, dup_of = 1
+            (100, "the quick brown fox jumps over the lazy dog"),
+            # new family of two identical docs → 101 kept, 102 dropped
+            (101, "a brand new batch document never seen before"),
+            (102, "a brand new batch document never seen before"),
+            # genuinely unique → kept
+            (103, "totally unrelated fresh content in this batch"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in lsh_incremental_keep(minhash_bands(corpus), batch).collect()
+    }
+    assert not out[100]["keep"] and out[100]["dup_of"] == 1
+    assert out[101]["keep"] and out[101]["dup_of"] is None
+    assert not out[102]["keep"] and out[102]["dup_of"] == 101
+    assert out[103]["keep"] and out[103]["dup_of"] is None
