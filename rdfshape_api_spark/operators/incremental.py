@@ -117,7 +117,12 @@ def init_snapshot(
     _write_version(store_dir, 0)
 
 
-def merge_snapshot(spark: SparkSession, store_dir: str, delta_docs: DataFrame) -> int:
+def merge_snapshot(
+    spark: SparkSession,
+    store_dir: str,
+    delta_docs: DataFrame,
+    version: int | None = None,
+) -> int:
     """Apply one delta batch as snapshot version N+1.
 
     Cost is O(delta): two parquet writes (added triples, retracted keys);
@@ -126,8 +131,14 @@ def merge_snapshot(spark: SparkSession, store_dir: str, delta_docs: DataFrame) -
     ignores (versions > the pointer are invisible), so the merge is
     idempotently re-runnable: the re-run overwrites the same vN+1 dirs
     and then swings the pointer.  Returns the new version.
+
+    ``version``: explicit target version for replay-safe callers (the
+    streaming path maps micro-batch id → version, so a replayed batch
+    overwrites ITS OWN logs instead of appending a duplicate version).
+    The pointer only ever moves forward (max of current and written).
     """
-    v = snapshot_version(store_dir) + 1
+    cur = snapshot_version(store_dir)
+    v = cur + 1 if version is None else int(version)
     delta_docs.persist()
     try:
         adds = _extract_canonical(delta_docs)
@@ -140,7 +151,7 @@ def merge_snapshot(spark: SparkSession, store_dir: str, delta_docs: DataFrame) -
         )
     finally:
         delta_docs.unpersist()
-    _write_version(store_dir, v)
+    _write_version(store_dir, max(cur, v))
     return v
 
 
@@ -154,12 +165,24 @@ def read_snapshot(spark: SparkSession, store_dir: str) -> DataFrame:
     predicate-directory pruning and column pruning still apply before the
     probe.
     """
+    from pyspark.errors import AnalysisException
+
+    from rdfshape_api_spark.model import RAW_TRIPLE_FIELDS
     from rdfshape_api_spark.operators.canonicalize import read_canonical_store
 
     v = snapshot_version(store_dir)
-    tri = read_canonical_store(spark, os.path.join(store_dir, "base")).withColumn(
-        "_v", F.lit(0)
-    )
+    try:
+        base = read_canonical_store(spark, os.path.join(store_dir, "base"))
+    except AnalysisException:
+        # an empty base (store initialized before any documents existed)
+        # writes no parquet files to infer from — start from zero triples
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [f for f in RAW_TRIPLE_FIELDS if f.name in TRIPLE_COLUMNS]
+        )
+        base = spark.createDataFrame([], schema)
+    tri = base.withColumn("_v", F.lit(0))
     retracts = None
     for i in range(1, v + 1):
         adds = spark.read.parquet(_log_dir(store_dir, "adds", i)).select(
@@ -179,6 +202,42 @@ def read_snapshot(spark: SparkSession, store_dir: str) -> DataFrame:
         .drop("_v", "_max_rv")
     )
     return out.select(*[c for c in TRIPLE_COLUMNS if c in out.columns])
+
+
+def stream_merge_snapshots(
+    docs_stream: DataFrame, store_dir: str, checkpoint_dir: str
+):
+    """Continuous construction: a Structured-Streaming source of document
+    versions merges into the snapshot store, one snapshot version per
+    micro-batch.
+
+    Exactly-once end to end: the streaming checkpoint makes batch ids
+    stable across restarts (a replayed batch re-arrives with ITS id), and
+    ``version = batch_id + 1`` makes the merge write idempotent — the
+    replay overwrites its own log directories and the version pointer
+    never moves backwards.  Contract: the store starts at version 0
+    (:func:`init_snapshot`, possibly over an empty doc set) and is owned
+    by one checkpoint lineage; compaction requires the stream stopped.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger —
+    drains what exists, then stops; swap the trigger for continuous
+    ingest).  Source: any streaming DataFrame with the docs-table schema —
+    a file stream over parquet drops, or a Kafka topic projected to
+    (repo, path, commit, lang, content) as in
+    ``streaming/validate_stream.py``.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_snapshot(
+            batch_df.sparkSession, store_dir, batch_df, version=int(batch_id) + 1
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def compact_snapshot(

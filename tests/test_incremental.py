@@ -134,3 +134,45 @@ def test_broken_delta_doc_still_retracts(spark, tmp_path):
     # a.nt's old triple is retracted even though its new version parses to nothing
     assert got.count() == 1
     assert got.filter(F.col("path") == "b.nt").count() == 1
+
+
+def test_stream_merge_snapshots(spark, tmp_path):
+    """Two micro-batches through the same checkpoint lineage: batch 2
+    re-updates batch 1's key; the reconciled snapshot keeps only the
+    latest version per (repo, path)."""
+    from rdfshape_api_spark.operators.incremental import stream_merge_snapshots
+    from rdfshape_api_spark.streaming.validate_stream import DOCS_SCHEMA
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    store_dir = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    init_snapshot(empty, store_dir)
+
+    def run_stream():
+        src = spark.readStream.schema(DOCS_SCHEMA).parquet(str(drop))
+        q = stream_merge_snapshots(src, store_dir, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [
+            ("r1", "a.nt", "c1", "ntriples", '<http://e/s> <http://e/p> "v1" .\n'),
+            ("r1", "b.nt", "c1", "ntriples", '<http://e/s2> <http://e/p> "b" .\n'),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.mode("append").parquet(str(drop))
+    run_stream()
+    got1 = read_snapshot(spark, store_dir)
+    assert got1.count() == 2
+
+    spark.createDataFrame(
+        [("r1", "a.nt", "c2", "ntriples", '<http://e/s> <http://e/p> "v2" .\n')],
+        "repo string, path string, commit string, lang string, content string",
+    ).write.mode("append").parquet(str(drop))
+    run_stream()
+    got2 = read_snapshot(spark, store_dir)
+    vals = {r["obj_value"] for r in got2.collect()}
+    assert got2.count() == 2 and vals == {"v2", "b"}
