@@ -463,6 +463,24 @@ def _q_social_extract(spark, sf_dir):
     ).distinct()
 
 
+def _q_entity_match(spark, sf_dir):
+    """Rule-based ER candidate generation (propose_identity_edges): for a
+    deterministic 1/4 of persons, a twin entity (`<iri>#alt`) sharing the
+    person's email is synthesized; entities sharing an email value are
+    proposed as identity edges (star per value group, max_group guard).
+    Each twin must pair with its original — plus any organically shared
+    emails in the fixture."""
+    from rdfshape_api_spark.operators.canonicalize import propose_identity_edges
+
+    email = EX + "email"
+    tri = _social_triples(spark, sf_dir)
+    rows = tri.filter(F.col("pred") == email)
+    twins = rows.filter(
+        F.substring(F.md5(F.col("subj")), 1, 1).isin("0", "4", "8", "c")
+    ).withColumn("subj", F.concat(F.col("subj"), F.lit("#alt")))
+    return propose_identity_edges(tri.unionByName(twins), [email])
+
+
 def _q_social_validate(spark, sf_dir):
     """OneOf + recursive shape references under the golden gate."""
     from rdfshape_api_spark.plans import parse_shexc, validate
@@ -1814,6 +1832,7 @@ _VERIFY_FIRST = [
     # (a) new in r4 — never verified
     "rdf_incremental_merge",
     "dedup_lsh_incremental",
+    "rdf_entity_match",
     "social_shexj_validate",
     "social_shacl_rdfxml",
     "rdf_shapemap_resolve",
@@ -1959,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_turtle": _q_turtle,                         # K1 Turtle emitter
         "rdf_stream_validate": _q_stream_validate,       # T1 streaming validation
         "social_extract": _q_social_extract,             # S1 incl. N-Quads/TriG
+        "rdf_entity_match": _q_entity_match,             # ER candidate edges (r4s8)
         "social_validate_person": _q_social_validate,    # §2.7 OneOf + recursion
         "social_shexj_validate": _q_social_shexj,        # §2.7 ShExJ syntax
         "social_shex_or_refs": _q_social_or_refs,        # §2.7 @<A> OR @<B> disjunct refs
@@ -2716,6 +2736,30 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
         ),
         "social_extract": f"SELECT DISTINCT * FROM '{_SOC_TRIPLES}'",
+        "rdf_entity_match": f"""
+            -- ER candidates: star edges per shared-email value group,
+            -- with 1/4 of persons given a twin entity sharing their email
+            WITH email AS (
+              SELECT DISTINCT subj, obj_value
+              FROM '{_SOC_TRIPLES}'
+              WHERE pred = 'http://example.org/email' AND obj_kind = 'literal'
+            ), aug AS (
+              SELECT subj, obj_value FROM email
+              UNION ALL
+              SELECT subj || '#alt', obj_value FROM email
+              WHERE substring(md5(subj), 1, 1) IN ('0', '4', '8', 'c')
+            ), keyed AS (
+              SELECT DISTINCT subj AS entity, obj_value AS val FROM aug
+            ), grp AS (
+              SELECT val, min(entity) AS a, count(*) AS n
+              FROM keyed GROUP BY 1
+              HAVING count(*) BETWEEN 2 AND 1000
+            )
+            SELECT DISTINCT g.a, k.entity AS b,
+                   'http://example.org/email' AS evidence_pred
+            FROM keyed k JOIN grp g ON k.val = g.val
+            WHERE k.entity <> g.a
+        """,
         "social_validate_person": (
             f"SELECT doc_sha256, node, status FROM '{_SOC_VERDICTS}'"
         ),

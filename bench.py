@@ -45,6 +45,7 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "dedup_lsh_pairs",
         "dedup_lsh_keep",
         "dedup_clusters",
+        "dedup_lsh_incremental",
         "text_span_dedup",
         "text_bpe_encode",
         "sim_cosine_topk",

@@ -210,6 +210,106 @@ def link_entities(
     return out.select(*triples.columns)
 
 
+def propose_identity_edges(
+    triples: DataFrame, key_preds: list[str], max_group: int = 1000
+) -> DataFrame:
+    """Entity-resolution candidate generation, rule-based: entities
+    sharing a value of a strong identifier predicate (email, phone, ISBN,
+    ORCID, …) are proposed as identity edges — the standard record-linkage
+    blocking rule, and the edge supply for :func:`link_entities` when the
+    data carries no explicit ``owl:sameAs``.
+
+    Scale design: one distinct + one groupBy per identifying value —
+    each value group is contracted to a STAR around its min entity
+    (O(group) edges, never the O(group²) pair enumeration), the same
+    clique-contraction argument as ``lsh_duplicate_clusters``.
+    ``max_group`` drops degenerate hot values (empty strings, placeholder
+    emails like ``n/a@example.com`` pair everyone — the ER analog of the
+    LSH ``max_bucket`` guard).
+
+    Returns ``(a, b, evidence_pred)`` with ``a`` = group-min entity,
+    ``a != b``; feed ``edges=result.select("a", "b")`` to
+    :func:`link_entities` for the canonical rewrite.
+    """
+    keyed = (
+        triples.filter(
+            F.col("pred").isin(list(key_preds)) & (F.col("obj_kind") == "literal")
+        )
+        .select("pred", F.col("obj_value").alias("val"), F.col("subj").alias("entity"))
+        .distinct()
+    )
+    grp = (
+        keyed.groupBy("pred", "val")
+        .agg(F.min("entity").alias("a"), F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_group))
+    )
+    return (
+        keyed.join(grp, on=["pred", "val"])
+        .filter(F.col("entity") != F.col("a"))
+        .select("a", F.col("entity").alias("b"), F.col("pred").alias("evidence_pred"))
+        .distinct()
+    )
+
+
+def propose_label_edges(
+    triples: DataFrame,
+    label_pred: str,
+    threshold: float = 0.8,
+    max_block: int = 100,
+) -> DataFrame:
+    """Fuzzy ER candidate generation: token-blocked label matching with
+    exact token-set Jaccard verification — for entities with no shared
+    strong identifier, only near-identical display labels ("ACME Corp." /
+    "acme corp").
+
+    Plan shape: labels normalize to distinct token arrays (map-only);
+    blocking emits one row per (token) — candidate pairs only form inside
+    a token block, and blocks hotter than ``max_block`` are dropped
+    whole (a stopword-like token pairs the entire corpus; real matches
+    still meet in their RARE tokens, which is the standard
+    blocking-key argument).  Survivors get exact Jaccard via
+    ``array_intersect``/``array_union`` — JVM columnar, no UDF.
+
+    Returns ``(a, b, jaccard)``, ``a < b``, Jaccard ≥ ``threshold``.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(F.col("obj_value")), "[^a-z0-9]+", " "), " "),
+            lambda t: t != "",
+        )
+    )
+    profiles = (
+        triples.filter((F.col("pred") == label_pred) & (F.col("obj_kind") == "literal"))
+        .select(F.col("subj").alias("entity"), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .distinct()
+    )
+    blocks = profiles.select("entity", F.explode("toks").alias("tok"))
+    hot = blocks.groupBy("tok").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") > max_block
+    )
+    blocks = blocks.join(F.broadcast(hot), on="tok", how="left_anti")
+    pairs = (
+        blocks.alias("l")
+        .join(
+            blocks.alias("r"),
+            on=[F.col("l.tok") == F.col("r.tok"), F.col("l.entity") < F.col("r.entity")],
+        )
+        .select(F.col("l.entity").alias("a"), F.col("r.entity").alias("b"))
+        .distinct()
+    )
+    pa = profiles.select(F.col("entity").alias("a"), F.col("toks").alias("_ta"))
+    pb = profiles.select(F.col("entity").alias("b"), F.col("toks").alias("_tb"))
+    jac = F.size(F.array_intersect("_ta", "_tb")) / F.size(F.array_union("_ta", "_tb"))
+    return (
+        pairs.join(pa, on="a")
+        .join(pb, on="b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
 def pred_partition_key(pred=None):
     """Filesystem-safe predicate partition key: local name + 8-hex md5
     disambiguator (IRIs contain '/' and '#', unusable as directory names)."""

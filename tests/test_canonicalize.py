@@ -126,3 +126,72 @@ def test_link_entities_explicit_edges(spark):
     edges = spark.createDataFrame([(E + "q", E + "m")], "a string, b string")
     out = link_entities(tri, edges=edges)
     assert out.collect()[0]["subj"] == E + "m"
+
+
+def test_propose_identity_edges_star_and_guard(spark):
+    from rdfshape_api_spark.operators.canonicalize import (
+        link_entities,
+        propose_identity_edges,
+    )
+
+    def t(s, p, o):
+        return ("d0", s, p, "literal", o, None, None)
+
+    cols = "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    email = "http://e/email"
+    rows = [
+        # three entities sharing one email -> star around the min
+        t("http://e/a", email, "x@y.z"),
+        t("http://e/b", email, "x@y.z"),
+        t("http://e/c", email, "x@y.z"),
+        # unique email -> no edge
+        t("http://e/d", email, "solo@y.z"),
+        # hot placeholder value -> dropped by max_group
+        t("http://e/p1", email, ""),
+        t("http://e/p2", email, ""),
+        t("http://e/p3", email, ""),
+        t("http://e/p4", email, ""),
+    ]
+    tri = spark.createDataFrame(rows, cols)
+    edges = propose_identity_edges(tri, [email], max_group=3)
+    got = {(r["a"], r["b"]) for r in edges.collect()}
+    assert got == {("http://e/a", "http://e/b"), ("http://e/a", "http://e/c")}
+
+    # the edges drive link_entities: b and c rewrite to a
+    linked = link_entities(tri, edges=edges.select("a", "b"))
+    subs = {r["subj"] for r in linked.filter("obj_value = 'x@y.z'").collect()}
+    assert subs == {"http://e/a"}
+
+
+def test_propose_label_edges_jaccard_and_block_guard(spark):
+    from rdfshape_api_spark.operators.canonicalize import propose_label_edges
+
+    def t(s, o):
+        return ("d0", s, "http://e/label", "literal", o, None, None)
+
+    cols = "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string"
+    rows = [
+        # normalization-equal labels -> jaccard 1.0
+        t("http://e/acme1", "ACME Corp."),
+        t("http://e/acme2", "acme corp"),
+        # one extra token: {globex, corp, intl} vs {globex, corp} = 2/3 < 0.8
+        t("http://e/glob1", "Globex Corp"),
+        t("http://e/glob2", "Globex Corp Intl"),
+        # rare-token match with a long shared tail
+        t("http://e/z1", "zeta omega kappa systems"),
+        t("http://e/z2", "zeta omega kappa systems ltd"),  # 4/5 = 0.8
+    ]
+    tri = spark.createDataFrame(rows, cols)
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in propose_label_edges(tri, "http://e/label", threshold=0.8).collect()
+    }
+    assert ("http://e/acme1", "http://e/acme2") in got
+    assert got[("http://e/acme1", "http://e/acme2")] == 1.0
+    assert ("http://e/glob1", "http://e/glob2") not in got
+    assert ("http://e/z1", "http://e/z2") in got
+    # with every token hot-capped away, nothing pairs
+    assert (
+        propose_label_edges(tri, "http://e/label", threshold=0.5, max_block=1).count()
+        == 0
+    )

@@ -188,3 +188,38 @@ def test_decontaminate_broadcasts_benchmark(spark):
     bench = docs.filter("doc_id = 1")
     plan = _plan(decontaminate(docs, bench, n=2))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_lsh_incremental_probe_uses_broadcast(spark):
+    """The corpus band table must be probed via a BROADCAST of the batch's
+    band keys (semi-join) and never self-joined or cross-joined."""
+    from rdfshape_api_spark.functions.dedup import lsh_incremental_keep, minhash_bands
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i} text") for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"batch doc number {i} text") for i in range(5)],
+        "doc_id long, text string",
+    )
+    plan = _plan(lsh_incremental_keep(minhash_bands(corpus), batch))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_identity_edges_plan_is_star_not_pairs(spark):
+    """propose_identity_edges: one equi-join of keyed rows against the
+    aggregated group table — no self-join pair enumeration, no cartesian."""
+    from rdfshape_api_spark.operators.canonicalize import propose_identity_edges
+
+    tri = spark.createDataFrame(
+        [("d", f"http://e/{i}", "http://e/email", "literal", f"v{i % 3}@x", None, None) for i in range(12)],
+        "doc_sha256 string, subj string, pred string, obj_kind string, obj_value string, obj_lang string, obj_datatype string",
+    )
+    plan = _plan(propose_identity_edges(tri, ["http://e/email"]))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # exactly one join shape: keyed ⋈ grouped-min (SMJ or SHJ or BHJ)
+    import re as _re
+    joins = _re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(joins) == 1, plan
