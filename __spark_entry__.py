@@ -178,6 +178,49 @@ def _q_incremental_merge(spark, sf_dir):
     ).distinct()
 
 
+def _q_incremental_verdicts(spark, sf_dir):
+    """Incremental verdict-store maintenance: verdicts built over the
+    STALE base (same split as rdf_incremental_merge) must, after the
+    delta merge re-validates only the delta docs, equal the golden
+    verdict table exactly — the doc-scoped-validation correctness
+    argument in operators/incremental.py."""
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.operators.incremental import incremental_merge_verdicts
+    from rdfshape_api_spark.plans import parse_shacl, parse_shexc
+    from rdfshape_api_spark.plans.validate import validate_batch
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    docs = _rdf_docs(spark, sf_dir)
+    is_delta = (F.pmod(F.xxhash64("path"), F.lit(8)) == 0) & F.lower(
+        F.col("lang")
+    ).isin("ntriples", "nt", "turtle", "ttl")
+    delta = docs.filter(is_delta)
+    stale = (
+        delta.withColumn(
+            "content",
+            F.concat(
+                F.lit('<http://stale.example/f> <http://stale.example/p> "stale" .\n'),
+                F.col("content"),
+            ),
+        )
+        .withColumn("commit", F.lit("0" * 40))
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    )
+    base_tri = dedup_triples(
+        canonicalize(extract_triples(docs.filter(~is_delta).unionByName(stale))),
+        scope_doc=True,
+    )
+    jobs = [
+        (parse_shexc(SHEX_SENSOR), SHAPEMAP_QUERY, "shex_sensor"),
+        (parse_shacl(SHACL_SENSOR), None, "shacl_sensor"),
+    ]
+    base_v = validate_batch(base_tri, jobs).join(
+        base_tri.select("doc_sha256", "repo", "path").distinct(), on="doc_sha256"
+    )
+    merged = incremental_merge_verdicts(base_v, delta, jobs)
+    return merged.select("doc_sha256", "node", "shape_id", "status").distinct()
+
+
 def _q_validate_shex(spark, sf_dir):
     from rdfshape_api_spark.plans import parse_shexc, validate
 
@@ -1831,6 +1874,7 @@ def _q_events_sessions(spark, sf_dir):
 _VERIFY_FIRST = [
     # (a) new in r4 — never verified
     "rdf_incremental_merge",
+    "rdf_incremental_verdicts",
     "dedup_lsh_incremental",
     "rdf_entity_match",
     "social_shexj_validate",
@@ -1917,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SURVEY §2 operators (RDF engine)
         "rdf_extract_canonical": _q_rdf_extract,         # S1+S4, canonicalize
         "rdf_incremental_merge": _q_incremental_merge,   # incremental MERGE (r4s8)
+        "rdf_incremental_verdicts": _q_incremental_verdicts,  # incremental validation (r4s8)
         "rdf_validate_shex": _q_validate_shex,           # §2.7 flagship + J1
         "rdf_validate_shacl": _q_validate_shacl,         # §2.7 + J2 targets
         "rdf_validate_batch": _q_validate_batch,         # §2.7 single-pass multi-schema
@@ -2117,6 +2162,12 @@ def oracle_sql() -> dict[str, str]:
         # incremental MERGE must reproduce the full extraction exactly:
         # stale-version triples retracted, delta extraction appended
         "rdf_incremental_merge": f"SELECT DISTINCT * FROM {_T}",
+        # incremental verdict maintenance must reproduce the golden
+        # verdicts exactly (delta-only revalidation is exact because
+        # validation is doc-scoped)
+        "rdf_incremental_verdicts": (
+            f"SELECT DISTINCT doc_sha256, node, shape_id, status FROM {_V}"
+        ),
         "rdf_validate_shex": (
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shex_sensor'"
         ),

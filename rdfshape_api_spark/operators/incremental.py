@@ -66,6 +66,36 @@ def incremental_merge(store_triples: DataFrame, delta_docs: DataFrame) -> DataFr
     return kept.unionByName(new.select(*store_triples.columns))
 
 
+def incremental_merge_verdicts(
+    base_verdicts: DataFrame, delta_docs: DataFrame, jobs: list
+) -> DataFrame:
+    """Incremental maintenance of the VALIDATION verdict store, same
+    delta-authoritative semantics as :func:`incremental_merge`.
+
+    This is exact (not approximate) because validation in this engine is
+    document-scoped: focus resolution, target selection and every
+    constraint aggregate group by ``doc_sha256``, so a document's
+    verdicts depend only on its own triples — re-validating just the
+    delta reproduces precisely the rows a full revalidation would emit
+    for those documents.  No global invalidation pass is needed.
+
+    ``base_verdicts`` must carry ``(repo, path)`` alongside the verdict
+    columns (join the store's doc map once at build time); ``jobs`` is
+    the same ``(schema, shapemap, label)`` list ``validate_batch`` takes.
+    Cost: O(delta) — one broadcast anti-join over the verdict store plus
+    extraction + validation of the delta docs only.
+    """
+    from rdfshape_api_spark.plans.validate import validate_batch
+
+    keys = delta_docs.select("repo", "path").distinct()
+    kept = base_verdicts.join(F.broadcast(keys), on=["repo", "path"], how="left_anti")
+    delta_tri = _extract_canonical(delta_docs)
+    new_v = validate_batch(delta_tri, jobs)
+    doc_map = delta_tri.select("doc_sha256", "repo", "path").distinct()
+    new_v = new_v.join(doc_map, on="doc_sha256")
+    return kept.unionByName(new_v.select(*base_verdicts.columns))
+
+
 # ---------------------------------------------------------------------------
 # merge-on-read snapshot store
 # ---------------------------------------------------------------------------

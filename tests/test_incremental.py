@@ -176,3 +176,38 @@ def test_stream_merge_snapshots(spark, tmp_path):
     got2 = read_snapshot(spark, store_dir)
     vals = {r["obj_value"] for r in got2.collect()}
     assert got2.count() == 2 and vals == {"v2", "b"}
+
+
+def test_incremental_merge_verdicts_matches_full(spark, split_docs):
+    from rdfshape_api_spark.fixtures.generator import (
+        SHACL_SENSOR,
+        SHAPEMAP_QUERY,
+        SHEX_SENSOR,
+    )
+    from rdfshape_api_spark.operators.incremental import incremental_merge_verdicts
+    from rdfshape_api_spark.plans import parse_shacl, parse_shexc
+    from rdfshape_api_spark.plans.validate import validate_batch
+
+    base, delta, docs = split_docs
+    jobs = [
+        (parse_shexc(SHEX_SENSOR), SHAPEMAP_QUERY, "shex_sensor"),
+        (parse_shacl(SHACL_SENSOR), None, "shacl_sensor"),
+    ]
+
+    def verdicts(d):
+        tri = _extract(d)
+        return validate_batch(tri, jobs).join(
+            tri.select("doc_sha256", "repo", "path").distinct(), on="doc_sha256"
+        )
+
+    base_v = verdicts(base).persist()
+    merged = incremental_merge_verdicts(base_v, delta, jobs)
+    full = verdicts(docs)
+    cols = ["doc_sha256", "node", "shape_id", "status"]
+    _sym_diff_empty(merged.select(*cols).distinct(), full.select(*cols).distinct())
+    # the stale docs' verdicts WERE in the base (different doc_sha256s)
+    stale_shas = base_v.select("doc_sha256").subtract(full.select("doc_sha256"))
+    assert stale_shas.count() > 0
+    # ...and none survive the merge
+    assert merged.join(stale_shas, on="doc_sha256", how="semi").count() == 0
+    base_v.unpersist()
