@@ -1872,7 +1872,15 @@ def _q_events_sessions(spark, sf_dir):
 # row is oldest.  r4 ordering: 4 never-verified (r3 additions), then the 17
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
-    # (a) new in r4 — never verified
+    # (a) registered in r3, never driver-verified — the r3 verdict names
+    # these 4 (+docs_stream_dedup) explicitly; they lead so the 50-entry
+    # window can never push them out again.
+    "text_repetition",
+    "text_quality",
+    "dedup_clusters",
+    "events_windowed_stream",
+    "docs_stream_dedup",
+    # (b) new in r4 — never verified
     "rdf_incremental_merge",
     "rdf_incremental_verdicts",
     "dedup_lsh_incremental",
@@ -1921,12 +1929,6 @@ _VERIFY_FIRST = [
     "text_lm_score",
     "text_pack_sequences",
     "dedup_verified_pairs",
-    # (b) registered in r3, never driver-verified
-    "text_repetition",
-    "text_quality",
-    "dedup_clusters",
-    "events_windowed_stream",
-    "docs_stream_dedup",
     # (c) last green in r2
     "rdf_html_extract",
     "text_features",
