@@ -1904,7 +1904,6 @@ _VERIFY_FIRST = [
     "rdf_dot",
     "text_normalize",
     "rdf_pagerank",
-    "sim_pca_project",
     "social_shex_mixed_and",
     "rdf_sparql_path_neg",
     "social_shex_paren_not",
@@ -1924,11 +1923,17 @@ _VERIFY_FIRST = [
     "text_source_cap",
     "dedup_bloom_incremental",
     "text_corpus_stats",
-    "text_bpe_encode",
     "text_pack_token_ids",
     "text_lm_score",
-    "text_pack_sequences",
     "dedup_verified_pairs",
+    # Positions 51+ (outside the driver's 50-entry window).  The two
+    # rows-only entries (no SQL twin: k-means PCA init / trained BPE merges)
+    # sit here so every window slot carries a hash-checkable oracle;
+    # text_pack_sequences cedes its slot to keep the packing family
+    # represented by text_pack_token_ids.
+    "sim_pca_project",
+    "text_bpe_encode",
+    "text_pack_sequences",
     # (c) last green in r2
     "rdf_html_extract",
     "text_features",
