@@ -1863,6 +1863,54 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+# --- code-corpus operators over the north-rule input shape ----------------
+# (repo, path, commit, lang, content) — repository-level analytics of the
+# source-file corpus itself, complementing the per-file RDF extraction.
+
+
+def _code_docs(spark, sf_dir):
+    """Fixture docs table for the tier, spread over partitions (the fixture
+    parquet is a single file; production reads a bucketed Iceberg table)."""
+    tag = sf_tag_from_dir(sf_dir)
+    return spark.read.parquet(ensure_fixtures(tag)["docs"]).repartition(
+        32, "repo", "path"
+    )
+
+
+def _q_code_winnow_fp(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03,
+    the MOSS sketch): min-hash of each w-window of k-gram hashes, exploded
+    to the inverted-index shape. Map-only Column/array expressions."""
+    from rdfshape_api_spark.functions.codeops import winnow_fingerprints
+
+    return winnow_fingerprints(_code_docs(spark, sf_dir))
+
+
+def _q_code_winnow_clones(spark, sf_dir):
+    """Intra-repo near-duplicate file pairs by winnowing-fingerprint
+    Jaccard (clone/vendored-copy detection). Scoped to the org0/org1
+    repos on the first 400 content chars — the head sketch keeps the
+    oracle twin tractable; the operator itself takes the full corpus."""
+    from rdfshape_api_spark.functions.codeops import winnow_near_dup_pairs
+
+    docs = _code_docs(spark, sf_dir).filter(
+        F.col("repo").startswith("org0/") | F.col("repo").startswith("org1/")
+    ).withColumn("content", F.substring("content", 1, 400))
+    return winnow_near_dup_pairs(docs, threshold=0.35, within_repo=True)
+
+
+def _q_code_repo_stats(spark, sf_dir):
+    from rdfshape_api_spark.functions.codeops import repo_stats
+
+    return repo_stats(_code_docs(spark, sf_dir))
+
+
+def _q_code_ident_top(spark, sf_dir):
+    from rdfshape_api_spark.functions.codeops import identifier_top
+
+    return identifier_top(_code_docs(spark, sf_dir), top=10)
+
+
 # Driver-verification rotation: the driver runs the FIRST 50 queries() keys
 # per round, so entries past the window never get a CORRECTNESS row.  Keys
 # listed here are moved to the FRONT of the dict (in this order) so
@@ -1930,7 +1978,13 @@ _VERIFY_FIRST = [
     # rows-only entries (no SQL twin: k-means PCA init / trained BPE merges)
     # sit here so every window slot carries a hash-checkable oracle;
     # text_pack_sequences cedes its slot to keep the packing family
-    # represented by text_pack_token_ids.
+    # represented by text_pack_token_ids.  The code_* operators (r4s9,
+    # oracled, locally contract-green at sf0.01) lead this block so they
+    # head r5's unverified queue.
+    "code_winnow_fp",
+    "code_winnow_clones",
+    "code_repo_stats",
+    "code_ident_top",
     "sim_pca_project",
     "text_bpe_encode",
     "text_pack_sequences",
@@ -2087,6 +2141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stream_dedup": _q_docs_stream_dedup,       # stateful streaming dedup (r4)
         "events_sessions": _q_events_sessions,
         "events_sessionize_gap": _q_events_sessionize,
+        # code-corpus operators over the north-rule input shape (r4s9)
+        "code_winnow_fp": _q_code_winnow_fp,
+        "code_winnow_clones": _q_code_winnow_clones,
+        "code_repo_stats": _q_code_repo_stats,
+        "code_ident_top": _q_code_ident_top,
     })
 
 
@@ -3932,6 +3991,95 @@ def oracle_sql() -> dict[str, str]:
                    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
             FROM b
+        """,
+        "code_winnow_fp": f"""
+            -- winnowing fingerprints (Schleimer et al. 2003): k-gram md5
+            -- hashes (portable 60-bit ints), min per w-window, distinct
+            WITH d AS (SELECT repo, path, content FROM {_D}),
+            kg AS (
+              SELECT repo, path,
+                CASE WHEN length(content) >= 8
+                  THEN [CAST('0x'||substr(md5(substr(content, i, 8)),1,15) AS BIGINT)
+                        FOR i IN range(1, length(content)-8+2)]
+                  ELSE [CAST('0x'||substr(md5(content),1,15) AS BIGINT)] END AS hs
+              FROM d
+            ),
+            fps AS (
+              SELECT repo, path,
+                CASE WHEN len(hs) >= 4
+                  THEN list_distinct([list_min(hs[j:j+4-1]) FOR j IN range(1, len(hs)-4+2)])
+                  ELSE [list_min(hs)] END AS fp
+              FROM kg
+            )
+            SELECT repo, path, unnest(fp) AS fingerprint FROM fps
+        """,
+        "code_winnow_clones": f"""
+            -- intra-repo clone pairs: winnow fingerprint Jaccard >= 0.35
+            -- over the head sketch (first 400 chars), org0/org1 repos
+            WITH d AS (
+              SELECT repo, repo || ':' || path AS file_id,
+                     substr(content, 1, 400) AS content
+              FROM {_D}
+              WHERE repo LIKE 'org0/%' OR repo LIKE 'org1/%'
+            ),
+            kg AS (
+              SELECT repo, file_id,
+                CASE WHEN length(content) >= 8
+                  THEN [CAST('0x'||substr(md5(substr(content, i, 8)),1,15) AS BIGINT)
+                        FOR i IN range(1, length(content)-8+2)]
+                  ELSE [CAST('0x'||substr(md5(content),1,15) AS BIGINT)] END AS hs
+              FROM d
+            ),
+            fps AS (
+              SELECT repo, file_id,
+                CASE WHEN len(hs) >= 4
+                  THEN list_distinct([list_min(hs[j:j+4-1]) FOR j IN range(1, len(hs)-4+2)])
+                  ELSE [list_min(hs)] END AS fp
+              FROM kg
+            ),
+            sizes AS (SELECT file_id, len(fp) AS n_fp FROM fps),
+            ex AS (SELECT repo, file_id, unnest(fp) AS fingerprint FROM fps),
+            inter AS (
+              SELECT a.file_id AS file_a, b.file_id AS file_b, count(*) AS n_inter
+              FROM ex a JOIN ex b
+                ON a.repo = b.repo AND a.fingerprint = b.fingerprint
+               AND a.file_id < b.file_id
+              GROUP BY 1, 2
+            )
+            SELECT i.file_a, i.file_b,
+                   round(CAST(i.n_inter AS DOUBLE)
+                         / (sa.n_fp + sb.n_fp - i.n_inter), 4) AS jaccard
+            FROM inter i JOIN sizes sa ON i.file_a = sa.file_id
+                         JOIN sizes sb ON i.file_b = sb.file_id
+            WHERE round(CAST(i.n_inter AS DOUBLE)
+                        / (sa.n_fp + sb.n_fp - i.n_inter), 4) >= 0.35
+        """,
+        "code_repo_stats": f"""
+            SELECT repo,
+                   count(*)::BIGINT AS n_files,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   count(DISTINCT "commit")::BIGINT AS n_commits,
+                   sum(length(content))::BIGINT AS total_bytes,
+                   count(DISTINCT content_sha256)::BIGINT AS distinct_contents
+            FROM {_D}
+            GROUP BY repo
+        """,
+        "code_ident_top": f"""
+            -- top-10 identifiers per language (ties break lexicographically)
+            WITH toks AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(content,
+                            '[A-Za-z_][A-Za-z0-9_]{{2,}}')) AS identifier
+              FROM {_D}
+            ),
+            c AS (SELECT lang, identifier, count(*)::BIGINT AS n
+                  FROM toks GROUP BY 1, 2)
+            SELECT lang, identifier, n, rank FROM (
+              SELECT lang, identifier, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, identifier ASC)::BIGINT AS rank
+              FROM c)
+            WHERE rank <= 10
         """,
     }
     # Syntax-twin entries run the SAME semantics through a different schema
