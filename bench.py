@@ -81,7 +81,13 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
             _clear_entry_caches()
         qs[name](spark, sf_dir).count()
         walls, n = [], 0
-        for _ in range(2):
+        # 2 reps normally; when the two walls disagree >2x the window is
+        # contended (this host shows random multi-second co-tenant stalls:
+        # identical work measured 3.3 s and 26.6 s minutes apart), so take
+        # up to 2 extra reps — min() needs only ONE clean rep to land
+        while len(walls) < 2 or (
+            len(walls) < 4 and max(walls) > 2 * min(walls)
+        ):
             if name in rebuild:
                 _clear_entry_caches()
             t0 = time.time()
@@ -211,6 +217,18 @@ def main() -> None:
     tps = round(m["triples"] / pipe_wall, 1)
     spark.stop()
 
+    # Host-speed anchor: single-core pure-Python burn iterations per 2 s,
+    # measured right after the run.  The sandbox is a shared microVM whose
+    # absolute speed swings run-to-run (identical extraction measured
+    # 3.3 s and 26.6 s minutes apart); round-over-round BENCH comparisons
+    # should normalize by this anchor before reading any wall as a
+    # code regression.
+    host_burn = _burn(2.0)
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+
     print(
         json.dumps(
             {
@@ -222,6 +240,8 @@ def main() -> None:
                 "pipeline_triples_per_sec": tps,
                 "pipeline_triples": m["triples"],
                 "rows": rows,
+                "host_burn_iters_2s": host_burn,
+                "host_load1": load1,
             }
         )
     )
