@@ -1673,6 +1673,33 @@ def _q_shacl_qualified_inverse(spark, sf_dir):
     )
 
 
+# sh:property on logical-member nodes (r4s9): knows-values must carry an
+# email OR a phone — each sh:or member is an anonymous node shape, compiled
+# to a shape reference (per-value conformance join; shaclex accepts
+# arbitrary nesting behind SchemaService.scala:80-84).
+SHACL_MEMBER_PROP_SOCIAL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+
+ex:ContactablePeers a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [
+    sh:path ex:knows ;
+    sh:or ( [ sh:property [ sh:path ex:email ; sh:minCount 1 ] ]
+            [ sh:property [ sh:path ex:phone ; sh:minCount 1 ] ] )
+  ] .
+"""
+
+
+def _q_shacl_member_prop(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_MEMBER_PROP_SOCIAL)).select(
+        "doc_sha256", "node", "status"
+    )
+
+
 def _q_infer_profile(spark, sf_dir):
     from rdfshape_api_spark.operators.infer_schema import (
         infer_shape_profile,
@@ -1985,6 +2012,7 @@ _VERIFY_FIRST = [
     "code_winnow_clones",
     "code_repo_stats",
     "code_ident_top",
+    "social_shacl_member_prop",
     "sim_pca_project",
     "text_bpe_encode",
     "text_pack_sequences",
@@ -2077,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_shacl_hasvalue": _q_shacl_hasvalue,           # §2.7 sh:hasValue
         "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
         "social_shacl_qualified_inverse": _q_shacl_qualified_inverse,  # §2.7 disjoint qualified over inverse path (r4)
+        "social_shacl_member_prop": _q_shacl_member_prop,  # §2.7 sh:property on or-members (r4s9)
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
         "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint
@@ -3991,6 +4020,36 @@ def oracle_sql() -> dict[str, str]:
                    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
             FROM b
+        """,
+        "social_shacl_member_prop": f"""
+            -- sh:property on sh:or members: each knows-value must have
+            -- >=1 email OR >=1 phone (anonymous member shapes evaluated
+            -- as per-value conformance); no knows values -> conformant
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_value
+              FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = 'http://example.org/Person'
+            ), vals AS (
+              SELECT doc_sha256, subj AS node, obj_value AS v FROM m
+              WHERE pred = 'http://example.org/knows'
+            ), contactable AS (
+              SELECT DISTINCT doc_sha256, subj AS v FROM m
+              WHERE pred IN ('http://example.org/email',
+                             'http://example.org/phone')
+            ), bad AS (
+              SELECT DISTINCT vals.doc_sha256, vals.node
+              FROM vals LEFT JOIN contactable c
+                ON c.doc_sha256 = vals.doc_sha256 AND c.v = vals.v
+              WHERE c.v IS NULL
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN b.node IS NULL
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f LEFT JOIN bad b
+              ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
         """,
         "code_winnow_fp": f"""
             -- winnowing fingerprints (Schleimer et al. 2003): k-gram md5

@@ -202,7 +202,27 @@ def _read_value_constraints(
             # sh:in admits it, else unsatisfiable (empty set keeps AND
             # semantics honest for the single value node)
             tc.value_set = [member] if member in tc.value_set else []
-    for unread in ("property", "qualifiedValueShape", "closed"):
+    # sh:property on a member node: the member is an (anonymous,
+    # target-less) node shape — parse_shacl's shape-discovery pass picks
+    # up every node with sh:property, so the member compiles as a regular
+    # shape and the value-level condition reduces to a shape REFERENCE:
+    # exactly the sh:node path (per-value conformance join), same as
+    # shaclex evaluates it (SchemaService.scala:80-84).  Direct value
+    # fields on the member conjoin with the reference (ref + datatype/...
+    # conjunctions are already an evaluator feature).
+    if g.obj1(node, SH + "property") is not None:
+        if tc.ref_shape is not None:
+            raise ValueError(
+                "SHACL: sh:property and sh:node on one member node are "
+                "unsupported in this subset"
+            )
+        if tc.negated:
+            raise ValueError(
+                "SHACL: sh:not over a member carrying sh:property is "
+                "unsupported in this subset"
+            )
+        tc.ref_shape = node
+    for unread in ("qualifiedValueShape", "closed"):
         if g.obj1(node, SH + unread) is not None:
             raise ValueError(
                 f"SHACL: sh:{unread} on a logical-member node is "
