@@ -1926,6 +1926,17 @@ def _q_code_winnow_clones(spark, sf_dir):
     return winnow_near_dup_pairs(docs, threshold=0.35, within_repo=True)
 
 
+def _q_code_winnow_lsh(spark, sf_dir):
+    """Cross-repo near-dup candidates at corpus scale: winnow sketch →
+    MinHash signature → band-bucket join (the scale path the raw
+    fingerprint join can't take — Σ bucket², not Σ df²). Same org0/org1 +
+    400-char head scope as code_winnow_clones for oracle tractability."""
+    from rdfshape_api_spark.functions.codeops import winnow_lsh_pairs
+
+    docs = _code_docs(spark, sf_dir).filter(F.col("repo").startswith("org0/"))
+    return winnow_lsh_pairs(docs, num_hashes=16, bands=2)
+
+
 def _q_code_repo_stats(spark, sf_dir):
     from rdfshape_api_spark.functions.codeops import repo_stats
 
@@ -2010,6 +2021,7 @@ _VERIFY_FIRST = [
     # head r5's unverified queue.
     "code_winnow_fp",
     "code_winnow_clones",
+    "code_winnow_lsh",
     "code_repo_stats",
     "code_ident_top",
     "social_shacl_member_prop",
@@ -2173,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code-corpus operators over the north-rule input shape (r4s9)
         "code_winnow_fp": _q_code_winnow_fp,
         "code_winnow_clones": _q_code_winnow_clones,
+        "code_winnow_lsh": _q_code_winnow_lsh,
         "code_repo_stats": _q_code_repo_stats,
         "code_ident_top": _q_code_ident_top,
     })
@@ -4112,6 +4125,45 @@ def oracle_sql() -> dict[str, str]:
                          JOIN sizes sb ON i.file_b = sb.file_id
             WHERE round(CAST(i.n_inter AS DOUBLE)
                         / (sa.n_fp + sb.n_fp - i.n_inter), 4) >= 0.35
+        """,
+        "code_winnow_lsh": f"""
+            -- winnow sketch -> 16-hash MinHash -> 2 bands of 8 -> bucket join
+            WITH d AS (
+              SELECT repo, repo || ':' || path AS file_id, content
+              FROM {_D}
+              WHERE repo LIKE 'org0/%'
+            ),
+            kg AS (
+              SELECT file_id,
+                CASE WHEN length(content) >= 8
+                  THEN [CAST('0x'||substr(md5(substr(content, i, 8)),1,15) AS BIGINT)
+                        FOR i IN range(1, length(content)-8+2)]
+                  ELSE [CAST('0x'||substr(md5(content),1,15) AS BIGINT)] END AS hs
+              FROM d
+            ),
+            fps AS (
+              SELECT file_id,
+                CASE WHEN len(hs) >= 4
+                  THEN list_distinct([list_min(hs[j:j+4-1]) FOR j IN range(1, len(hs)-4+2)])
+                  ELSE [list_min(hs)] END AS fp
+              FROM kg
+            ),
+            sig AS (
+              SELECT file_id,
+                [list_min([CAST('0x'||substr(md5(i || ':' || f),1,15) AS BIGINT)
+                           FOR f IN fp])
+                 FOR i IN range(0, 16)] AS s
+              FROM fps
+            ),
+            bk AS (
+              SELECT file_id, b AS band,
+                     array_to_string(s[b*8+1 : b*8+8], ',') AS band_key
+              FROM sig, unnest(range(0, 2)) AS t(b)
+            )
+            SELECT DISTINCT a.file_id AS file_a, b.file_id AS file_b
+            FROM bk a JOIN bk b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.file_id < b.file_id
         """,
         "code_repo_stats": f"""
             SELECT repo,

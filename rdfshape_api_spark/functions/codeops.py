@@ -186,6 +186,103 @@ def winnow_near_dup_pairs(
     )
 
 
+def winnow_minhash_bands(
+    sets: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "file_id",
+) -> DataFrame:
+    """MinHash band keys over winnow fingerprint SETS:
+    ``(id_col, band, band_key)``.
+
+    Signature h_i = min over the set of h64(i ':' fingerprint) — the
+    standard MinHash estimator applied to the winnow sketch instead of raw
+    shingles (sketch-of-a-sketch; Jaccard over winnow sets approximates
+    content Jaccard by the winnowing density guarantee).  ``bands`` bands
+    of ``num_hashes/bands`` rows each; two files share a band key with
+    probability 1−(1−s^r)^b for set-similarity s.  Map-only (one row in,
+    ``bands`` rows out), all JVM array expressions.
+    """
+    rows = num_hashes // bands
+    fp_str = F.transform(F.col("fingerprints"), lambda x: x.cast("string"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                fp_str,
+                lambda s: _h64(F.concat(i.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+    withsig = sets.select(id_col, sig.alias("_sig"))
+    out = withsig.select(
+        id_col,
+        F.explode_outer(  # sig arrays are non-empty; see winnow_fingerprints
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("_sig"), b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    )
+    return out.select(id_col, F.col("bk.band").alias("band"),
+                      F.col("bk.band_key").alias("band_key"))
+
+
+def winnow_lsh_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """CROSS-repo near-duplicate candidate pairs at corpus scale:
+    winnow sketch → MinHash signature → band-bucket self-join.
+    ``(file_a, file_b)`` distinct, file_a < file_b.
+
+    This is the exhaustive cross-repo form that
+    :func:`winnow_near_dup_pairs`'s docstring names as the scale path: the
+    raw fingerprint join is Σ df(fp)² and corpus-hot boilerplate makes df
+    unbounded, while banding bounds join fan-out to Σ bucket² with bucket
+    sizes concentrated near true duplicate-family sizes.  ``max_bucket``
+    guards template families exactly like ``lsh_candidate_pairs``
+    (functions/dedup.py): over-limit buckets are dropped from the join —
+    at 10^12 files those families are handled by the O(n) keep-decision
+    path, not pair enumeration.
+    """
+    file_id = F.concat_ws(":", F.col("repo"), F.col("path")).alias("file_id")
+    sets = winnow_fingerprint_sets(docs, k=k, w=w, content_col=content_col)
+    sets = sets.select(file_id, "fingerprints")
+    b = winnow_minhash_bands(sets, num_hashes=num_hashes, bands=bands)
+    if max_bucket is not None:
+        stats = b.groupBy("band", "band_key").agg(F.count("*").alias("_bn"))
+        b = b.join(
+            F.broadcast(
+                stats.filter(F.col("_bn") > max_bucket).select("band", "band_key")
+            ),
+            on=["band", "band_key"],
+            how="left_anti",
+        )
+    a = b.select(F.col("file_id").alias("file_a"), "band", "band_key")
+    bb = b.select(F.col("file_id").alias("file_b"), "band", "band_key")
+    return (
+        a.join(bb, on=["band", "band_key"])
+        .filter(F.col("file_a") < F.col("file_b"))
+        .select("file_a", "file_b")
+        .distinct()
+    )
+
+
 def repo_stats(docs: DataFrame) -> DataFrame:
     """Per-repository rollup ``(repo, n_files, n_langs, n_commits,
     total_bytes, distinct_contents)`` — the catalog-level profile a

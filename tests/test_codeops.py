@@ -141,3 +141,45 @@ def test_winnow_plan_no_inferred_filter_blowup(docs):
     guards against."""
     plan = winnow_fingerprints(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert "Filter" not in plan, plan
+
+
+def test_winnow_lsh_finds_identical_and_near_dups(docs):
+    from rdfshape_api_spark.functions.codeops import winnow_lsh_pairs
+
+    got = {
+        (p.file_a, p.file_b) for p in winnow_lsh_pairs(docs).collect()
+    }
+    # identical files collide in every band
+    assert ("r1:a.py", "r2:a.py") in got
+    # the near-identical r1 pair shares most fingerprints -> some band hits
+    assert ("r1:a.py", "r1:b.py") in got
+    # all pairs ordered
+    assert all(a < b for a, b in got)
+
+
+def test_winnow_lsh_max_bucket_is_subset(docs):
+    from rdfshape_api_spark.functions.codeops import winnow_lsh_pairs
+
+    full = winnow_lsh_pairs(docs)
+    capped = winnow_lsh_pairs(docs, max_bucket=1)
+    assert capped.exceptAll(full).isEmpty()
+    # bucket cap 1 drops every >=2 bucket -> no pairs at all
+    assert capped.count() == 0
+
+
+def test_winnow_minhash_band_count(docs):
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.functions.codeops import (
+        winnow_fingerprint_sets,
+        winnow_minhash_bands,
+    )
+
+    sets = winnow_fingerprint_sets(docs).select(
+        F.concat_ws(":", "repo", "path").alias("file_id"), "fingerprints"
+    )
+    b = winnow_minhash_bands(sets, num_hashes=32, bands=8)
+    # every file emits exactly 8 band rows
+    counts = {r.file_id: r.n for r in
+              b.groupBy("file_id").agg(F.count("*").alias("n")).collect()}
+    assert set(counts.values()) == {8}
