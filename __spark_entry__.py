@@ -1926,6 +1926,20 @@ def _q_code_winnow_clones(spark, sf_dir):
     return winnow_near_dup_pairs(docs, threshold=0.35, within_repo=True)
 
 
+def _q_social_triangles(spark, sf_dir):
+    """Per-node triangle counts over the merged knows graph — the
+    degree-ordered wedge join (compact-forward), O(m^1.5) wedges on any
+    graph vs the hub-quadratic lexicographic orientation. Oracle uses the
+    orientation-invariant x<y<z join (row-identical output)."""
+    from rdfshape_api_spark.operators.algebra import triangle_counts
+
+    tri = _social_triples(spark, sf_dir)
+    kn = tri.filter(F.col("pred") == EX + "knows").select(
+        F.col("subj").alias("src"), F.col("obj_value").alias("dst")
+    )
+    return triangle_counts(kn)
+
+
 def _q_code_winnow_lsh(spark, sf_dir):
     """Cross-repo near-dup candidates at corpus scale: winnow sketch →
     MinHash signature → band-bucket join (the scale path the raw
@@ -2025,6 +2039,7 @@ _VERIFY_FIRST = [
     "code_repo_stats",
     "code_ident_top",
     "social_shacl_member_prop",
+    "social_triangles",
     "sim_pca_project",
     "text_bpe_encode",
     "text_pack_sequences",
@@ -2118,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
         "social_shacl_qualified_inverse": _q_shacl_qualified_inverse,  # §2.7 disjoint qualified over inverse path (r4)
         "social_shacl_member_prop": _q_shacl_member_prop,  # §2.7 sh:property on or-members (r4s9)
+        "social_triangles": _q_social_triangles,  # KG triangle support (r4s9)
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
         "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint
@@ -4063,6 +4079,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'conformant' ELSE 'nonconformant' END AS status
             FROM focus f LEFT JOIN bad b
               ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
+        """,
+        "social_triangles": f"""
+            -- orientation-invariant triangle enumeration (x<y<z joins;
+            -- the Spark side uses the degree-ordered orientation, same
+            -- per-node output), each triangle exploded to its 3 vertices
+            WITH k AS (
+              SELECT DISTINCT subj AS a, obj_value AS b
+              FROM '{_SOC_TRIPLES}'
+              WHERE pred = 'http://example.org/knows' AND subj <> obj_value
+            ),
+            e2 AS (
+              SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+              FROM (SELECT a, b FROM k UNION SELECT b, a FROM k)
+            ),
+            tri AS (
+              SELECT e1.x AS a, e1.y AS b, f.y AS c
+              FROM e2 e1
+              JOIN e2 f ON f.x = e1.y
+              JOIN e2 g ON g.x = e1.x AND g.y = f.y
+            )
+            SELECT node, count(*)::BIGINT AS n_tri
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+            GROUP BY 1
         """,
         "code_winnow_fp": f"""
             -- winnowing fingerprints (Schleimer et al. 2003): k-gram md5

@@ -353,3 +353,78 @@ def pagerank(
     nodes.unpersist()
     ewd.unpersist()
     return out
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph of
+    ``edges`` — ``(node, n_tri)`` for every node in ≥ 1 triangle.
+
+    KG-analytics extension of A3 (outgoing-arc aggregates): triangle
+    support is the standard local clustering / community signal over the
+    entity graph.
+
+    Scale design — the degree-ordered wedge join (compact-forward /
+    Cohen's MapReduce triangle counting; Suri & Vassilvitskii WWW'11):
+    each undirected edge is oriented from the (degree, node)-smaller
+    endpoint to the larger, making the orientation acyclic with
+    out-degree ≤ O(√m) on any graph — so the wedge join produces
+    Σ out-deg(v)² = O(m^1.5) rows instead of the Σ deg(v)² blow-up a
+    lexicographic orientation suffers on hub-heavy KGs (a celebrity node
+    with 10^6 followers would otherwise emit 10^12 wedges).  Three
+    shuffles total: degree agg, wedge join on the middle vertex, closing
+    semi-join on the (lo, hi) edge key.  Each triangle is produced
+    exactly once (acyclic orientation), then exploded to its 3 vertices
+    for the per-node count (map-side combine).
+
+    The per-node OUTPUT is orientation-invariant, so the DuckDB oracle
+    may use the simpler x<y<z lexicographic join — row-identical result.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("node"))
+        .unionAll(und.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("_dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("_dy"))
+    # orient by (degree, name): x<y lexicographically, so ties keep x first
+    o = (
+        und.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.when(
+                (F.col("_dx") < F.col("_dy"))
+                | ((F.col("_dx") == F.col("_dy"))),
+                F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+            )
+            .otherwise(F.struct(F.col("y").alias("a"), F.col("x").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    w1 = o.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    w2 = o.select(F.col("a").alias("v2"), F.col("b").alias("w"))
+    wedges = w1.join(w2, w1["v"] == w2["v2"]).select("u", "v", "w")
+    # closing edge lookup on the CANONICAL (lo, hi) key — orientation of
+    # the closing edge is irrelevant to triangle existence
+    closing = und.select(F.col("x").alias("_cx"), F.col("y").alias("_cy"))
+    tri = wedges.join(
+        closing,
+        (F.least("u", "w") == F.col("_cx")) & (F.greatest("u", "w") == F.col("_cy")),
+        "leftsemi",
+    )
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )

@@ -275,3 +275,33 @@ def test_pagerank_matches_reference_implementation(spark):
     assert got == rank
     assert got["http://e/hub"] == max(got.values())
     assert got["http://e/hub"] > 10 * min(got.values())
+
+
+def test_triangle_counts_k4_and_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.operators.algebra import triangle_counts
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+            ("c", "d"),          # K4: 4 triangles, each vertex in 3
+            ("d", "d"),          # self-loop dropped
+            ("b", "a"),          # reverse duplicate collapses
+            ("e", "f"),          # isolated edge -> no output rows
+        ],
+        "src string, dst string",
+    )
+    got = {r.node: r.n_tri for r in triangle_counts(edges).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_hub_star_no_triangles(spark):
+    from rdfshape_api_spark.operators.algebra import triangle_counts
+
+    # a pure hub star has zero triangles; the degree orientation keeps the
+    # wedge join tiny (all edges point INTO the hub -> hub out-degree 0)
+    edges = spark.createDataFrame(
+        [("hub", f"n{i}") for i in range(20)], "src string, dst string"
+    )
+    assert triangle_counts(edges).count() == 0
