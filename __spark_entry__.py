@@ -1926,6 +1926,17 @@ def _q_code_winnow_clones(spark, sf_dir):
     return winnow_near_dup_pairs(docs, threshold=0.35, within_repo=True)
 
 
+def _q_sim_pq_ann(spark, sf_dir):
+    """IVF-PQ-style ANN: product-quantization codes (8 subspaces x 16
+    centroids = 64x compression), ADC shortlist by LUT join, exact cosine
+    re-rank of the shortlist. k-means has no SQL twin — rows-only entry
+    (recall gate in tests/test_functions.py)."""
+    from rdfshape_api_spark.functions.similarity import pq_ann_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return pq_ann_topk(emb, k=5, n_queries=10, rerank=50)
+
+
 def _q_social_triangles(spark, sf_dir):
     """Per-node triangle counts over the merged knows graph — the
     degree-ordered wedge join (compact-forward), O(m^1.5) wedges on any
@@ -2134,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_shacl_qualified_inverse": _q_shacl_qualified_inverse,  # §2.7 disjoint qualified over inverse path (r4)
         "social_shacl_member_prop": _q_shacl_member_prop,  # §2.7 sh:property on or-members (r4s9)
         "social_triangles": _q_social_triangles,  # KG triangle support (r4s9)
+        "sim_pq_ann": _q_sim_pq_ann,  # PQ-ADC ANN + exact re-rank (r4s9; rows-only)
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
         "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint

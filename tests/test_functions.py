@@ -878,3 +878,43 @@ def test_pack_token_ids(spark):
     assert again == out
     with _pytest.raises(ValueError, match="seq_len"):
         pack_token_ids(enc, seq_len=0)
+
+
+def test_pq_ann_recall_vs_bruteforce(spark):
+    """PQ-ADC + exact re-rank must recover most of the exact top-k on a
+    clustered corpus; codes stay in range and encoding is deterministic."""
+    import random
+
+    from rdfshape_api_spark.functions.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    rng = random.Random(11)
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for vid in range(80):
+        c = centers[vid % 4]
+        vec = [x + rng.uniform(-0.05, 0.05) for x in c]
+        rows.append((vid, [float(v) for v in vec], vid % 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    books = pq_fit(emb, m=4, n_codes=8)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    enc1 = sorted((r.vec_id, tuple(r.codes)) for r in pq_encode(emb, books).collect())
+    enc2 = sorted((r.vec_id, tuple(r.codes)) for r in pq_encode(emb, books).collect())
+    assert enc1 == enc2  # deterministic
+    assert all(0 <= c < 8 for _, codes in enc1 for c in codes)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, k=5, n_queries=8).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_ann_topk(emb, k=5, n_queries=8, m=4, n_codes=8, rerank=20).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall@5 = {recall:.2f}"
