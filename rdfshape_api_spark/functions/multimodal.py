@@ -126,12 +126,51 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, channels)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Minimal pure-stdlib BMP decoder: uncompressed (BI_RGB) 24/32-bit
+    BITMAPINFOHEADER — the format Windows tooling and many dataset dumps
+    emit.  Returns H×W×3 (or ×4) uint8, top-down row order (BMP stores
+    bottom-up when height > 0).  Raises ``ValueError`` on a non-BMP
+    payload and ``NotImplementedError`` outside the subset (palette,
+    RLE, 16-bit)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP subset: BITMAPINFOHEADER or later")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or planes != 1:
+        raise NotImplementedError("BMP subset: uncompressed 24/32-bit")
+    bottom_up = h > 0
+    h = abs(h)
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError("BMP: truncated pixel array")
+    rows = []
+    for y in range(h):
+        off = data_off + y * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * ch, offset=off)
+        rows.append(row.reshape(w, ch)[:, [2, 1, 0] + ([3] if ch == 4 else [])])
+    img = np.stack(rows[::-1] if bottom_up else rows)  # BGR(A) -> RGB(A)
+    return img
+
+
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decode slot.  PNG decodes via the pure-stdlib
-    :func:`decode_png` (no third-party dependency); other formats require
-    Pillow, absent from this container — import-guarded."""
+    """Real decode slot.  PNG and uncompressed BMP decode via the
+    pure-stdlib :func:`decode_png` / :func:`decode_bmp` (no third-party
+    dependency); other formats require Pillow, absent from this
+    container — import-guarded."""
     if payload and payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload and payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:
         from PIL import Image  # noqa: F401 — not installed in this container
     except ImportError as e:

@@ -918,3 +918,57 @@ def test_pq_ann_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"recall@5 = {recall:.2f}"
+
+
+def _make_bmp(img, bpp=24, bottom_up=True):
+    """Reference BMP writer (BITMAPINFOHEADER, BI_RGB)."""
+    import struct
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    stride = (w * (bpp // 8) + 3) & ~3
+    rows = []
+    order = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in order:
+        row = img[y][:, [2, 1, 0] + ([3] if ch == 4 else [])]  # RGB(A)->BGR(A)
+        raw = row.astype(np.uint8).tobytes()
+        rows.append(raw + b"\x00" * (stride - len(raw)))
+    pix = b"".join(rows)
+    hh = h if bottom_up else -h
+    info = struct.pack("<IiiHHIIiiII", 40, w, hh, 1, bpp, 0, len(pix), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    return hdr + info + pix
+
+
+def test_decode_bmp_24_and_32bit():
+    import numpy as np
+
+    from rdfshape_api_spark.functions.multimodal import decode_bmp
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (5, 3, 3), dtype=np.uint8)
+    assert (decode_bmp(_make_bmp(img)) == img).all()
+    # top-down (negative height) variant
+    assert (decode_bmp(_make_bmp(img, bottom_up=False)) == img).all()
+    rgba = rng.randint(0, 256, (2, 7, 4), dtype=np.uint8)
+    assert (decode_bmp(_make_bmp(rgba, bpp=32)) == rgba).all()
+
+
+def test_decode_bmp_rejects():
+    import pytest as pt
+
+    from rdfshape_api_spark.functions.multimodal import decode_bmp
+
+    with pt.raises(ValueError):
+        decode_bmp(b"nope" + b"\x00" * 60)
+    # RLE compression -> clean subset reject
+    import struct
+
+    import numpy as np
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    raw = bytearray(_make_bmp(img))
+    struct.pack_into("<I", raw, 30, 1)  # biCompression = BI_RLE8
+    with pt.raises(NotImplementedError):
+        decode_bmp(bytes(raw))
