@@ -223,3 +223,59 @@ def test_identity_edges_plan_is_star_not_pairs(spark):
     import re as _re
     joins = _re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert len(joins) == 1, plan
+
+
+def test_winnow_sets_is_map_only(spark):
+    """Winnow sketching must stay map-only (no Exchange) and the explode
+    must not re-introduce the InferFiltersFromGenerate blowup (no Filter
+    carrying the nested transform below the Generate)."""
+    from rdfshape_api_spark.functions.codeops import (
+        winnow_fingerprint_sets,
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "py", "some content here", "h")],
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha256 string",
+    )
+    assert "Exchange" not in _plan(winnow_fingerprint_sets(docs))
+    plan = _plan(winnow_fingerprints(docs))
+    assert "Exchange" not in plan
+    assert "Filter" not in plan
+
+
+def test_repo_stats_single_exchange(spark):
+    """The rollup is one hash-aggregate: exactly one Exchange (the
+    group-by), partial aggregation map-side."""
+    from rdfshape_api_spark.functions.codeops import repo_stats
+
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "py", "x", "h")],
+        "repo string, path string, commit string, lang string, "
+        "content string, content_sha256 string",
+    )
+    plan = _plan(repo_stats(docs))
+    # count(distinct ...) expands to a two-level agg over ONE shuffle key
+    assert plan.count("Exchange") <= 2
+    assert "HashAggregate" in plan
+
+
+def test_pq_encode_is_map_only(spark):
+    """PQ encoding must be pure JVM map work: codebooks inline as
+    literals, no Exchange, no Python stage."""
+    from rdfshape_api_spark.functions.similarity import pq_encode
+
+    emb = spark.createDataFrame(
+        [(0, [float(i) for i in range(8)]), (1, [float(8 - i) for i in range(8)])],
+        "vec_id long, embedding array<float>",
+    )
+    books = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[0.0, 1.0], [1.0, 0.0]],
+        [[0.5, 0.5], [0.1, 0.9]],
+        [[0.2, 0.8], [0.9, 0.1]],
+    ]
+    plan = _plan(pq_encode(emb, books))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan

@@ -334,8 +334,13 @@ def test_member_field_distributes_into_nested_or():
 
 def test_unread_member_component_rejects():
     """A member node carrying a component the frontend cannot evaluate at
-    value level must reject, never silently pass."""
-    for comp in ("sh:property [ sh:path ex:p ]", "sh:qualifiedValueShape [ sh:node ex:N ]"):
+    value level must reject, never silently pass.  (sh:property on a member
+    is no longer in this list — it evaluates as an anonymous-shape
+    reference since r4s9; see test_shacl_member_property.py.)"""
+    for comp in (
+        "sh:qualifiedValueShape [ sh:node ex:N ] ; sh:qualifiedMinCount 1",
+        "sh:closed true",
+    ):
         with pytest.raises(ValueError, match="logical-member"):
             parse_shacl(
                 PRELUDE
