@@ -1700,6 +1700,32 @@ def _q_shacl_member_prop(spark, sf_dir):
     )
 
 
+# Node-shape-LEVEL components (r4s10): sh:or over PROPERTY-shape members
+# directly on the node shape (the spec's canonical disjunction form,
+# silently unread before this round) conjoined with a node-level sh:not
+# over a value member gating the focus term itself.  Reference: shaclex
+# evaluates node-level logicals whole (SchemaService.scala:80-84).
+SHACL_NODE_LEVEL_SOCIAL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+
+ex:ReachableNamedPerson a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:or ( [ sh:path ex:email ; sh:minCount 1 ]
+          [ sh:path ex:phone ; sh:minCount 1 ] ) ;
+  sh:not [ sh:pattern "^urn:skolem:" ] .
+"""
+
+
+def _q_shacl_node_level(spark, sf_dir):
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _social_triples(spark, sf_dir)
+    return validate(tri, parse_shacl(SHACL_NODE_LEVEL_SOCIAL)).select(
+        "doc_sha256", "node", "status"
+    )
+
+
 def _q_infer_profile(spark, sf_dir):
     from rdfshape_api_spark.operators.infer_schema import (
         infer_shape_profile,
@@ -2036,6 +2062,7 @@ _VERIFY_FIRST = [
     "text_corpus_stats",
     "text_pack_token_ids",
     "text_lm_score",
+    "social_shacl_node_level",
     "dedup_verified_pairs",
     # Positions 51+ (outside the driver's 50-entry window).  The two
     # rows-only entries (no SQL twin: k-means PCA init / trained BPE merges)
@@ -2144,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "social_shacl_seqpath": _q_shacl_seqpath,          # §2.7 sh:path sequence
         "social_shacl_qualified_inverse": _q_shacl_qualified_inverse,  # §2.7 disjoint qualified over inverse path (r4)
         "social_shacl_member_prop": _q_shacl_member_prop,  # §2.7 sh:property on or-members (r4s9)
+        "social_shacl_node_level": _q_shacl_node_level,    # §2.7 node-shape-level or/not (r4s10)
         "social_triangles": _q_social_triangles,  # KG triangle support (r4s9)
         "sim_pq_ann": _q_sim_pq_ann,  # PQ-ADC ANN + exact re-rank (r4s9; rows-only)
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
@@ -4091,6 +4119,29 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'conformant' ELSE 'nonconformant' END AS status
             FROM focus f LEFT JOIN bad b
               ON b.doc_sha256 = f.doc_sha256 AND b.node = f.node
+        """,
+        "social_shacl_node_level": f"""
+            -- node-shape-LEVEL components: conformant iff (>=1 email OR
+            -- >=1 phone) AND the focus term does NOT match ^urn:skolem:
+            -- (node-level sh:or over property members + sh:not value gate)
+            WITH m AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_value
+              FROM '{_SOC_TRIPLES}'
+            ), focus AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                AND obj_value = 'http://example.org/Person'
+            ), contact AS (
+              SELECT DISTINCT doc_sha256, subj AS node FROM m
+              WHERE pred IN ('http://example.org/email',
+                             'http://example.org/phone')
+            )
+            SELECT f.doc_sha256, f.node,
+                   CASE WHEN c.node IS NOT NULL
+                             AND f.node NOT LIKE 'urn:skolem:%'
+                        THEN 'conformant' ELSE 'nonconformant' END AS status
+            FROM focus f LEFT JOIN contact c
+              ON c.doc_sha256 = f.doc_sha256 AND c.node = f.node
         """,
         "social_triangles": f"""
             -- orientation-invariant triangle enumeration (x<y<z joins;

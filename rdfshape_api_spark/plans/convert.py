@@ -255,7 +255,17 @@ def to_shexc(schema: CompiledSchema) -> str:
                 pre_parts.append(nc_txt)
         pre_parts += [_ref_name(r) for r in sh.conjunct_refs]
         if sh.disjunct_refs:
+            if sh.disjunct_refs_xone:
+                raise ValueError(
+                    "SHACL->ShEx: node-shape-level sh:xone over shape "
+                    f"members has no ShExC counterpart (shape {sid})"
+                )
             pre_parts.append(" OR ".join(_ref_name(r) for r in sh.disjunct_refs))
+        if sh.conjunct_classes or sh.negated_refs or sh.negated_classes:
+            raise ValueError(
+                "SHACL->ShEx: node-shape-level sh:class / negated shape "
+                f"members have no ShExC counterpart (shape {sid})"
+            )
         pre = " AND ".join(pre_parts)
         if not (sh.constraints or sh.alternatives is not None or mods) and pre:
             # bodyless shape (bare node constraint / alias / ShapeOr)
@@ -482,7 +492,19 @@ def schema_to_uml(schema: CompiledSchema) -> dict:
         for ref in sh.conjunct_refs or []:
             links.append({"name": "extends", "target": ref, "card": "{1}"})
         for ref in sh.disjunct_refs or []:
-            links.append({"name": "or", "target": ref, "card": "{1}"})
+            links.append(
+                {
+                    "name": "xone" if sh.disjunct_refs_xone else "or",
+                    "target": ref,
+                    "card": "{1}",
+                }
+            )
+        for ref in sh.negated_refs or []:
+            links.append({"name": "not", "target": ref, "card": "{1}"})
+        for cls in sh.conjunct_classes or []:
+            links.append({"name": "class", "target": cls, "card": "{1}"})
+        for cls in sh.negated_classes or []:
+            links.append({"name": "not-class", "target": cls, "card": "{1}"})
         classes.append(
             {
                 "id": sid,

@@ -138,6 +138,19 @@ class Shape:
     # @ex:B` — ShapeOr): the focus node must belong to AT LEAST ONE of
     # the listed shapes' conformant sets (positive refs only)
     disjunct_refs: list[str] = field(default_factory=list)
+    # SHACL node-shape-level sh:xone over shape members: exactly ONE of
+    # ``disjunct_refs`` must hold (vs sh:or's at-least-one)
+    disjunct_refs_xone: bool = False
+    # SHACL node-shape-level sh:class: the FOCUS node must be a SHACL
+    # instance (rdf:type through the rdfs:subClassOf closure) of every
+    # listed class
+    conjunct_classes: list[str] = field(default_factory=list)
+    # SHACL node-shape-level sh:not over a shape-ish member: the focus
+    # node must NOT sit in the referenced shape's conformant set
+    negated_refs: list[str] = field(default_factory=list)
+    # SHACL node-shape-level sh:not [ sh:class C ]: the focus node must
+    # NOT be a SHACL instance of the class
+    negated_classes: list[str] = field(default_factory=list)
     # SHACL-SPARQL constraints (sh:sparql → sh:select): each entry is
     # (select_query_text, message) with ``$this`` still in the text — the
     # evaluator rewrites it to ?this and computes the violator set with ONE

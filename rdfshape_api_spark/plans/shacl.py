@@ -116,6 +116,13 @@ def _read_value_constraints(
     leaving the member empty — i.e. trivially TRUE; silent acceptance is
     the one failure mode this frontend must never have, so everything a
     member node can carry is now either read or cleanly rejected."""
+    if nested and g.obj1(node, SH + "path") is not None:
+        # the member IS a property shape (applied to the value node as its
+        # focus): every field on it belongs to the property-shape parse of
+        # its injected wrapper (_inject_path_member_wrappers), and the
+        # member reduces to a reference to that wrapper
+        tc.ref_shape = node + _WRAP_SFX
+        return
     if (v := g.obj1(node, SH + "datatype")) is not None:
         tc.datatype = v[1]
     if (v := g.obj1(node, SH + "nodeKind")) is not None:
@@ -149,6 +156,18 @@ def _read_value_constraints(
         tc.class_iri = v[1]
     if (v := g.obj1(node, SH + "languageIn")) is not None:
         tc.language_in = [val for _, val, _, _ in g.rdf_list(v[1])]
+    # sh:node to a PLAIN value shape (only datatype/kind/in/range/pattern/
+    # length/class/hasValue components): inline the target's fields as
+    # conjuncts instead of a conformance-set join — set joins range over
+    # SUBJECTS, so a literal value could never satisfy the reference even
+    # when it matches every component; inlining keeps spec semantics and
+    # costs nothing.  (Targets carrying sh:property/closed/logicals keep
+    # the reference path.)
+    if tc.ref_shape is not None and _is_plain_value_shape(g, tc.ref_shape):
+        target, tc.ref_shape = tc.ref_shape, None
+        m = TripleConstraint(pred=tc.pred)
+        _read_value_constraints(g, target, m, nested=True)
+        _merge_value_fields(tc, m, f"(inlined sh:node <{target}>)")
     if not nested:
         return
     # --- nested logical combinators (member / qualified-shape nodes) ---
@@ -210,24 +229,35 @@ def _read_value_constraints(
     # shaclex evaluates it (SchemaService.scala:80-84).  Direct value
     # fields on the member conjoin with the reference (ref + datatype/...
     # conjunctions are already an evaluator feature).
-    if g.obj1(node, SH + "property") is not None:
+    # sh:closed on a member node joins sh:property in the anonymous-shape
+    # reduction: the shape-discovery pass picks up closed-carrying nodes
+    # too, so the member compiles as a (target-less) node shape whose
+    # closedness the conformance join evaluates — lifted in r4s10 (was a
+    # clean reject)
+    if (
+        g.obj1(node, SH + "property") is not None
+        or (cl := g.obj1(node, SH + "closed")) is not None
+        and cl[1] == "true"
+    ):
         if tc.ref_shape is not None:
             raise ValueError(
-                "SHACL: sh:property and sh:node on one member node are "
-                "unsupported in this subset"
+                "SHACL: sh:property/sh:closed and sh:node on one member "
+                "node are unsupported in this subset"
             )
         if tc.negated:
             raise ValueError(
-                "SHACL: sh:not over a member carrying sh:property is "
-                "unsupported in this subset"
+                "SHACL: sh:not over a member carrying sh:property/sh:closed "
+                "is unsupported in this subset"
             )
         tc.ref_shape = node
-    for unread in ("qualifiedValueShape", "closed"):
-        if g.obj1(node, SH + unread) is not None:
-            raise ValueError(
-                f"SHACL: sh:{unread} on a logical-member node is "
-                "unsupported in this subset"
-            )
+    if g.obj1(node, SH + "qualifiedValueShape") is not None:
+        # only meaningful on a property shape (needs sh:path, which the
+        # wrapper branch handles); directly on a value-level member it is
+        # an invalid schema — reject, never silently pass
+        raise ValueError(
+            "SHACL: sh:qualifiedValueShape on a logical-member node "
+            "without sh:path is unsupported (invalid without a path)"
+        )
 
 
 def _splice_or_members(members: list[TripleConstraint]) -> list[TripleConstraint]:
@@ -335,6 +365,80 @@ def _distribute_siblings(
         setattr(tc, f, None)
 
 
+_WRAP_SFX = "#auto-wrap"
+
+# node-level predicates whose payload the frontend can inline as plain
+# value fields when a sh:node target carries nothing else (annotations
+# included — they are ignored everywhere)
+_PLAIN_VALUE_PREDS = frozenset(
+    SH + p
+    for p in (
+        "datatype", "nodeKind", "in", "minInclusive", "maxInclusive",
+        "minExclusive", "maxExclusive", "pattern", "flags", "minLength",
+        "maxLength", "languageIn", "class", "hasValue",
+        "message", "severity", "name", "description",
+    )
+) | {RDF_TYPE}
+
+
+def _inject_path_member_wrappers(g: "_Graph") -> None:
+    """A node that carries ``sh:path`` but is NOT the object of a
+    ``sh:property`` arc is a property shape used in a non-property
+    position: a logical member (sh:or/xone/and/not lists), a
+    ``sh:qualifiedValueShape``, or a standalone TARGETED property shape
+    (``ex:P sh:path ex:p ; sh:targetClass ex:C``).  Wrap each in a
+    synthetic anonymous node shape (one injected ``sh:property`` arc) so
+    the ordinary property-shape parse reads it whole and every use site
+    reduces to a shape REFERENCE — before round 4 session 10 these
+    members were silently unread (the trivially-conformant failure
+    mode)."""
+    referenced_by_property = {
+        v
+        for preds in g.spo.values()
+        for _, v, _, _ in preds.get(SH + "property", [])
+    }
+    for n in [n for n, preds in g.spo.items() if SH + "path" in preds]:
+        if n in referenced_by_property:
+            continue
+        g.spo[n + _WRAP_SFX][SH + "property"].append(("bnode", n, None, None))
+
+
+def _is_plain_value_shape(g: "_Graph", n: str) -> bool:
+    """True when ``n`` exists in the shapes graph and carries ONLY plain
+    value components (no sh:property/closed/targets/logicals/path/node),
+    so a ``sh:node`` reference to it can be INLINED into the referencing
+    constraint — which keeps literal values working (conformant-set joins
+    range over subjects only) and costs no join."""
+    preds = g.spo.get(n)
+    return preds is not None and all(p in _PLAIN_VALUE_PREDS for p in preds)
+
+
+def _merge_value_fields(tc: TripleConstraint, m: TripleConstraint, ctx: str) -> None:
+    """Conjoin ``m``'s value fields onto ``tc`` with conflict detection
+    (same contract as the sh:and field fold)."""
+    for f in _VALUE_FIELDS:
+        mv = getattr(m, f)
+        if mv is None:
+            continue
+        if getattr(tc, f) is not None and getattr(tc, f) != mv:
+            raise ValueError(f"SHACL: conflicting {f} {ctx}")
+        setattr(tc, f, mv)
+
+
+def _tree_nodes(tc: TripleConstraint):
+    yield tc
+    for d in tc.disjuncts or []:
+        yield from _tree_nodes(d)
+    for c in tc.conjuncts or []:
+        yield from _tree_nodes(c)
+
+
+def _tree_has_ref(tc: TripleConstraint) -> bool:
+    return any(
+        n.ref_shape is not None or n.class_iri is not None for n in _tree_nodes(tc)
+    )
+
+
 def _path_ast(g: "_Graph", k: str, v: str) -> PathNode:
     """sh:path object (beyond a direct IRI) → path AST."""
     if k == "iri":
@@ -397,6 +501,223 @@ def _read_sparql_constraint(
     return header + sel[1], (msg[1] if msg is not None else None)
 
 
+# node-shape-level predicates this frontend reads (or deliberately
+# ignores as annotations); anything else in the SHACL namespace on a
+# discovered node shape rejects — never a silent pass
+_NODE_LEVEL_KNOWN = frozenset(
+    SH + p
+    for p in (
+        # structure / targets / evaluated components
+        "targetClass", "targetNode", "targetSubjectsOf", "targetObjectsOf",
+        "property", "closed", "ignoredProperties", "sparql", "deactivated",
+        "or", "xone", "and", "not", "node", "class", "hasValue",
+        "in", "datatype", "nodeKind", "minInclusive", "maxInclusive",
+        "minExclusive", "maxExclusive", "pattern", "flags", "minLength",
+        "maxLength", "languageIn",
+        # pure annotations (report/UI metadata — no verdict impact)
+        "message", "severity", "name", "description", "order", "group",
+    )
+) | {RDF_TYPE}
+
+
+def _member_shape_rep(
+    g: "_Graph",
+    base: str,
+    tag: str,
+    m: TripleConstraint,
+    shapes: dict[str, Shape],
+) -> str:
+    """Reduce a node-shape-level logical member to a shape ID the
+    shape-level evaluator can reference.  A pure first-level reference
+    passes through; everything else synthesizes an anonymous shape
+    (``{base}#nl-{tag}``) decomposed into node_constraint /
+    conjunct_refs / conjunct_classes / negated_refs — the same
+    synthetic-shape trick ShEx uses for mixed shape-level ORs
+    (plans/shex.py ``urn:shex:or:N``).  References nested BELOW the
+    first level of the member's value tree reject cleanly (a Column
+    gate cannot carry set membership)."""
+    only_ref = m.ref_shape is not None and not (
+        m.class_iri is not None
+        or _has_value_fields_except(m, ("ref_shape", "class_iri"))
+        or m.disjuncts
+        or m.conjuncts
+    )
+    if only_ref and not m.negated:
+        return m.ref_shape
+    sid = f"{base}#nl-{tag}"
+    synth = Shape(shape_id=sid)
+    if m.negated:
+        # NOT(payload): synthesize the un-negated payload and negate the
+        # reference — NOT is not decomposable across join + gate otherwise
+        inner = _tc_value_copy(m)
+        inner.negated = False
+        synth.negated_refs.append(_member_shape_rep(g, base, tag + "-n", inner, shapes))
+        shapes[sid] = synth
+        return sid
+    if m.ref_shape is not None:
+        synth.conjunct_refs.append(m.ref_shape)
+    if m.class_iri is not None:
+        synth.conjunct_classes.append(m.class_iri)
+    rest = _tc_value_copy(m)
+    rest.ref_shape = None
+    rest.class_iri = None
+    for n in _tree_nodes(rest):
+        if n is not rest and (n.ref_shape is not None or n.class_iri is not None):
+            raise ValueError(
+                "SHACL: a node-shape-level logical member with sh:node/"
+                "sh:class nested below its first level is unsupported in "
+                "this subset"
+            )
+    if _has_value_fields(rest) or rest.disjuncts or rest.conjuncts:
+        synth.node_constraint = rest
+    shapes[sid] = synth
+    return sid
+
+
+def _has_value_fields_except(tc: TripleConstraint, skip: tuple[str, ...]) -> bool:
+    return any(
+        getattr(tc, f) is not None for f in _VALUE_FIELDS if f not in skip
+    )
+
+
+def _read_node_level(
+    g: "_Graph",
+    s: str,
+    shape: Shape,
+    shapes: dict[str, Shape],
+    member_nodes: set[str],
+) -> None:
+    """Read the node-shape-LEVEL constraint components of ``s`` — value
+    components on the focus node itself, sh:node/sh:class, and the
+    logical combinators with arbitrary members.  Before round 4 session
+    10 ALL of these were silently unread (a node shape carrying only
+    ``sh:or ( [sh:path …] … )`` compiled to zero constraints — the
+    trivially-conformant failure mode).  Reference parity: shaclex
+    evaluates them whole behind ``SchemaService.scala:80-84``.
+
+    Logical members compile exactly like ShEx's shape-level algebra:
+    pure-value trees gate on the focus term (Shape.node_constraint),
+    shape-ish members reduce to conformance-set references
+    (disjunct_refs / conjunct_refs / negated_refs, with synthetic
+    anonymous shapes for mixed members)."""
+    if s in member_nodes and s.startswith("_:"):
+        # an ANONYMOUS logical member's components conjoin at its USE site
+        # (the value-level member lifting in _read_value_constraints) —
+        # reading them here too would double-apply them, and value-only
+        # fields (sh:datatype on a [sh:property …] member) would turn the
+        # member's conformant set empty via the focus-term gate.  A NAMED
+        # shape that also appears as a member keeps its own node-level
+        # compile: its own targets must still see every component.
+        return
+    if g.obj1(s, SH + "path") is not None:
+        if g.obj1(s, SH + "property") is not None:
+            raise ValueError(
+                f"SHACL: shape {s} carries both sh:path and sh:property"
+            )
+        # standalone TARGETED property shape (ex:P sh:path ex:p ;
+        # sh:targetClass ex:C ; …): focus nodes come from the targets and
+        # the condition is the injected wrapper shape holding this node as
+        # its one property constraint
+        shape.conjunct_refs.append(s + _WRAP_SFX)
+        return
+    nc = TripleConstraint(pred="@focus", min_count=0, max_count=None)
+    _read_value_constraints(g, s, nc, nested=False)
+    # direct sh:node / sh:class act on the FOCUS node: set-membership
+    # joins, not Column gates (plain sh:node targets were already inlined
+    # into nc's value fields by _read_value_constraints)
+    if nc.ref_shape is not None:
+        shape.conjunct_refs.append(nc.ref_shape)
+        nc.ref_shape = None
+    if nc.class_iri is not None:
+        shape.conjunct_classes.append(nc.class_iri)
+        nc.class_iri = None
+    if (hv := g.obj1(s, SH + "hasValue")) is not None:
+        # node-shape sh:hasValue: the value-node set is {focus}, so the
+        # condition degenerates to focus == term (spec §4.5.2)
+        member = ("literal" if hv[0] == "literal" else "iri", hv[1])
+        if nc.value_set is None:
+            nc.value_set = [member]
+        else:
+            nc.value_set = [member] if member in nc.value_set else []
+    conj: list[TripleConstraint] = []
+    if _has_value_fields(nc) or nc.disjuncts or nc.conjuncts or nc.negated:
+        conj.append(nc)
+    # sh:or / sh:xone over arbitrary members
+    for comp, is_x in (("or", False), ("xone", True)):
+        if (v := g.obj1(s, SH + comp)) is None:
+            continue
+        members = []
+        for _, mnode, _, _ in g.rdf_list(v[1]):
+            m = TripleConstraint(pred="@focus")
+            _read_value_constraints(g, mnode, m, nested=True)
+            members.append(m)
+        if not members:
+            raise ValueError(f"SHACL: empty sh:{comp} list on node shape {s}")
+        if not any(_tree_has_ref(m) for m in members):
+            # pure-value disjunction: a focus-term Column gate, no joins
+            carrier = TripleConstraint(pred="@focus")
+            carrier.disjuncts = _splice_or_members(members) if not is_x else members
+            carrier.xone = is_x
+            conj.append(carrier)
+        else:
+            if shape.disjunct_refs:
+                raise ValueError(
+                    "SHACL: two shape-level disjunction lists on one node "
+                    "shape are unsupported in this subset"
+                )
+            shape.disjunct_refs = [
+                _member_shape_rep(g, s, f"{comp}{k}", m, shapes)
+                for k, m in enumerate(members)
+            ]
+            shape.disjunct_refs_xone = is_x
+    # sh:and: members conjoin — value trees into the gate, shape-ish
+    # members as conjunct references
+    if (v := g.obj1(s, SH + "and")) is not None:
+        for k, (_, mnode, _, _) in enumerate(g.rdf_list(v[1])):
+            m = TripleConstraint(pred="@focus")
+            _read_value_constraints(g, mnode, m, nested=True)
+            if not _tree_has_ref(m):
+                conj.append(m)
+            else:
+                shape.conjunct_refs.append(
+                    _member_shape_rep(g, s, f"and{k}", m, shapes)
+                )
+    # sh:not (repeatable): negated member
+    for k, (_, mnode, _, _) in enumerate(g.objs(s, SH + "not")):
+        m = TripleConstraint(pred="@focus")
+        _read_value_constraints(g, mnode, m, nested=True)
+        if not _tree_has_ref(m):
+            neg = _tc_value_copy(m)
+            neg.negated = not neg.negated
+            conj.append(neg)
+        elif (
+            m.class_iri is not None
+            and not m.negated
+            and m.ref_shape is None
+            and not _has_value_fields_except(m, ("class_iri",))
+            and not m.disjuncts
+            and not m.conjuncts
+        ):
+            shape.negated_classes.append(m.class_iri)
+        else:
+            shape.negated_refs.append(_member_shape_rep(g, s, f"not{k}", m, shapes))
+    if conj:
+        shape.node_constraint = (
+            conj[0]
+            if len(conj) == 1
+            else TripleConstraint(pred="@focus", conjuncts=conj)
+        )
+    # sweep: any OTHER SHACL-namespace component on the node shape is
+    # either property-shape-only (sh:minCount, sh:uniqueLang, pair
+    # constraints, …) or outside this subset — reject, never silently pass
+    for p in g.spo.get(s, {}):
+        if p.startswith(SH) and p not in _NODE_LEVEL_KNOWN:
+            raise ValueError(
+                f"SHACL: unsupported component <{p}> at node-shape level "
+                f"on {s}"
+            )
+
+
 def parse_shacl(text: str, fmt: str = "turtle") -> CompiledSchema:
     """Parse a SHACL shapes graph into the shared constraint IR.
 
@@ -418,13 +739,33 @@ def parse_shacl(text: str, fmt: str = "turtle") -> CompiledSchema:
     prefixes = turtle_prefixes(text) if parser is parse_turtle else {}
     shapes: dict[str, Shape] = {}
 
+    _inject_path_member_wrappers(g)
     node_shapes = [
         s
         for s, preds in g.spo.items()
         if any(v == SH + "NodeShape" for _, v, _, _ in preds.get(RDF_TYPE, []))
         or SH + "property" in preds
         or SH + "targetClass" in preds
+        or SH + "targetNode" in preds
+        or SH + "targetSubjectsOf" in preds
+        or SH + "targetObjectsOf" in preds
+        # closed-carrying logical members compile as anonymous shapes
+        # (their conformance join evaluates the closedness); sh:closed on
+        # a node that is itself a property shape stays with that parse
+        or (SH + "closed" in preds and SH + "path" not in preds)
     ]
+    # nodes used as logical members / qualified value shapes: their
+    # components conjoin at the USE site (value level) — collected so the
+    # node-shape-level reader never double-applies them at focus level
+    member_nodes: set[str] = set()
+    for _s2, preds in g.spo.items():
+        for comp in ("or", "xone", "and"):
+            for _, head, _, _ in preds.get(SH + comp, []):
+                member_nodes.update(v for _, v, _, _ in g.rdf_list(head))
+        member_nodes.update(v for _, v, _, _ in preds.get(SH + "not", []))
+        member_nodes.update(
+            v for _, v, _, _ in preds.get(SH + "qualifiedValueShape", [])
+        )
     for s in node_shapes:
         # sh:deactivated true (spec §2.1.3.3): the shape validates nothing
         if (da := g.obj1(s, SH + "deactivated")) is not None and da[1] == "true":
@@ -440,6 +781,10 @@ def parse_shacl(text: str, fmt: str = "turtle") -> CompiledSchema:
             shape.ignored = [val for _, val, _, _ in g.rdf_list(ig[1])]
         for _, cnode, _, _ in g.objs(s, SH + "sparql"):
             shape.sparql_selects.append(_read_sparql_constraint(g, cnode, prefixes))
+        # node-shape-LEVEL components: value constraints on the focus node
+        # itself, sh:node/sh:class, and sh:or/xone/and/not with arbitrary
+        # members (silently unread before r4s10)
+        _read_node_level(g, s, shape, shapes, member_nodes)
         # (qualified constraint, disjoint flag) per sh:qualifiedValueShape —
         # sibling wiring for sh:qualifiedValueShapesDisjoint happens after
         # the property-shape loop, when all siblings exist
@@ -458,6 +803,15 @@ def parse_shacl(text: str, fmt: str = "turtle") -> CompiledSchema:
             path = g.obj1(pshape, SH + "path")
             if path is None:
                 raise ValueError(f"SHACL: property shape {pshape} has no sh:path")
+            if (pcl := g.obj1(pshape, SH + "closed")) is not None and pcl[1] == "true":
+                # sh:closed on a PROPERTY shape closes the value nodes, a
+                # per-value neighbourhood this subset does not aggregate —
+                # reject (was silently unread)
+                raise ValueError(
+                    "SHACL: sh:closed on a property shape is unsupported "
+                    "in this subset (close the value nodes via sh:node to "
+                    "a closed node shape instead)"
+                )
             pred, inverse, past = _parse_path(g, path[0], path[1])
             # sh:closed + non-trivial paths: spec §4.8.1 — closedness ranges
             # over the shape's IRI sh:path values ONLY, so a sequence/

@@ -239,10 +239,32 @@ def _node_constraint_gate(nc: TripleConstraint) -> Column:
 
     node = F.col("node")
     is_bnode = node.startswith("_:") | node.startswith(SKOLEM_PREFIX)
+    if nc.ref_shape is not None or nc.class_iri is not None:
+        # shape/class references need conformance-set joins, which a pure
+        # Column gate cannot express — the frontends must route such
+        # members through conjunct_refs/disjunct_refs instead (never
+        # silently true/false)
+        raise ValueError(
+            "internal: node-constraint gate cannot evaluate a shape or "
+            "class reference — frontend routing bug"
+        )
+    if nc.conjuncts:
+        ok = F.lit(True)
+        for m in nc.conjuncts:
+            ok = ok & F.coalesce(_node_constraint_gate(m), F.lit(False))
+        return ~ok if nc.negated else ok
     if nc.disjuncts:
-        ok = F.lit(False)
-        for d in nc.disjuncts:
-            ok = ok | F.coalesce(_node_constraint_gate(d), F.lit(False))
+        if nc.xone:
+            # exactly-one member holds (sh:xone at node-shape level)
+            cnt = None
+            for d in nc.disjuncts:
+                c = F.coalesce(_node_constraint_gate(d), F.lit(False)).cast("int")
+                cnt = c if cnt is None else cnt + c
+            ok = cnt == 1
+        else:
+            ok = F.lit(False)
+            for d in nc.disjuncts:
+                ok = ok | F.coalesce(_node_constraint_gate(d), F.lit(False))
         return ~ok if nc.negated else ok
     ok = F.lit(True)
     if nc.node_kind:
@@ -326,7 +348,7 @@ def _ref_order(schema: CompiledSchema, roots: list[str]) -> tuple[list[str], set
             tc for grp in (sh.alternatives or []) for tc in grp
         ]
         shape_refs = [ref for tc in all_tcs for ref in _refs_of(tc)]
-        shape_refs += sh.conjunct_refs + sh.disjunct_refs
+        shape_refs += sh.conjunct_refs + sh.disjunct_refs + sh.negated_refs
         for ref in shape_refs:
             if ref not in schema.shapes:
                 raise ValueError(f"unknown shape reference {ref}")
@@ -901,21 +923,67 @@ def evaluate_shape(
         )
     if shape.disjunct_refs:
         # shape-level ShapeOr of refs: at-least-one membership across the
-        # referenced conformant sets (same join key as the aggregate)
-        dis_ok = F.lit(False)
+        # referenced conformant sets (same join key as the aggregate);
+        # sh:xone at node-shape level counts EXACTLY-one membership
+        marks = []
         for j, dref in enumerate(shape.disjunct_refs):
             mark = f"_disj_ok_{j}"
             ddf = conformant_refs[dref].withColumn(mark, F.lit(True))
             res = res.join(ddf, on=["doc_sha256", "node"], how="left")
-            dis_ok = dis_ok | F.coalesce(F.col(mark), F.lit(False))
+            marks.append(F.coalesce(F.col(mark), F.lit(False)))
+        if shape.disjunct_refs_xone:
+            cnt = marks[0].cast("int")
+            for m in marks[1:]:
+                cnt = cnt + m.cast("int")
+            dis_ok = cnt == 1
+            fail_msg = "focus node does not conform to exactly one of "
+        else:
+            dis_ok = F.lit(False)
+            for m in marks:
+                dis_ok = dis_ok | m
+            fail_msg = "focus node conforms to none of "
         ok = ok & dis_ok
         reasons.append(
             F.when(
                 ~dis_ok,
                 F.lit(
-                    "focus node conforms to none of "
-                    + ", ".join(f"<{r}>" for r in shape.disjunct_refs)
+                    fail_msg + ", ".join(f"<{r}>" for r in shape.disjunct_refs)
                 ),
+            )
+        )
+    for j, ciri in enumerate(shape.conjunct_classes):
+        # node-shape-level sh:class: focus ∈ SHACL instances of the class
+        # (same per-doc instance sets sh:class uses at value level)
+        mark = f"_conj_cls_{j}"
+        cdf = _class_inst(ciri).withColumn(mark, F.lit(True))
+        res = res.join(cdf, on=["doc_sha256", "node"], how="left")
+        cg = F.coalesce(F.col(mark), F.lit(False))
+        ok = ok & cg
+        reasons.append(
+            F.when(~cg, F.lit(f"focus node is not a SHACL instance of <{ciri}>"))
+        )
+    for j, nref in enumerate(shape.negated_refs):
+        # node-shape-level sh:not over a shape-ish member: focus must NOT
+        # conform — anti-join semantics via left join + null check
+        mark = f"_neg_ref_{j}"
+        ndf = conformant_refs[nref].withColumn(mark, F.lit(True))
+        res = res.join(ndf, on=["doc_sha256", "node"], how="left")
+        ng = F.coalesce(F.col(mark), F.lit(False))
+        ok = ok & ~ng
+        reasons.append(
+            F.when(ng, F.lit(f"focus node conforms to negated shape <{nref}>"))
+        )
+    for j, ciri in enumerate(shape.negated_classes):
+        # node-shape-level sh:not [ sh:class C ]
+        mark = f"_neg_cls_{j}"
+        cdf = _class_inst(ciri).withColumn(mark, F.lit(True))
+        res = res.join(cdf, on=["doc_sha256", "node"], how="left")
+        ng = F.coalesce(F.col(mark), F.lit(False))
+        ok = ok & ~ng
+        reasons.append(
+            F.when(
+                ng,
+                F.lit(f"focus node is a SHACL instance of negated class <{ciri}>"),
             )
         )
     for j, cref in enumerate(shape.conjunct_refs):
@@ -969,6 +1037,9 @@ def validate_batch(
             or sh.node_constraint is not None
             or sh.conjunct_refs
             or sh.disjunct_refs
+            or sh.conjunct_classes
+            or sh.negated_refs
+            or sh.negated_classes
             or sh.sparql_selects
             or any(
                 tc.ref_shape
@@ -1208,6 +1279,7 @@ def validate(
             [r for tc in _tcs(sh) for r in _refs_of(tc)]
             + sh.conjunct_refs
             + sh.disjunct_refs
+            + sh.negated_refs
         )
     }
     # shapes that transitively depend on a cycle member must evaluate AFTER
@@ -1221,6 +1293,7 @@ def validate(
                 [r for tc in _tcs(schema.shapes[sid]) for r in _refs_of(tc)]
                 + schema.shapes[sid].conjunct_refs
                 + schema.shapes[sid].disjunct_refs
+                + schema.shapes[sid].negated_refs
             )
         ):
             cycle_dep.add(sid)
@@ -1265,6 +1338,17 @@ def validate(
                         f"shape {sid!r}: negated (or xone-counted) reference "
                         "inside a reference cycle is not stratifiable (unsupported)"
                     )
+            # shape-LEVEL negative / xone-counted references are the same
+            # non-monotone hazard when both ends sit inside the cycle set
+            sh_ = schema.shapes[sid]
+            nonmono_shape_refs = list(sh_.negated_refs) + (
+                list(sh_.disjunct_refs) if sh_.disjunct_refs_xone else []
+            )
+            if any(r in cyclic for r in nonmono_shape_refs):
+                raise ValueError(
+                    f"shape {sid!r}: negated (or xone-counted) reference "
+                    "inside a reference cycle is not stratifiable (unsupported)"
+                )
         # Recursive shape references (SURVEY §4 fixpoint row; the reference
         # recursion lives inside shexs at SchemaValidate.scala:97-99).
         # Greatest fixed point: start every cyclic shape optimistically

@@ -336,10 +336,10 @@ def test_unread_member_component_rejects():
     """A member node carrying a component the frontend cannot evaluate at
     value level must reject, never silently pass.  (sh:property on a member
     is no longer in this list — it evaluates as an anonymous-shape
-    reference since r4s9; see test_shacl_member_property.py.)"""
+    reference since r4s9; sh:closed members joined it in r4s10, see
+    test_shacl_node_level.py.)"""
     for comp in (
         "sh:qualifiedValueShape [ sh:node ex:N ] ; sh:qualifiedMinCount 1",
-        "sh:closed true",
     ):
         with pytest.raises(ValueError, match="logical-member"):
             parse_shacl(

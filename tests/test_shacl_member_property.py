@@ -115,7 +115,7 @@ def test_member_qualified_still_rejects(spark):
 
 
 def test_member_property_plus_node_rejects(spark):
-    with pytest.raises(ValueError, match="sh:property and sh:node"):
+    with pytest.raises(ValueError, match="sh:property/sh:closed and sh:node"):
         parse_shacl(
             PRELUDE
             + """ex:T a sh:NodeShape ; sh:targetSubjectsOf ex:w ;
