@@ -1994,6 +1994,29 @@ def _q_code_repo_stats(spark, sf_dir):
     return repo_stats(_code_docs(spark, sf_dir))
 
 
+def _q_code_license_profile(spark, sf_dir):
+    """Per-repo license-family rollup (the governance gate a code-corpus
+    training pipeline filters on).  The RDF fixture corpus carries no
+    real license headers, so the entry prepends a DETERMINISTIC header
+    chosen by ``length(content) % 7`` — declared identically in the
+    DuckDB twin; what the entry exercises is the operator's own
+    detection path (SPDX tag extraction + phrase matching + rollup),
+    which sees only the augmented text."""
+    from rdfshape_api_spark.functions.codeops import repo_license_profile
+
+    docs = _code_docs(spark, sf_dir)
+    r = F.length("content") % 7
+    hdr = (
+        F.when(r == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(r == 1, F.lit("# Licensed under the Apache License, Version 2.0\n"))
+        .when(r == 2, F.lit("/* GNU General Public License */\n"))
+        .when(r == 3, F.lit("// SPDX-License-Identifier: BSD-3-Clause\n"))
+        .otherwise(F.lit(""))
+    )
+    aug = docs.withColumn("content", F.concat(hdr, F.col("content")))
+    return repo_license_profile(aug)
+
+
 def _q_code_ident_top(spark, sf_dir):
     from rdfshape_api_spark.functions.codeops import identifier_top
 
@@ -2243,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_winnow_clones": _q_code_winnow_clones,
         "code_winnow_lsh": _q_code_winnow_lsh,
         "code_repo_stats": _q_code_repo_stats,
+        "code_license_profile": _q_code_license_profile,
         "code_ident_top": _q_code_ident_top,
     })
 
@@ -4276,6 +4300,29 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT content_sha256)::BIGINT AS distinct_contents
             FROM {_D}
             GROUP BY repo
+        """,
+        "code_license_profile": f"""
+            -- deterministic augmentation (same rule as the Spark entry):
+            -- residue of length(content) decides which license header each
+            -- file gets; expected families derive from the construction
+            WITH d AS (
+              SELECT repo,
+                     CASE length(content) % 7
+                       WHEN 0 THEN 'MIT'
+                       WHEN 1 THEN 'Apache-2.0'
+                       WHEN 2 THEN 'GPL'
+                       WHEN 3 THEN 'BSD'
+                       ELSE 'unknown' END AS family
+              FROM {_D}
+            ),
+            per AS (
+              SELECT repo, family, count(*)::BIGINT AS n_files
+              FROM d GROUP BY 1, 2
+            ),
+            t AS (SELECT repo, sum(n_files)::BIGINT AS repo_files FROM per GROUP BY 1)
+            SELECT per.repo, per.family, per.n_files, t.repo_files,
+                   round(per.n_files / t.repo_files::DOUBLE, 6) AS frac
+            FROM per JOIN t ON t.repo = per.repo
         """,
         "code_ident_top": f"""
             -- top-10 identifiers per language (ties break lexicographically)

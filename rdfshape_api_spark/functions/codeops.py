@@ -304,6 +304,98 @@ def repo_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# SPDX ids this scanner recognises via the explicit tag, plus the header
+# phrases that identify the big license families when no tag is present.
+# Order matters: first match wins (most specific first).
+_LICENSE_PHRASES: tuple[tuple[str, str], ...] = (
+    ("Apache-2.0", "Licensed under the Apache License, Version 2.0"),
+    ("MIT", "Permission is hereby granted, free of charge"),
+    # LGPL before GPL: LGPL texts also reference the GPL by name
+    ("LGPL", "GNU Lesser General Public License"),
+    ("GPL", "GNU General Public License"),
+    ("MPL-2.0", "Mozilla Public License"),
+    ("BSD", "Redistribution and use in source and binary forms"),
+)
+
+
+def license_scan(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-file license detection ``(repo, path, spdx_id, family,
+    detector)`` — the data-governance pass a code-corpus training
+    pipeline runs before anything else (license filtering decides what
+    may enter the training set at all).
+
+    Two detectors, cheapest first:
+
+    * ``spdx``: the machine-readable ``SPDX-License-Identifier: <id>``
+      tag (one ``regexp_extract``), authoritative when present;
+    * ``phrase``: characteristic header phrases of the major families
+      (Apache-2.0 / MIT / GPL / LGPL / MPL-2.0 / BSD), first match wins.
+
+    ``spdx_id`` is NULL when only a phrase matched; ``family`` is NULL
+    when nothing matched (the row is still emitted — "unknown license"
+    is the governance-relevant outcome, not an absence).
+
+    Scale design: map-only JVM Column logic (regexp_extract + chained
+    CASE on ``contains``), no shuffle, no Python; the scan prunes to
+    (repo, path, content) so the parquet reader never materialises other
+    columns.  At 100 TB this runs in the same pass as any other
+    map-side profile.
+    """
+    c = F.col(content_col)
+    spdx = F.regexp_extract(c, r"SPDX-License-Identifier:\s*([A-Za-z0-9.\-\+]+)", 1)
+    spdx = F.when(spdx != "", spdx)
+    fam = F.lit(None).cast("string")
+    for family, phrase in reversed(_LICENSE_PHRASES):
+        fam = F.when(c.contains(phrase), F.lit(family)).otherwise(fam)
+    family = F.coalesce(
+        # an explicit SPDX tag wins; collapse it onto the same family
+        # labels so downstream grouping is uniform
+        F.when(spdx.startswith("Apache"), F.lit("Apache-2.0"))
+        .when(spdx.startswith("MIT"), F.lit("MIT"))
+        .when(spdx.startswith("LGPL"), F.lit("LGPL"))
+        .when(spdx.startswith("GPL"), F.lit("GPL"))
+        .when(spdx.startswith("MPL"), F.lit("MPL-2.0"))
+        .when(spdx.startswith("BSD"), F.lit("BSD"))
+        .when(spdx.isNotNull(), spdx),
+        fam,
+    )
+    detector = (
+        F.when(spdx.isNotNull(), F.lit("spdx"))
+        .when(fam.isNotNull(), F.lit("phrase"))
+    )
+    return docs.select(
+        "repo",
+        "path",
+        spdx.alias("spdx_id"),
+        family.alias("family"),
+        detector.alias("detector"),
+    )
+
+
+def repo_license_profile(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-repo license rollup ``(repo, family, n_files, repo_files,
+    frac)`` — the table a corpus curator filters on ("repos ≥ 95%
+    permissive").  NULL family groups as ``'unknown'``.
+
+    One hash-groupBy on (repo, family) plus a broadcast-sized per-repo
+    total join (repos ≪ files); both aggregations combine map-side.
+    """
+    scanned = license_scan(docs, content_col).select(
+        "repo", F.coalesce("family", F.lit("unknown")).alias("family")
+    )
+    per = scanned.groupBy("repo", "family").agg(
+        F.count("*").cast("bigint").alias("n_files")
+    )
+    totals = per.groupBy("repo").agg(F.sum("n_files").alias("repo_files"))
+    return per.join(F.broadcast(totals), on="repo").select(
+        "repo",
+        "family",
+        "n_files",
+        F.col("repo_files").cast("bigint").alias("repo_files"),
+        F.round(F.col("n_files") / F.col("repo_files"), 6).alias("frac"),
+    )
+
+
 def identifier_top(
     docs: DataFrame, top: int = 10, min_len: int = 3, content_col: str = "content"
 ) -> DataFrame:

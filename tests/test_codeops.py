@@ -183,3 +183,58 @@ def test_winnow_minhash_band_count(docs):
     counts = {r.file_id: r.n for r in
               b.groupBy("file_id").agg(F.count("*").alias("n")).collect()}
     assert set(counts.values()) == {8}
+
+
+def test_license_scan_detectors(spark):
+    from rdfshape_api_spark.functions.codeops import license_scan
+
+    rows = [
+        ("r1", "a.py", "c", "python", "# SPDX-License-Identifier: Apache-2.0\nimport os\n"),
+        ("r1", "b.py", "c", "python", "# SPDX-License-Identifier: MIT\nx = 1\n"),
+        ("r1", "c.c", "c", "c", "/* Permission is hereby granted, free of charge */\nint main(){}\n"),
+        ("r2", "d.c", "c", "c", "/* This file is under the GNU Lesser General Public License\n"
+                                "   see also the GNU General Public License */\n"),
+        ("r2", "e.txt", "c", "text", "no license here at all\n"),
+        ("r2", "f.go", "c", "go", "// SPDX-License-Identifier: BSD-3-Clause\npackage main\n"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    got = {r.path: (r.spdx_id, r.family, r.detector) for r in license_scan(docs).collect()}
+    assert got["a.py"] == ("Apache-2.0", "Apache-2.0", "spdx")
+    assert got["b.py"] == ("MIT", "MIT", "spdx")
+    assert got["c.c"] == (None, "MIT", "phrase")
+    # LGPL outranks the GPL phrase its own text references
+    assert got["d.c"] == (None, "LGPL", "phrase")
+    assert got["e.txt"] == (None, None, None)
+    assert got["f.go"] == ("BSD-3-Clause", "BSD", "spdx")
+
+
+def test_repo_license_profile_rollup(spark):
+    from rdfshape_api_spark.functions.codeops import repo_license_profile
+
+    rows = [
+        ("r1", "a", "c", "x", "# SPDX-License-Identifier: MIT\n"),
+        ("r1", "b", "c", "x", "# SPDX-License-Identifier: MIT\n"),
+        ("r1", "c", "c", "x", "nothing\n"),
+        ("r2", "d", "c", "x", "Licensed under the Apache License, Version 2.0\n"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    got = {(r.repo, r.family): (r.n_files, r.repo_files, r.frac)
+           for r in repo_license_profile(docs).collect()}
+    assert got[("r1", "MIT")] == (2, 3, round(2 / 3, 6))
+    assert got[("r1", "unknown")] == (1, 3, round(1 / 3, 6))
+    assert got[("r2", "Apache-2.0")] == (1, 1, 1.0)
+
+
+def test_license_scan_is_map_only(spark):
+    from rdfshape_api_spark.functions.codeops import license_scan
+
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "x", "y")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    plan = license_scan(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
