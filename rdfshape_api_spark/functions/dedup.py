@@ -97,7 +97,13 @@ def lsh_candidate_pairs(docs: DataFrame, max_bucket: int | None = None) -> DataF
     bucket IS a duplicate family; enumerating its pairs is pointless).
     Default None keeps exact pair semantics (the oracle contract).
     """
-    b = minhash_bands(docs)
+    # materialize the band table once: the self-join (and the max_bucket
+    # count) would otherwise recompute the whole shingle→minhash pipeline
+    # on BOTH sides (alias-renamed projections defeat exchange reuse).  At
+    # 100 TB this IS the design — the band table is written once at ingest
+    # (see lsh_incremental_keep) and every consumer reads the materialized
+    # form; locally, localCheckpoint is the single-job equivalent.
+    b = minhash_bands(docs).localCheckpoint()
     if max_bucket is not None:
         counts = b.groupBy("band", "band_key").agg(F.count("*").alias("_bn"))
         b = (
@@ -254,7 +260,9 @@ def lsh_duplicate_clusters(
     pair-enumeration guard: over-limit buckets contribute no edges there,
     so they are excluded here too.
     """
-    b = minhash_bands(docs)
+    # materialized once: both the bucket stats and the star join consume it
+    # (un-persisted, the shingle→minhash pipeline would run twice)
+    b = minhash_bands(docs).localCheckpoint()
     stats = b.groupBy("band", "band_key").agg(
         F.min("doc_id").alias("bmin"), F.count("*").alias("_bn")
     )

@@ -404,3 +404,45 @@ def test_node_level_and_with_shape_member(spark):
         ],
     )
     assert _verdicts(tri, schema) == {"a": "conformant", "b": "nonconformant"}
+
+
+def test_negated_ref_into_cycle_from_outside_ok(spark):
+    """A node-level sh:not referencing a RECURSIVE shape from OUTSIDE the
+    cycle is fine — the referring shape evaluates post-fixpoint."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:Chain a sh:NodeShape ;
+  sh:property [ sh:path ex:next ; sh:node ex:Chain ] .
+ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:t ;
+  sh:not [ sh:node ex:Chain ] ."""
+    )
+    tri = _tri(
+        spark,
+        [
+            # a -> b, b has no next: both sit in Chain's greatest fixpoint,
+            # so NOT(Chain) makes a nonconformant
+            (E + "a", E + "t", "literal", "x", None, None),
+            (E + "a", E + "next", "iri", E + "b", None, None),
+            # c's next is a literal (never in a conformant set) => c is NOT
+            # in Chain => NOT(Chain) holds
+            (E + "c", E + "t", "literal", "x", None, None),
+            (E + "c", E + "next", "literal", "x", None, None),
+        ],
+    )
+    assert _verdicts(tri, schema) == {"a": "nonconformant", "c": "conformant"}
+
+
+def test_negated_ref_inside_cycle_rejects(spark):
+    """Both ends of a shape-level negated reference inside the reference
+    cycle: non-stratifiable, clean reject."""
+    schema = parse_shacl(
+        PRELUDE
+        + """ex:A a sh:NodeShape ; sh:targetSubjectsOf ex:t ;
+  sh:not [ sh:node ex:B ] ;
+  sh:property [ sh:path ex:p ; sh:node ex:A ] .
+ex:B a sh:NodeShape ;
+  sh:property [ sh:path ex:q ; sh:node ex:A ] ."""
+    )
+    tri = _tri(spark, [(E + "a", E + "t", "literal", "x", None, None)])
+    with pytest.raises(ValueError, match="not stratifiable"):
+        validate(tri, schema).collect()
