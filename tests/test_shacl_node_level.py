@@ -420,9 +420,11 @@ ex:S a sh:NodeShape ; sh:targetSubjectsOf ex:t ;
         spark,
         [
             # a -> b, b has no next: both sit in Chain's greatest fixpoint,
-            # so NOT(Chain) makes a nonconformant
+            # so NOT(Chain) makes a nonconformant.  (b needs SOME arc —
+            # conformant sets range over the subject universe.)
             (E + "a", E + "t", "literal", "x", None, None),
             (E + "a", E + "next", "iri", E + "b", None, None),
+            (E + "b", E + "name", "literal", "B", None, None),
             # c's next is a literal (never in a conformant set) => c is NOT
             # in Chain => NOT(Chain) holds
             (E + "c", E + "t", "literal", "x", None, None),
