@@ -2087,13 +2087,14 @@ _VERIFY_FIRST = [
     "text_lm_score",
     "social_shacl_node_level",
     "dedup_verified_pairs",
-    # Positions 51+ (outside the driver's 50-entry window).  The two
-    # rows-only entries (no SQL twin: k-means PCA init / trained BPE merges)
-    # sit here so every window slot carries a hash-checkable oracle;
-    # text_pack_sequences cedes its slot to keep the packing family
-    # represented by text_pack_token_ids.  The code_* operators (r4s9,
-    # oracled, locally contract-green at sf0.01) lead this block so they
-    # head r5's unverified queue.
+    # Below: hints past the 50-entry window.  Since r4s10 the rotation is
+    # DYNAMIC (_driver_verified reads CORRECTNESS_r*.json at call time and
+    # floats never-verified entries to the front), so after each round's
+    # file lands the next round's window re-fills with whatever is still
+    # unchecked — no manual reordering.  This list only breaks ties within
+    # the never-verified class; the two rows-only entries (k-means PCA
+    # init / trained BPE merges have no SQL twin) sit late so window slots
+    # carry hash-checkable oracles.
     "code_winnow_fp",
     "code_winnow_clones",
     "code_winnow_lsh",
@@ -2125,11 +2126,40 @@ _VERIFY_FIRST = [
 ]
 
 
+def _driver_verified() -> set[str]:
+    """Entries that already have a hash-green (or rows-green) row in ANY
+    driver CORRECTNESS file — read at call time so the rotation below
+    self-updates every round without manual list maintenance."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            with open(p) as f:
+                for name, row in json.load(f).items():
+                    if isinstance(row, dict) and not row.get("err") and (
+                        row.get("hash_match") or row.get("rows_match")
+                    ):
+                        seen.add(name)
+    except Exception:
+        pass  # rotation is an optimization; never let it break queries()
+    return seen
+
+
 def _rotate_for_verification(
     d: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {k: d[k] for k in _VERIFY_FIRST if k in d}
-    out.update((k, v) for k, v in d.items() if k not in out)
+    """Order the contract so the driver's 50-entry CORRECTNESS window
+    always covers never-verified entries first: within each class
+    (never-verified, then already-green), _VERIFY_FIRST acts as a manual
+    priority hint and registration order breaks ties."""
+    verified = _driver_verified()
+    hinted = [k for k in _VERIFY_FIRST if k in d]
+    ordered = hinted + [k for k in d if k not in set(hinted)]
+    out = {k: d[k] for k in ordered if k not in verified}
+    out.update((k, d[k]) for k in ordered if k in verified)
     return out
 
 
