@@ -250,6 +250,20 @@ def _q_validate_shacl(spark, sf_dir):
     return validate(tri, parse_shacl(SHACL_SENSOR)).select("doc_sha256", "node", "status")
 
 
+def _q_validation_report(spark, sf_dir):
+    """SHACL ValidationReport graph (spec §3) rendered as triples — the
+    response shape the reference's validate endpoints return (shaclex
+    report behind SchemaService.scala:80-84).  Messages excluded: the
+    engine's reason strings are not part of the golden contract; the
+    structural report (conforms, results, focus/shape/severity) is."""
+    from rdfshape_api_spark.operators.serialize import validation_report_triples
+    from rdfshape_api_spark.plans import parse_shacl, validate
+
+    tri = _rdf_triples(spark, sf_dir)
+    v = validate(tri, parse_shacl(SHACL_SENSOR))
+    return validation_report_triples(v, include_messages=False)
+
+
 def _q_subjects(spark, sf_dir):
     from rdfshape_api_spark.operators.algebra import subjects
 
@@ -2086,6 +2100,7 @@ _VERIFY_FIRST = [
     "text_pack_token_ids",
     "text_lm_score",
     "social_shacl_node_level",
+    "rdf_validation_report",
     "dedup_verified_pairs",
     # Below: hints past the 50-entry window.  Since r4s10 the rotation is
     # DYNAMIC (_driver_verified reads CORRECTNESS_r*.json at call time and
@@ -2171,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_incremental_verdicts": _q_incremental_verdicts,  # incremental validation (r4s8)
         "rdf_validate_shex": _q_validate_shex,           # §2.7 flagship + J1
         "rdf_validate_shacl": _q_validate_shacl,         # §2.7 + J2 targets
+        "rdf_validation_report": _q_validation_report,   # §3.1 report graph (r4s10)
         "rdf_validate_batch": _q_validate_batch,         # §2.7 single-pass multi-schema
         "rdf_subjects": _q_subjects,                     # P2
         "rdf_predicates": _q_predicates,                 # P2
@@ -2398,6 +2414,47 @@ def oracle_sql() -> dict[str, str]:
         "rdf_validate_shacl": (
             f"SELECT doc_sha256, node, status FROM {_V} WHERE shape_id = 'shacl_sensor'"
         ),
+        "rdf_validation_report": f"""
+            -- the structural sh:ValidationReport graph derived from the
+            -- golden verdicts (same deterministic result skolems as the
+            -- engine: sha256(node||US||shapeIRI) first 16 hex chars)
+            WITH v AS (
+              SELECT doc_sha256, node, status FROM {_V}
+              WHERE shape_id = 'shacl_sensor'
+            ),
+            hdr AS (SELECT doc_sha256, 'urn:report:' || doc_sha256 AS r,
+                           min(CASE WHEN status = 'conformant' THEN 1 ELSE 0 END) AS ok
+                    FROM v GROUP BY 1, 2),
+            bad AS (SELECT doc_sha256, 'urn:report:' || doc_sha256 AS r, node,
+                           'urn:report:' || doc_sha256 || ':' ||
+                           substr(sha256(node || chr(31) ||
+                                  'http://example.org/ValidReadingShape'), 1, 16) AS res
+                    FROM v WHERE status <> 'conformant')
+            SELECT doc_sha256, r AS subj,
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+                   'iri' AS obj_kind,
+                   'http://www.w3.org/ns/shacl#ValidationReport' AS obj_value,
+                   NULL AS obj_lang, NULL AS obj_datatype
+            FROM hdr
+            UNION ALL
+            SELECT doc_sha256, r, 'http://www.w3.org/ns/shacl#conforms', 'literal',
+                   CASE WHEN ok = 1 THEN 'true' ELSE 'false' END,
+                   NULL, 'http://www.w3.org/2001/XMLSchema#boolean'
+            FROM hdr
+            UNION ALL
+            SELECT doc_sha256, r, 'http://www.w3.org/ns/shacl#result', 'iri', res, NULL, NULL FROM bad
+            UNION ALL
+            SELECT doc_sha256, res, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'iri',
+                   'http://www.w3.org/ns/shacl#ValidationResult', NULL, NULL FROM bad
+            UNION ALL
+            SELECT doc_sha256, res, 'http://www.w3.org/ns/shacl#focusNode', 'iri', node, NULL, NULL FROM bad
+            UNION ALL
+            SELECT doc_sha256, res, 'http://www.w3.org/ns/shacl#sourceShape', 'iri',
+                   'http://example.org/ValidReadingShape', NULL, NULL FROM bad
+            UNION ALL
+            SELECT doc_sha256, res, 'http://www.w3.org/ns/shacl#resultSeverity', 'iri',
+                   'http://www.w3.org/ns/shacl#Violation', NULL, NULL FROM bad
+        """,
         "rdf_validate_batch": f"SELECT doc_sha256, node, shape_id, status FROM {_V}",
         "rdf_subjects": f"SELECT DISTINCT subj FROM {_T}",
         "rdf_predicates": f"SELECT DISTINCT pred FROM {_T}",

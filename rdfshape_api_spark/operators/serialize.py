@@ -523,3 +523,102 @@ def assemble_dot(lines_df: DataFrame, doc_sha256: str, name: str = "rdf") -> str
     )
     body = "\n".join("  " + r["line"] for r in rows)
     return f'digraph "{name}" {{\n{body}\n}}'
+
+
+def validation_report_triples(
+    verdicts: DataFrame, include_messages: bool = True
+) -> DataFrame:
+    """Render a verdict DataFrame ``(doc_sha256, node, shape_id, status[,
+    reasons])`` as a standard SHACL **ValidationReport** graph (spec §3) in
+    this engine's triple schema — per document: one ``sh:ValidationReport``
+    node with ``sh:conforms``, plus one ``sh:ValidationResult`` per
+    nonconformant focus (``sh:focusNode``, ``sh:sourceShape``,
+    ``sh:resultSeverity sh:Violation`` and, when ``include_messages``,
+    one ``sh:resultMessage`` per reason).  Reference parity: the
+    rdfshape-api validate endpoints return shaclex's report graph
+    (``SchemaService.scala:80-84``); here the report is itself a triples
+    DataFrame, so every serializer (N-Triples/Turtle/JSON-LD/…) applies
+    to it unchanged, distributed.
+
+    Report/result IRIs are deterministic skolems (``urn:report:<doc>`` /
+    ``urn:report:<doc>:<n>``) so the output is stable and oracle-hashable.
+    All Column logic — two map-side projections plus one per-doc
+    aggregate for ``sh:conforms``; no Python, no driver loop.
+    """
+    from rdfshape_api_spark.model import SH, STATUS_CONFORMANT
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    xsd_bool = "http://www.w3.org/2001/XMLSchema#boolean"
+    report = F.concat(F.lit("urn:report:"), F.col("doc_sha256"))
+    cols = ["doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"]
+
+    def _row(subj, pred, kind, value, dt=None):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.lit(kind).alias("obj_kind"),
+            value.alias("obj_value"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string").alias("obj_datatype"),
+        )
+
+    # per-doc header: report node, type, conforms
+    conforms = (
+        verdicts.groupBy("doc_sha256")
+        .agg(
+            F.min(
+                (F.col("status") == STATUS_CONFORMANT).cast("int")
+            ).alias("_all_ok")
+        )
+        .select(
+            "doc_sha256",
+            F.explode(
+                F.array(
+                    _row(report, rdf_type, "iri", F.lit(SH + "ValidationReport")),
+                    _row(
+                        report,
+                        SH + "conforms",
+                        "literal",
+                        F.when(F.col("_all_ok") == 1, F.lit("true")).otherwise(
+                            F.lit("false")
+                        ),
+                        dt=xsd_bool,
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select("doc_sha256", "t.*")
+    )
+    bad = verdicts.filter(F.col("status") != STATUS_CONFORMANT)
+    res = F.concat(
+        F.lit("urn:report:"),
+        F.col("doc_sha256"),
+        F.lit(":"),
+        F.sha2(F.concat_ws("\x1f", "node", "shape_id"), 256).substr(1, 16),
+    )
+    body_rows = [
+        _row(report, SH + "result", "iri", res),
+        _row(res, rdf_type, "iri", F.lit(SH + "ValidationResult")),
+        _row(res, SH + "focusNode", "iri", F.col("node")),
+        _row(res, SH + "sourceShape", "iri", F.col("shape_id")),
+        _row(res, SH + "resultSeverity", "iri", F.lit(SH + "Violation")),
+    ]
+    results = bad.select(
+        "doc_sha256", F.explode(F.array(*body_rows)).alias("t")
+    ).select("doc_sha256", "t.*")
+    out = conforms.unionByName(results)
+    if include_messages and "reasons" in verdicts.columns:
+        msgs = (
+            bad.select("doc_sha256", res.alias("subj"), F.explode("reasons").alias("m"))
+            .select(
+                "doc_sha256",
+                "subj",
+                F.lit(SH + "resultMessage").alias("pred"),
+                F.lit("literal").alias("obj_kind"),
+                F.col("m").alias("obj_value"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+            )
+        )
+        out = out.unionByName(msgs)
+    return out.select(*cols)

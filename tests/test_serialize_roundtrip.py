@@ -108,3 +108,38 @@ def test_rdfxml_unsplittable_predicate_raises(spark):
     )
     with pytest.raises(Exception, match="cannot split predicate"):
         to_rdfxml_per_doc(df).collect()
+
+
+def test_validation_report_triples(spark):
+    from rdfshape_api_spark.operators.serialize import validation_report_triples
+
+    v = spark.createDataFrame(
+        [
+            ("d1", "http://e/a", "http://e/S", "conformant", []),
+            ("d1", "http://e/b", "http://e/S", "nonconformant", ["bad count"]),
+            ("d2", "http://e/c", "http://e/S", "conformant", []),
+        ],
+        "doc_sha256 string, node string, shape_id string, status string, reasons array<string>",
+    )
+    out = validation_report_triples(v)
+    rows = {(r.doc_sha256, r.subj, r.pred, r.obj_value) for r in out.collect()}
+    SH = "http://www.w3.org/ns/shacl#"
+    # d2 conforms; d1 does not
+    assert ("d2", "urn:report:d2", SH + "conforms", "true") in rows
+    assert ("d1", "urn:report:d1", SH + "conforms", "false") in rows
+    # exactly one ValidationResult, for d1/b, with focus + shape + message
+    res = [r for r in rows if r[2] == SH + "focusNode"]
+    assert len(res) == 1 and res[0][3] == "http://e/b"
+    assert any(r[2] == SH + "resultMessage" and r[3] == "bad count" for r in rows)
+    assert any(r[2] == SH + "sourceShape" and r[3] == "http://e/S" for r in rows)
+    # result node is deterministic and doc-scoped
+    res_subj = res[0][1]
+    assert res_subj.startswith("urn:report:d1:")
+    # without messages the reasons column is not required
+    out2 = validation_report_triples(v.drop("reasons"), include_messages=False)
+    assert not [r for r in out2.collect() if r.pred == SH + "resultMessage"]
+    # the report graph feeds the ordinary serializers unchanged
+    from rdfshape_api_spark.operators.serialize import to_ntriples
+
+    nt = to_ntriples(out)
+    assert nt.count() == out.count()
