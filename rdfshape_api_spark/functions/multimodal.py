@@ -1,9 +1,10 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-Image/audio/video decode libraries are NOT in this container.  PNG decode
-is REAL — a pure-stdlib decoder (:func:`decode_png`: zlib inflate +
-scanline unfiltering) runs in CI with no dependency; other formats stay
-import-guarded stubs (Pillow slot) with deterministic fakes.  The
+Image/audio/video decode libraries are NOT in this container.  PNG, BMP
+and GIF decode are REAL — pure-stdlib decoders (:func:`decode_png`: zlib
+inflate + scanline unfiltering; :func:`decode_bmp`; :func:`decode_gif`:
+variable-width LZW + palette) run in CI with no dependency; other formats
+stay import-guarded stubs (Pillow slot) with deterministic fakes.  The
 Spark-side plumbing (schema, Arrow batch shape, partitioning) is real and
 tested throughout: this is exactly how a production pipeline isolates
 heavyweight per-batch decoders (``mapInPandas``: batch in, batch out, no
@@ -162,15 +163,119 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img
 
 
+def _gif_lzw(min_code_size: int, data: bytes) -> bytes:
+    """GIF variable-width LZW decode (spec appendix F): LSB-first bit
+    packing, code width grows up to 12 bits, CLEAR resets the table."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # stream may omit the END code
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF: corrupt LZW stream (code out of range)")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Minimal pure-stdlib GIF decoder: GIF87a/89a, first image frame,
+    global or local color table, non-interlaced — returns H×W×3 uint8 via
+    palette lookup.  Extensions (graphic control, comments, application)
+    are skipped as sub-block chains; animation reads frame 1 only.
+    Raises ``ValueError`` on a non-GIF payload and ``NotImplementedError``
+    for interlaced images."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _w, _h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x21:  # extension: label + sub-block chain
+            pos += 1
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if iflags & 0x40:
+                raise NotImplementedError("GIF subset: non-interlaced only")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF: no color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                sz = payload[pos]
+                data += payload[pos + 1 : pos + 1 + sz]
+                pos += sz + 1
+            idx = _gif_lzw(mcs, bytes(data))
+            if len(idx) < iw * ih:
+                raise ValueError("GIF: truncated index stream")
+            arr = np.frombuffer(idx[: iw * ih], np.uint8).reshape(ih, iw)
+            if int(arr.max(initial=0)) >= len(pal):
+                raise ValueError("GIF: pixel index outside color table")
+            return pal[arr]
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{b0:02x}")
+    raise ValueError("GIF: no image data")
+
+
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decode slot.  PNG and uncompressed BMP decode via the
-    pure-stdlib :func:`decode_png` / :func:`decode_bmp` (no third-party
-    dependency); other formats require Pillow, absent from this
-    container — import-guarded."""
+    """Real decode slot.  PNG, uncompressed BMP and GIF decode via the
+    pure-stdlib :func:`decode_png` / :func:`decode_bmp` /
+    :func:`decode_gif` (no third-party dependency); other formats require
+    Pillow, absent from this container — import-guarded."""
     if payload and payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload and payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     try:
         from PIL import Image  # noqa: F401 — not installed in this container
     except ImportError as e:

@@ -972,3 +972,142 @@ def test_decode_bmp_rejects():
     struct.pack_into("<I", raw, 30, 1)  # biCompression = BI_RLE8
     with pt.raises(NotImplementedError):
         decode_bmp(bytes(raw))
+
+
+# --- GIF decode (pure-stdlib LZW, functions/multimodal.decode_gif) --------
+
+
+def _make_gif(indices, palette, clear_every=None):
+    """Build a GIF89a from 2-D index array + RGB palette with an
+    INDEPENDENT LZW writer: literal codes only, CLEAR emitted often
+    enough that the decoder's code width never grows — correct by the
+    spec's width-growth rule, sharing no logic with the decoder."""
+    import struct
+
+    import numpy as np
+
+    indices = np.asarray(indices, dtype=np.uint8)
+    h, w = indices.shape
+    n_pal = len(palette)
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    mcs = max(2, pal_bits)
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    if clear_every is None:
+        clear_every = (1 << mcs) - 3
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    cnt = 0
+    for ix in indices.ravel():
+        if cnt == clear_every:
+            emit(clear)
+            cnt = 0
+        emit(int(ix))
+        cnt += 1
+    emit(end)
+    if nacc:
+        out.append(acc & 0xFF)
+
+    gct_bits = max(1, pal_bits)
+    gct_n = 1 << gct_bits
+    gct = bytearray()
+    for i in range(gct_n):
+        r, g, b = palette[i] if i < n_pal else (0, 0, 0)
+        gct += bytes([r, g, b])
+    buf = bytearray(b"GIF89a")
+    buf += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    buf += gct
+    # a graphic-control extension the decoder must skip
+    buf += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    buf += bytes([mcs])
+    for off in range(0, len(out), 255):
+        blk = out[off : off + 255]
+        buf += bytes([len(blk)]) + blk
+    buf += b"\x00\x3b"
+    return bytes(buf)
+
+
+def test_decode_gif_roundtrip():
+    import numpy as np
+
+    from rdfshape_api_spark.functions.multimodal import decode_gif
+
+    rng = np.random.RandomState(11)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = rng.randint(0, 4, size=(7, 5))
+    img = decode_gif(_make_gif(idx, palette))
+    assert img.shape == (7, 5, 3)
+    expect = np.array(palette, dtype=np.uint8)[idx]
+    assert (img == expect).all()
+    # frequent CLEARs (every 2 codes) must decode identically
+    img2 = decode_gif(_make_gif(idx, palette, clear_every=2))
+    assert (img2 == expect).all()
+
+
+def test_decode_gif_kwkwk_case():
+    """Hand-packed stream exercising the code==next_code (KwKwK) branch:
+    mcs=2, codes [CLEAR=4, 1, 6, END=5] at width 3 decode to pixels
+    [1, 1, 1] (code 6 == table size -> entry 'prev + prev[0]')."""
+    import struct
+
+    import numpy as np
+
+    from rdfshape_api_spark.functions.multimodal import decode_gif
+
+    codes, width = [4, 1, 6, 5], 3
+    acc = nacc = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nacc
+        nacc += width
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    buf = bytearray(b"GIF87a")
+    buf += struct.pack("<HHBBB", 3, 1, 0x80 | 1, 0, 0)  # 4-color GCT
+    buf += bytes([0, 0, 0, 9, 9, 9, 0, 0, 0, 0, 0, 0])
+    buf += b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 1, 0)
+    buf += bytes([2, len(data)]) + data + b"\x00\x3b"
+    img = decode_gif(bytes(buf))
+    assert (img == np.array([[[9, 9, 9]] * 3], dtype=np.uint8)).all()
+
+
+def test_decode_gif_rejects():
+    import numpy as np
+    import pytest as pt
+
+    from rdfshape_api_spark.functions.multimodal import decode_gif
+
+    with pt.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG!" + b"\x00" * 20)
+    gif = bytearray(_make_gif(np.zeros((2, 2), dtype=np.uint8), [(1, 2, 3), (0, 0, 0)]))
+    # flip the image descriptor's interlace bit -> clean subset reject
+    pos = gif.index(b"\x2c")
+    gif[pos + 9] |= 0x40
+    with pt.raises(NotImplementedError, match="non-interlaced"):
+        decode_gif(bytes(gif))
+
+
+def test_decode_image_real_dispatches_gif():
+    import numpy as np
+
+    from rdfshape_api_spark.functions.multimodal import _decode_image_real
+
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    img = _decode_image_real(_make_gif(idx, [(5, 5, 5), (7, 7, 7)]))
+    assert img.shape == (2, 2, 3) and img[0, 1, 0] == 7
