@@ -50,6 +50,33 @@ def extraction_lineage(docs: DataFrame, raw_triples: DataFrame) -> DataFrame:
     return d.join(t, on="repo", how="left").na.fill(0, ["output_triples", "error_docs"])
 
 
+def store_lineage(store: DataFrame) -> DataFrame:
+    """Per-PHYSICAL-partition lineage for the canonical store: one row per
+    ``(pred_part, bucket)`` layout directory — triple count, exact distinct
+    subjects (exact is affordable: the agg groups by the store's own
+    layout keys, so it rides the existing partitioning with map-side
+    combine and no extra shuffle).  At 100 TB this table IS the store's
+    statistics catalog: planners read it (KBs) instead of listing data
+    files to answer "which predicate directories matter / how skewed are
+    the subject buckets"."""
+    return store.groupBy("pred_part", "bucket").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("pred").alias("n_predicates"),
+    )
+
+
+def verdict_lineage(verdicts: DataFrame) -> DataFrame:
+    """Conformance rollup of the validation stage: one row per
+    ``(shape_id, status)`` with node and document counts — the per-stage
+    metrics row the north rule asks for, and the number a monitoring
+    system would alert on (nonconformance-rate drift)."""
+    return verdicts.groupBy("shape_id", "status").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("doc_sha256").alias("n_docs"),
+    )
+
+
 def triple_precision_recall(got: DataFrame, expected: DataFrame) -> dict:
     """Triple-level precision/recall of the canonical output vs a golden
     emitter (north_star: P/R ≥ 0.95 vs the reference's emitted triples).

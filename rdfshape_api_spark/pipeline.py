@@ -84,10 +84,18 @@ def run_pipeline(
     store_subj_buckets: int = 16,
     golden_triples: str | None = None,
     extract_buckets: int = 0,
+    full_lineage: bool = False,
 ) -> dict:
     """Run all stages; returns a metrics dict (also written to
     ``out_dir/metrics.json``). Stages with existing `_SUCCESS` are skipped
-    when ``resume=True``."""
+    when ``resume=True``.
+
+    ``full_lineage=True`` additionally writes the store's per-partition
+    statistics table (``lineage_store``: one row per (pred_part, bucket)
+    layout directory) and the validation conformance rollup
+    (``lineage_verdicts``: one row per (shape_id, status)) — two extra
+    small aggregation jobs; benchmarks that compare walls across rounds
+    keep the default."""
     metrics: dict = {}
     raw_dir = os.path.join(out_dir, "raw_triples")
     lineage_dir = os.path.join(out_dir, "lineage_extract")
@@ -199,22 +207,48 @@ def run_pipeline(
                     vt, jobs, focus_triples=triples
                 ).write.mode("overwrite").parquet(verdict_dir)
 
+    # -- per-partition lineage for the store + validation stages -------------
+    if full_lineage:
+        from rdfshape_api_spark.lineage import store_lineage, verdict_lineage
+
+        store_lineage(spark.read.parquet(store_dir)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "lineage_store"))
+        if os.path.exists(verdict_dir):
+            verdict_lineage(spark.read.parquet(verdict_dir)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "lineage_verdicts"))
+
     # -- metrics --------------------------------------------------------------
-    lineage = spark.read.parquet(lineage_dir)
-    agg = lineage.agg(
-        F.sum("input_docs").alias("docs"),
-        F.sum("output_triples").alias("triples"),
-        F.sum("error_docs").alias("errors"),
-        F.sum("sha_violations").alias("sha_violations"),
-    ).collect()[0]
+    # Driver-side pyarrow reads, NOT Spark jobs: the lineage table is
+    # KB-sized (one row per repo partition) and the verdict count is in
+    # the parquet footers — each Spark job here would pay a scheduling +
+    # commit floor that is constant across executor counts (it showed up
+    # as ~1 s of every measured pipeline wall at both N and 4N).
+    import pyarrow.dataset as _pads
+
+    lin = _pads.dataset(lineage_dir, format="parquet").to_table(
+        columns=["input_docs", "output_triples", "error_docs", "sha_violations"]
+    )
+
+    def _colsum(name: str) -> int:
+        import pyarrow.compute as pc
+
+        return int(pc.sum(lin.column(name)).as_py() or 0)
+
     metrics.update(
-        docs=int(agg["docs"] or 0),
-        triples=int(agg["triples"] or 0),
-        error_docs=int(agg["errors"] or 0),
-        sha_violations=int(agg["sha_violations"] or 0),
+        docs=_colsum("input_docs"),
+        triples=_colsum("output_triples"),
+        error_docs=_colsum("error_docs"),
+        sha_violations=_colsum("sha_violations"),
     )
     if os.path.exists(verdict_dir):
-        metrics["verdicts"] = spark.read.parquet(verdict_dir).count()
+        import pyarrow.parquet as _papq
+
+        metrics["verdicts"] = sum(
+            _papq.ParquetFile(f).metadata.num_rows
+            for f in _pads.dataset(verdict_dir, format="parquet").files
+        )
     if golden_triples:
         from rdfshape_api_spark.lineage import triple_precision_recall
 
@@ -247,6 +281,7 @@ def main() -> None:
         shex_shapemap=SHAPEMAP_QUERY,
         shacl_schema=SHACL_SENSOR,
         repartition_by_repo=spark.sparkContext.defaultParallelism,
+        full_lineage=True,
     )
     print(json.dumps(m))
     spark.stop()

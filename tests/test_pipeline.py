@@ -80,3 +80,38 @@ def test_pipeline_links_sameas_entities(spark, tmp_path):
     assert ("http://e/a", "http://e/name", "Al") in rows
     assert ("http://e/x", "http://e/knows", "http://e/a") in rows
     assert not any(p == OWL_SAMEAS for _, p, _ in rows)
+
+
+def test_pipeline_full_lineage_tables(spark, fixtures_001, tmp_path):
+    """full_lineage=True adds the store statistics catalog (one row per
+    (pred_part, bucket) layout directory) and the validation conformance
+    rollup — the north rule's per-partition lineage for stages 2-3."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(fixtures_001["docs"]).limit(200)
+    out = str(tmp_path / "lin")
+    run_pipeline(
+        spark,
+        docs,
+        out,
+        shex_schema=SHEX_SENSOR,
+        shex_shapemap=SHAPEMAP_QUERY,
+        shacl_schema=SHACL_SENSOR,
+        full_lineage=True,
+    )
+    store = spark.read.parquet(os.path.join(out, "triple_store"))
+    stats = spark.read.parquet(os.path.join(out, "lineage_store"))
+    # the stats table sums back to the store exactly, per partition
+    assert stats.agg(F.sum("n_triples")).first()[0] == store.count()
+    one = stats.orderBy("pred_part", "bucket").first()
+    part = store.filter(
+        (F.col("pred_part") == one["pred_part"]) & (F.col("bucket") == one["bucket"])
+    )
+    assert part.count() == one["n_triples"]
+    assert part.select("subj").distinct().count() == one["n_subjects"]
+
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    roll = spark.read.parquet(os.path.join(out, "lineage_verdicts"))
+    assert roll.agg(F.sum("n_nodes")).first()[0] == verd.count()
+    assert set(r["shape_id"] for r in roll.select("shape_id").distinct().collect()) == \
+        set(r["shape_id"] for r in verd.select("shape_id").distinct().collect())
