@@ -57,6 +57,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_mem)
+        # v2 output committer: task outputs move to the destination at
+        # task commit instead of a SERIAL driver-side rename pass at job
+        # commit — with 64-file writes x several stages per pipeline run,
+        # v1's sequential renames are a per-job driver constant that does
+        # not shrink with executor count (same reasoning as cloud
+        # deployments, where v1's rename pass against an object store is
+        # the canonical slow path)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     # Shuffle/spill files on tmpfs — OPT-IN via SPARK_GRAFT_SHM_SHUFFLE=1
     # (the bench harness sets it).  Rationale for the bench: every executor
