@@ -2067,14 +2067,10 @@ _VERIFY_FIRST = [
     "rdf_sparql_graph_enum",
     "social_shex_conj_not_ref",
     "text_temperature_mix",
-    "text_epoch_shards",
     "rdf_has_pred_subj",
-    "rdf_check_datatype",
     "rdf_graph_fp",
-    "rdf_trig",
     "rdf_xml_roundtrip",
     "rdf_jsonld_roundtrip",
-    "rdf_rdfjson_roundtrip",
     "rdf_dot",
     "text_normalize",
     "rdf_pagerank",
@@ -2090,7 +2086,6 @@ _VERIFY_FIRST = [
     "text_span_dedup",
     "sim_semantic_dedup",
     "text_top_ngrams",
-    "text_tfidf",
     "mm_audio_features",
     "rdf_nquads",
     "text_hash_sample",
@@ -2110,16 +2105,29 @@ _VERIFY_FIRST = [
     # the never-verified class; the two rows-only entries (k-means PCA
     # init / trained BPE merges have no SQL twin) sit late so window slots
     # carry hash-checkable oracles.
+    # family-diverse tail: one hash-checkable entry per code-corpus family
+    # first (winnow machinery / repo rollups / license governance), so the
+    # window's last slots sample three DIFFERENT subsystems; the remaining
+    # variants + rows-only entries (k-means PCA, trained BPE, PQ) roll to
+    # the next round's window.
     "code_winnow_fp",
-    "code_winnow_clones",
-    "code_winnow_lsh",
     "code_repo_stats",
-    "code_ident_top",
+    "code_license_profile",
     "social_shacl_member_prop",
     "social_triangles",
+    "code_winnow_clones",
+    "code_winnow_lsh",
+    "code_ident_top",
+    "text_pack_sequences",
+    # demoted same-family variants (a sibling of each is in-window):
+    "rdf_trig",
+    "rdf_rdfjson_roundtrip",
+    "rdf_check_datatype",
+    "text_epoch_shards",
+    "text_tfidf",
     "sim_pca_project",
     "text_bpe_encode",
-    "text_pack_sequences",
+    "sim_pq_ann",
     # (c) last green in r2
     "rdf_html_extract",
     "text_features",
