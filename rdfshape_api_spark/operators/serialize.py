@@ -525,8 +525,31 @@ def assemble_dot(lines_df: DataFrame, doc_sha256: str, name: str = "rdf") -> str
     return f'digraph "{name}" {{\n{body}\n}}'
 
 
+def severity_by_reason(schema) -> dict[str, str]:
+    """``reason text → sh:severity IRI`` for every constraint of a
+    compiled SHACL schema carrying an explicit non-default ``sh:severity``
+    (spec §2.3.2.2).  Keys are the exact strings
+    :func:`plans.validate.reason_text` produces — the single shared
+    definition — so the report renderer can recover per-result severities
+    from the verdict's ``reasons`` column without re-running validation."""
+    from rdfshape_api_spark.model import SH
+    from rdfshape_api_spark.plans.validate import reason_text
+
+    out: dict[str, str] = {}
+    for sh_ in schema.shapes.values():
+        for tc in list(sh_.constraints) + [
+            t for grp in (sh_.alternatives or []) for t in grp
+        ]:
+            sev = getattr(tc, "severity", None)
+            if sev and sev != SH + "Violation":
+                out[reason_text(tc)] = sev
+    return out
+
+
 def validation_report_triples(
-    verdicts: DataFrame, include_messages: bool = True
+    verdicts: DataFrame,
+    include_messages: bool = True,
+    severity_of: dict[str, str] | None = None,
 ) -> DataFrame:
     """Render a verdict DataFrame ``(doc_sha256, node, shape_id, status[,
     reasons])`` as a standard SHACL **ValidationReport** graph (spec §3) in
@@ -596,12 +619,37 @@ def validation_report_triples(
         F.lit(":"),
         F.sha2(F.concat_ws("\x1f", "node", "shape_id"), 256).substr(1, 16),
     )
+    # per-result severity: a result's severity is the highest-ranked among
+    # its violated constraints' (Violation > Warning > Info > custom IRIs,
+    # spec §2.3.2.2); any reason NOT in the map is a default-severity
+    # (Violation) constraint — including reasons from evaluators that do
+    # not flow through reason_text — so unknowns always rank highest
+    sev_col = F.lit(SH + "Violation")
+    if severity_of and "reasons" in verdicts.columns:
+        mapped = sorted(severity_of)
+        arr_mapped = F.array(*[F.lit(t) for t in mapped])
+        has_unmapped = F.exists(
+            F.col("reasons"), lambda r: ~F.array_contains(arr_mapped, r)
+        )
+        ranked = [SH + "Warning", SH + "Info"] + sorted(
+            {s for s in severity_of.values()} - {SH + "Warning", SH + "Info"}
+        )
+        sev_col = F.when(has_unmapped, F.lit(SH + "Violation"))
+        for sev in ranked:
+            texts = [t for t, s in severity_of.items() if s == sev]
+            if texts:
+                arr = F.array(*[F.lit(t) for t in texts])
+                sev_col = sev_col.when(
+                    F.exists(F.col("reasons"), lambda r: F.array_contains(arr, r)),
+                    F.lit(sev),
+                )
+        sev_col = sev_col.otherwise(F.lit(SH + "Violation"))
     body_rows = [
         _row(report, SH + "result", "iri", res),
         _row(res, rdf_type, "iri", F.lit(SH + "ValidationResult")),
         _row(res, SH + "focusNode", "iri", F.col("node")),
         _row(res, SH + "sourceShape", "iri", F.col("shape_id")),
-        _row(res, SH + "resultSeverity", "iri", F.lit(SH + "Violation")),
+        _row(res, SH + "resultSeverity", "iri", sev_col),
     ]
     results = bad.select(
         "doc_sha256", F.explode(F.array(*body_rows)).alias("t")

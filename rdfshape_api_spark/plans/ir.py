@@ -55,6 +55,11 @@ class TripleConstraint:
     # SHACL sh:message on the property shape: overrides the generated
     # violation reason text in the report (spec §2.3.2.3)
     message: str | None = None
+    # SHACL sh:severity on the property shape (spec §2.3.2.2): carried
+    # into the ValidationReport's sh:resultSeverity (default sh:Violation);
+    # NEVER affects conformance — sh:conforms is false whenever any result
+    # exists, regardless of severity
+    severity: str | None = None
     extra: bool = False  # ShEx EXTRA on this predicate
     negated: bool = False  # ShEx NOT on this value expression
     # SHACL sh:path [ sh:inversePath p ]: the constraint ranges over the

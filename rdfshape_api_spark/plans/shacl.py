@@ -833,10 +833,13 @@ def parse_shacl(text: str, fmt: str = "turtle") -> CompiledSchema:
             if (v := g.obj1(pshape, SH + "uniqueLang")) is not None and v[1] == "true":
                 tc.unique_lang = True
             # sh:message: custom violation text carried into the report's
-            # reasons column (sh:severity is parsed and ignored — the
-            # verdict schema is binary conformant/nonconformant)
+            # reasons column; sh:severity rides along for the report's
+            # sh:resultSeverity (the VERDICT stays binary — severity never
+            # affects conformance, spec §3.4)
             if (v := g.obj1(pshape, SH + "message")) is not None:
                 tc.message = v[1]
+            if (v := g.obj1(pshape, SH + "severity")) is not None:
+                tc.severity = v[1]
 
             # sh:hasValue: the value set must INCLUDE the term — count-only
             # semantics over a one-member value set (other values are never

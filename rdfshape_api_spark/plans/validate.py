@@ -77,6 +77,18 @@ def datatype_ok(datatype: str) -> Column:
     return ok
 
 
+def reason_text(tc: TripleConstraint) -> str:
+    """The violation reason string a per-constraint failure produces —
+    ONE definition shared by the evaluators and by the report renderer's
+    severity map (:func:`operators.serialize.severity_by_reason`), so the
+    reason → sh:severity association can never drift from the text the
+    verdict actually carries."""
+    card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
+    kind = "qualified constraint" if tc.qualified else "constraint"
+    pred_disp = tc.pred if tc.path is not None else f"<{tc.pred}>"
+    return tc.message or f"{kind} on {pred_disp} {card} violated"
+
+
 def _walk_value_nodes(tc: TripleConstraint, path: tuple = ()):
     """DFS over a constraint's value-expression tree.  Yields
     ``(path, node)`` where ``path`` is the node's address — a tuple of
@@ -840,16 +852,8 @@ def evaluate_shape(
             )
             c_ok = c_ok & ~(pairs & bad)
         alt_ok[alt_of[i]] = alt_ok[alt_of[i]] & c_ok
-        card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
-        kind = "qualified constraint" if tc.qualified else "constraint"
-        pred_disp = tc.pred if tc.path is not None else f"<{tc.pred}>"
         if shape.alternatives is None:
-            reasons.append(
-                F.when(
-                    ~c_ok,
-                    F.lit(tc.message or f"{kind} on {pred_disp} {card} violated"),
-                )
-            )
+            reasons.append(F.when(~c_ok, F.lit(reason_text(tc))))
     for key, idxs in sorted(rep_groups.items()):
         gi = rep_ids[key]
         alt, pred = key[0], key[1]
@@ -1145,13 +1149,7 @@ def validate_batch(
                 if not tc.extra and not tc.qualified:
                     c_ok = c_ok & (m == t)
                 ok = ok & c_ok
-                card = f"{{{tc.min_count},{tc.max_count if tc.max_count is not None else '*'}}}"
-                reasons.append(
-                    F.when(
-                        ~c_ok,
-                        F.lit(tc.message or f"constraint on <{tc.pred}> {card} violated"),
-                    )
-                )
+                reasons.append(F.when(~c_ok, F.lit(reason_text(tc))))
             tag_is = F.col("_tag") == i
             label_expr = F.when(tag_is, F.lit(label)).otherwise(label_expr)
             status_expr = F.when(

@@ -143,3 +143,68 @@ def test_validation_report_triples(spark):
 
     nt = to_ntriples(out)
     assert nt.count() == out.count()
+
+
+def test_validation_report_severity(spark):
+    """sh:severity flows from the shapes graph into sh:resultSeverity:
+    end-to-end through parse_shacl -> validate -> severity_by_reason ->
+    validation_report_triples.  Conformance is UNAFFECTED (spec §3.4)."""
+    from rdfshape_api_spark.operators.serialize import (
+        severity_by_reason,
+        validation_report_triples,
+    )
+    from rdfshape_api_spark.plans import parse_shacl
+    from rdfshape_api_spark.plans.validate import validate
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    SH = "http://www.w3.org/ns/shacl#"
+    schema = parse_shacl(
+        """
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <http://e/> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ;
+                        sh:severity sh:Warning ;
+                        sh:message "name missing" ] ;
+          sh:property [ sh:path ex:age ; sh:minCount 1 ] .
+        """
+    )
+    sev_map = severity_by_reason(schema)
+    assert sev_map == {"name missing": SH + "Warning"}
+
+    docs = spark.createDataFrame(
+        [
+            (
+                "r", "p", "c", "ttl",
+                "@prefix ex: <http://e/> .\n"
+                "ex:a a ex:T ; ex:age 3 .\n"       # missing name -> Warning only
+                "ex:b a ex:T ; ex:name \"B\" .\n"  # missing age -> Violation
+                "ex:c a ex:T .\n",                  # missing both -> Violation wins
+            )
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t = extract_triples(docs)
+    v = validate(t, schema)
+    report = validation_report_triples(v, severity_of=sev_map)
+    sev = {
+        r.obj_value
+        for r in report.filter(
+            (report.pred == SH + "resultSeverity")
+        ).collect()
+    }
+    # severity per focus node
+    rows = report.collect()
+    focus_of = {r.subj: r.obj_value for r in rows if r.pred == SH + "focusNode"}
+    sev_of = {focus_of[r.subj]: r.obj_value for r in rows if r.pred == SH + "resultSeverity"}
+    assert sev_of["http://e/a"] == SH + "Warning"
+    assert sev_of["http://e/b"] == SH + "Violation"
+    assert sev_of["http://e/c"] == SH + "Violation"  # mixed -> highest rank
+    assert sev == {SH + "Warning", SH + "Violation"}
+    # conformance unaffected by severity: all three focus nodes are results
+    assert len(focus_of) == 3
+    # default call (no severity map) keeps the old output: all Violation
+    plain = validation_report_triples(v)
+    assert {
+        r.obj_value for r in plain.collect() if r.pred == SH + "resultSeverity"
+    } == {SH + "Violation"}
