@@ -546,10 +546,30 @@ def severity_by_reason(schema) -> dict[str, str]:
     return out
 
 
+def path_by_reason(schema) -> dict[str, str]:
+    """``reason text → predicate IRI`` for constraints over a plain
+    forward predicate — feeds ``sh:resultPath`` in the per-constraint
+    report (spec §3.4).  Inverse / sequence / closure paths are omitted
+    (their SHACL form is a blank-node path structure; resultPath is
+    optional, so omission is valid)."""
+    from rdfshape_api_spark.plans.validate import reason_text
+
+    out: dict[str, str] = {}
+    for sh_ in schema.shapes.values():
+        for tc in list(sh_.constraints) + [
+            t for grp in (sh_.alternatives or []) for t in grp
+        ]:
+            if tc.path is None and not tc.inverse and tc.pred:
+                out.setdefault(reason_text(tc), tc.pred)
+    return out
+
+
 def validation_report_triples(
     verdicts: DataFrame,
     include_messages: bool = True,
     severity_of: dict[str, str] | None = None,
+    per_constraint: bool = False,
+    result_path_of: dict[str, str] | None = None,
 ) -> DataFrame:
     """Render a verdict DataFrame ``(doc_sha256, node, shape_id, status[,
     reasons])`` as a standard SHACL **ValidationReport** graph (spec §3) in
@@ -565,6 +585,11 @@ def validation_report_triples(
 
     Report/result IRIs are deterministic skolems (``urn:report:<doc>`` /
     ``urn:report:<doc>:<n>``) so the output is stable and oracle-hashable.
+    ``per_constraint=True`` switches to the spec-shaped report — one
+    ``sh:ValidationResult`` per violated constraint, with per-reason
+    ``sh:resultMessage`` / ``sh:resultSeverity`` (``severity_of``, see
+    :func:`severity_by_reason`) and ``sh:resultPath`` (``result_path_of``,
+    see :func:`path_by_reason`).
     All Column logic — two map-side projections plus one per-doc
     aggregate for ``sh:conforms``; no Python, no driver loop.
     """
@@ -613,6 +638,63 @@ def validation_report_triples(
         .select("doc_sha256", "t.*")
     )
     bad = verdicts.filter(F.col("status") != STATUS_CONFORMANT)
+    if per_constraint:
+        # Spec-shaped report: ONE sh:ValidationResult per violated
+        # constraint (what shaclex emits), with message / severity /
+        # sh:resultPath resolved per reason.  The aggregate default keeps
+        # one result per focus node — smaller at corpus scale and
+        # hash-stable for the driver oracle (whose golden verdicts carry
+        # no reasons) — so this mode is opt-in API surface.
+        reasons_arr = (
+            F.col("reasons")
+            if "reasons" in verdicts.columns
+            else F.array().cast("array<string>")
+        )
+        exploded = bad.withColumn(
+            "_m",
+            F.explode(
+                F.when(F.size(reasons_arr) > 0, reasons_arr).otherwise(
+                    F.array(F.lit("violation"))
+                )
+            ),
+        )
+        pres = F.concat(
+            F.lit("urn:report:"),
+            F.col("doc_sha256"),
+            F.lit(":"),
+            F.sha2(F.concat_ws("\x1f", "node", "shape_id", "_m"), 256).substr(1, 16),
+        )
+        sev_expr = F.lit(SH + "Violation")
+        for txt, sev in sorted((severity_of or {}).items()):
+            sev_expr = F.when(F.col("_m") == txt, F.lit(sev)).otherwise(sev_expr)
+        rows = [
+            _row(report, SH + "result", "iri", pres),
+            _row(pres, rdf_type, "iri", F.lit(SH + "ValidationResult")),
+            _row(pres, SH + "focusNode", "iri", F.col("node")),
+            _row(pres, SH + "sourceShape", "iri", F.col("shape_id")),
+            _row(pres, SH + "resultSeverity", "iri", sev_expr),
+        ]
+        if include_messages:
+            rows.append(_row(pres, SH + "resultMessage", "literal", F.col("_m")))
+        results = exploded.select(
+            "doc_sha256", F.explode(F.array(*rows)).alias("t")
+        ).select("doc_sha256", "t.*")
+        out = conforms.unionByName(results)
+        if result_path_of:
+            path_expr = F.lit(None).cast("string")
+            for txt, p in sorted(result_path_of.items()):
+                path_expr = F.when(F.col("_m") == txt, F.lit(p)).otherwise(path_expr)
+            paths = exploded.select(
+                "doc_sha256",
+                pres.alias("subj"),
+                F.lit(SH + "resultPath").alias("pred"),
+                F.lit("iri").alias("obj_kind"),
+                path_expr.alias("obj_value"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+            ).filter(F.col("obj_value").isNotNull())
+            out = out.unionByName(paths)
+        return out.select(*cols)
     res = F.concat(
         F.lit("urn:report:"),
         F.col("doc_sha256"),

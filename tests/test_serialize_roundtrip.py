@@ -208,3 +208,52 @@ def test_validation_report_severity(spark):
     assert {
         r.obj_value for r in plain.collect() if r.pred == SH + "resultSeverity"
     } == {SH + "Violation"}
+
+
+def test_validation_report_per_constraint(spark):
+    """per_constraint=True: spec-shaped report — one ValidationResult per
+    violated constraint with resultMessage / resultSeverity / resultPath."""
+    from rdfshape_api_spark.operators.serialize import (
+        path_by_reason,
+        severity_by_reason,
+        validation_report_triples,
+    )
+    from rdfshape_api_spark.plans import parse_shacl
+    from rdfshape_api_spark.plans.validate import validate
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    SH = "http://www.w3.org/ns/shacl#"
+    schema = parse_shacl(
+        """
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <http://e/> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ;
+                        sh:severity sh:Warning ; sh:message "name missing" ] ;
+          sh:property [ sh:path ex:age ; sh:minCount 1 ] .
+        """
+    )
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "ttl",
+          "@prefix ex: <http://e/> .\nex:c a ex:T .\n")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    v = validate(extract_triples(docs), schema)
+    rep = validation_report_triples(
+        v,
+        per_constraint=True,
+        severity_of=severity_by_reason(schema),
+        result_path_of=path_by_reason(schema),
+    ).collect()
+    # ex:c violates BOTH constraints -> two ValidationResult nodes
+    results = [r.subj for r in rep if r.pred == SH + "focusNode"]
+    assert len(results) == 2 and len(set(results)) == 2
+    sev = {r.subj: r.obj_value for r in rep if r.pred == SH + "resultSeverity"}
+    msg = {r.subj: r.obj_value for r in rep if r.pred == SH + "resultMessage"}
+    path = {r.subj: r.obj_value for r in rep if r.pred == SH + "resultPath"}
+    name_res = [s for s, m in msg.items() if m == "name missing"][0]
+    age_res = [s for s in results if s != name_res][0]
+    assert sev[name_res] == SH + "Warning" and sev[age_res] == SH + "Violation"
+    assert path[name_res] == "http://e/name" and path[age_res] == "http://e/age"
+    # header still present and conforms=false
+    assert any(r.pred == SH + "conforms" and r.obj_value == "false" for r in rep)
