@@ -920,11 +920,19 @@ def _q_bpe_encode(spark, sf_dir):
         word_frequencies,
     )
 
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     wf = [(r["word"], r["n"]) for r in word_frequencies(docs, top_k=2000).collect()]
     merges = train_bpe(wf, num_merges=200)
     vocab = build_vocab(merges, wf)
-    return bpe_encode(docs, merges, vocab)
+    enc = bpe_encode(docs, merges, vocab)
+    # Contract shape: stringify the array column so the driver's pandas
+    # canonicalizer (sort_values over every column) can hash the row.
+    return enc.select(
+        *[c for c in enc.columns if c != "token_ids"],
+        F.concat_ws(",", F.col("token_ids").cast("array<string>")).alias("token_ids"),
+    )
 
 
 def _q_pack_token_ids(spark, sf_dir):
@@ -947,7 +955,16 @@ def _q_pack_token_ids(spark, sf_dir):
             F.split(F.lower(F.trim(F.col("text"))), r"\s+"), word_id
         ).alias("token_ids"),
     )
-    return pack_token_ids(encoded, seq_len=32, n_shards=8)
+    packed = pack_token_ids(encoded, seq_len=32, n_shards=8)
+    # Contract shape: the driver's canonicalizer sorts columns with pandas,
+    # which cannot hash a list column — project the sequence to a sortable
+    # scalar (comma-joined string) on BOTH sides; the oracle mirrors with
+    # array_to_string.  pack_token_ids itself keeps the array<int> schema.
+    return packed.select(
+        "shard",
+        "seq_idx",
+        F.concat_ws(",", F.col("token_ids").cast("array<string>")).alias("token_ids"),
+    )
 
 
 def _q_dedup_lsh(spark, sf_dir):
@@ -1173,9 +1190,17 @@ def _q_sim_pca(spark, sf_dir):
     contract tier as IVF k-means."""
     from rdfshape_api_spark.functions.similarity import pca_fit, pca_project
 
+    from pyspark.sql import functions as F
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     mean, comps, _ = pca_fit(emb, k=4)
-    return pca_project(emb, mean, comps)
+    proj = pca_project(emb, mean, comps)
+    # Contract shape: stringify the array column so the driver's pandas
+    # canonicalizer (sort_values over every column) can hash the row.
+    return proj.select(
+        *[c for c in proj.columns if c != "proj"],
+        F.concat_ws(",", F.col("proj").cast("array<string>")).alias("proj"),
+    )
 
 
 def _q_sim_semantic_dedup(spark, sf_dir):
@@ -3560,7 +3585,7 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             )
             SELECT shard, ((rn - 1) // 32)::BIGINT AS seq_idx,
-                   list(tid ORDER BY rn) AS token_ids
+                   array_to_string(list(tid ORDER BY rn), ',') AS token_ids
             FROM ranked
             GROUP BY shard, ((rn - 1) // 32)
             HAVING count(*) = 32

@@ -191,6 +191,8 @@ def _gif_lzw(min_code_size: int, data: bytes) -> bytes:
         if code == end:
             return bytes(out)
         if prev is None:
+            if code >= len(table):  # first code after CLEAR must be literal
+                raise ValueError("GIF: truncated/corrupt stream")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -229,10 +231,16 @@ def decode_gif(payload: bytes) -> np.ndarray:
         pos += 1
         if b0 == 0x21:  # extension: label + sub-block chain
             pos += 1
-            while payload[pos]:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF: truncated/corrupt stream")
+                if not payload[pos]:
+                    break
                 pos += payload[pos] + 1
             pos += 1
         elif b0 == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("GIF: truncated/corrupt stream")
             _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
             if iflags & 0x40:
@@ -244,11 +252,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 pos += n * 3
             if pal is None:
                 raise ValueError("GIF: no color table")
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated/corrupt stream")
             mcs = payload[pos]
             pos += 1
             data = bytearray()
-            while payload[pos]:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("GIF: truncated/corrupt stream")
                 sz = payload[pos]
+                if not sz:
+                    break
                 data += payload[pos + 1 : pos + 1 + sz]
                 pos += sz + 1
             idx = _gif_lzw(mcs, bytes(data))

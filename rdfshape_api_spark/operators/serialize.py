@@ -542,7 +542,18 @@ def severity_by_reason(schema) -> dict[str, str]:
         ]:
             sev = getattr(tc, "severity", None)
             if sev and sev != SH + "Violation":
-                out[reason_text(tc)] = sev
+                key = reason_text(tc)
+                if key in out and out[key] != sev:
+                    # reason text is the ONLY join key between verdicts and
+                    # the schema — two constraints sharing a message but
+                    # carrying different severities cannot be told apart
+                    raise ValueError(
+                        "severity_by_reason: reason text "
+                        f"{key!r} maps to conflicting severities "
+                        f"{out[key]} and {sev}; give the constraints "
+                        "distinct sh:message values"
+                    )
+                out[key] = sev
     return out
 
 
@@ -560,7 +571,15 @@ def path_by_reason(schema) -> dict[str, str]:
             t for grp in (sh_.alternatives or []) for t in grp
         ]:
             if tc.path is None and not tc.inverse and tc.pred:
-                out.setdefault(reason_text(tc), tc.pred)
+                key = reason_text(tc)
+                if key in out and out[key] != tc.pred:
+                    raise ValueError(
+                        "path_by_reason: reason text "
+                        f"{key!r} maps to conflicting paths "
+                        f"{out[key]} and {tc.pred}; give the constraints "
+                        "distinct sh:message values"
+                    )
+                out[key] = tc.pred
     return out
 
 
@@ -594,6 +613,14 @@ def validation_report_triples(
     aggregate for ``sh:conforms``; no Python, no driver loop.
     """
     from rdfshape_api_spark.model import SH, STATUS_CONFORMANT
+
+    # An explicit sh:Violation entry in the caller's map must rank like the
+    # unmapped default (highest), not like a custom IRI below Warning/Info —
+    # strip such entries so those reasons take the unmapped short-circuit.
+    if severity_of:
+        severity_of = {
+            t: s for t, s in severity_of.items() if s != SH + "Violation"
+        }
 
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     xsd_bool = "http://www.w3.org/2001/XMLSchema#boolean"
@@ -645,8 +672,11 @@ def validation_report_triples(
         # one result per focus node — smaller at corpus scale and
         # hash-stable for the driver oracle (whose golden verdicts carry
         # no reasons) — so this mode is opt-in API surface.
+        # distinct: a reason repeated for one (node, shape) would skolemize
+        # to the SAME result IRI and emit duplicate triples, inflating
+        # counts in downstream set-semantics tables
         reasons_arr = (
-            F.col("reasons")
+            F.array_distinct(F.col("reasons"))
             if "reasons" in verdicts.columns
             else F.array().cast("array<string>")
         )

@@ -1103,6 +1103,31 @@ def test_decode_gif_rejects():
         decode_gif(bytes(gif))
 
 
+def test_decode_gif_truncated_raises_valueerror():
+    """Truncated/corrupt payloads must raise the documented ValueError
+    clean-reject, never IndexError, at every cut point — callers route
+    decode errors by catching ValueError."""
+    import numpy as np
+    import pytest as pt
+
+    from rdfshape_api_spark.functions.multimodal import _gif_lzw, decode_gif
+
+    full = _make_gif(
+        np.array([[0, 1], [1, 0]], dtype=np.uint8), [(1, 2, 3), (4, 5, 6)]
+    )
+    # a cut past the last data sub-block still decodes (trailer optional);
+    # any earlier cut must clean-reject — never IndexError / struct.error
+    for cut in range(14, len(full)):
+        try:
+            img = decode_gif(full[:cut])
+            assert img.shape == (2, 2, 3)
+        except (ValueError, NotImplementedError):
+            pass
+    # first code after CLEAR beyond the table -> clean reject, not IndexError
+    with pt.raises(ValueError, match="truncated/corrupt"):
+        _gif_lzw(2, bytes([0x04 | (0x07 << 3)]))  # CLEAR=4 then code 7 > table
+
+
 def test_decode_image_real_dispatches_gif():
     import numpy as np
 

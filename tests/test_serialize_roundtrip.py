@@ -257,3 +257,83 @@ def test_validation_report_per_constraint(spark):
     assert path[name_res] == "http://e/name" and path[age_res] == "http://e/age"
     # header still present and conforms=false
     assert any(r.pred == SH + "conforms" and r.obj_value == "false" for r in rep)
+
+
+def test_severity_map_conflicts_and_explicit_violation(spark):
+    """ADVICE r4 hardening: (a) a reason text mapped to two different
+    severities raises (reason text is the only verdict<->schema join key);
+    (b) a caller-supplied map entry of explicit sh:Violation ranks like
+    the unmapped default — highest — not like a custom IRI below
+    Warning."""
+    import pytest as pt
+
+    from rdfshape_api_spark.operators.serialize import (
+        severity_by_reason,
+        validation_report_triples,
+    )
+    from rdfshape_api_spark.plans import parse_shacl
+    from rdfshape_api_spark.plans.validate import validate
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    SH = "http://www.w3.org/ns/shacl#"
+    dup = parse_shacl(
+        """
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <http://e/> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ;
+                        sh:severity sh:Warning ; sh:message "same text" ] ;
+          sh:property [ sh:path ex:age ; sh:minCount 1 ;
+                        sh:severity sh:Info ; sh:message "same text" ] .
+        """
+    )
+    with pt.raises(ValueError, match="conflicting severities"):
+        severity_by_reason(dup)
+
+    schema = parse_shacl(
+        """
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <http://e/> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ;
+                        sh:message "name missing" ] ;
+          sh:property [ sh:path ex:age ; sh:minCount 1 ;
+                        sh:severity sh:Warning ; sh:message "age missing" ] .
+        """
+    )
+    docs = spark.createDataFrame(
+        [("r", "p", "c", "ttl", "@prefix ex: <http://e/> .\nex:c a ex:T .\n")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    v = validate(extract_triples(docs), schema)
+    # caller maps "name missing" EXPLICITLY to Violation; node also has a
+    # Warning reason -> the node's aggregate severity must be Violation
+    rep = validation_report_triples(
+        v,
+        severity_of={
+            "name missing": SH + "Violation",
+            "age missing": SH + "Warning",
+        },
+    ).collect()
+    sev = [r.obj_value for r in rep if r.pred == SH + "resultSeverity"]
+    assert sev == [SH + "Violation"]
+
+
+def test_per_constraint_duplicate_reasons_deduped(spark):
+    """A reasons array repeating one reason for a (node, shape) skolemizes
+    to the SAME result IRI — the per-constraint renderer must not emit the
+    result's triples twice (set semantics downstream)."""
+    from rdfshape_api_spark.operators.serialize import validation_report_triples
+
+    SH = "http://www.w3.org/ns/shacl#"
+    v = spark.createDataFrame(
+        [("d1", "http://e/c", "http://e/S", "nonconformant",
+          ["dup reason", "dup reason", "other"])],
+        "doc_sha256 string, node string, shape_id string, status string, "
+        "reasons array<string>",
+    )
+    rep = validation_report_triples(v, per_constraint=True).collect()
+    results = [r.subj for r in rep if r.pred == SH + "focusNode"]
+    assert len(results) == 2 and len(set(results)) == 2
+    type_rows = [r for r in rep if r.obj_value == SH + "ValidationResult"]
+    assert len(type_rows) == 2
