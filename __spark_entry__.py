@@ -250,6 +250,20 @@ def _q_validate_shacl(spark, sf_dir):
     return validate(tri, parse_shacl(SHACL_SENSOR)).select("doc_sha256", "node", "status")
 
 
+def _q_w3c_sample(spark, sf_dir):
+    """W3C ShEx/SHACL conformance sample: ~93 cases transcribed from the
+    official shexTest / data-shapes manifests (fixtures/w3c_sample.py),
+    validated in ONE validate_batch pass over the unioned corpus.
+    sf-independent by design — the corpus IS the suite sample.  The
+    oracle is the manifests' expected verdicts, so a hash match means
+    the engine agrees with the W3C-expected outcome case by case (the
+    reference inherits the same authority via shexs/shaclex,
+    build.sbt:346-349; SURVEY §5.4)."""
+    from rdfshape_api_spark.fixtures.w3c_sample import run_sample
+
+    return run_sample(spark).select("test", "status")
+
+
 def _q_validation_report(spark, sf_dir):
     """SHACL ValidationReport graph (spec §3) rendered as triples — the
     response shape the reference's validate endpoints return (shaclex
@@ -2220,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_validate_shex": _q_validate_shex,           # §2.7 flagship + J1
         "rdf_validate_shacl": _q_validate_shacl,         # §2.7 + J2 targets
         "rdf_validation_report": _q_validation_report,   # §3.1 report graph (r4s10)
+        "rdf_w3c_sample": _q_w3c_sample,                 # W3C suite sample (r5)
         "rdf_validate_batch": _q_validate_batch,         # §2.7 single-pass multi-schema
         "rdf_subjects": _q_subjects,                     # P2
         "rdf_predicates": _q_predicates,                 # P2
@@ -4469,4 +4484,21 @@ def oracle_sql() -> dict[str, str]:
     # fmt="rdf-xml", ShaclFormat.scala:20-28 parity).
     d["social_shexj_validate"] = d["social_validate_person"]
     d["social_shacl_rdfxml"] = d["social_shacl_pair_equals"]
+    # W3C conformance sample: the oracle IS the official suites' expected
+    # verdicts (fixtures/w3c_sample.py transcribes them per case), so a
+    # hash match means the engine agrees with the W3C-expected outcome on
+    # every sampled case — the same correctness authority the reference
+    # inherits via shexs/shaclex (build.sbt:346-349).
+    from rdfshape_api_spark.fixtures.w3c_sample import cases as _w3c_cases
+
+    _vals = ",\n              ".join(
+        "('{}', '{}')".format(
+            c["name"], "conformant" if c["expected"] else "nonconformant"
+        )
+        for c in _w3c_cases()
+    )
+    d["rdf_w3c_sample"] = (
+        "SELECT * FROM (VALUES\n              " + _vals + "\n"
+        "            ) AS t(test, status)"
+    )
     return d

@@ -1,0 +1,580 @@
+"""W3C conformance sample: ShEx / SHACL test cases transcribed from the
+published W3C suite manifests.
+
+The reference's correctness authority is the official W3C ShEx test suite
+(inherited through the ``shexs`` dependency, ``build.sbt:346-349``; SURVEY
+§5.4) and the SHACL data-shapes test suite (through shaclex).  This module
+carries a ~60-case sample of those suites **re-authored from the published
+test semantics** (schema shape, data graph shape, focus, expected verdict
+— the structures the public manifests document), namespaced per test so
+the whole sample validates as one corpus without cross-test target/focus
+contamination.  Case names follow the official manifest entry names
+(``1dot``, ``1val1IRIREF``, ``1cardOpt``, …; ``minCount-001``,
+``class-001``, …) with a ``_pass``/``_fail`` suffix marking the data
+variant exercised.
+
+Deliberate exclusions from the official suites (engine scope per SURVEY
+§7.3 / plans/shex.py docstring): semantic actions (no-op per spec),
+IMPORT, relative-IRI base resolution cases, non-stratifiable negation
+cycles, ShExJ-only syntax cases (covered separately by plans/shexj tests),
+SPARQL-based constraint components beyond sh:sparql/sh:select, and
+entailment-regime cases.
+
+Execution model (the point of running the sample through THIS engine):
+every case's data graph is one document row; the corpus validates in a
+single :func:`plans.validate.validate_batch` call — one scan + one
+shuffle for all simple jobs, per-job fallback for ref/CLOSED/logic cases
+— i.e. the sample runs on the same distributed path as a 100 TB corpus,
+not a per-test driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _ns(name: str) -> str:
+    return f"http://w3c.example/{name}#"
+
+
+def _shex(name, suite, schema_body, data_body, expected, focus="x", shape="S1"):
+    """One ShEx case; ``{ns}`` in bodies expands to the test namespace."""
+    ns = _ns(name)
+    return {
+        "name": name,
+        "suite": suite,
+        "kind": "shex",
+        "schema": f"PREFIX : <{ns}>\nPREFIX xsd: <{XSD}>\n" + schema_body.replace("{ns}", ns),
+        "data": f"@prefix : <{ns}> .\n@prefix xsd: <{XSD}> .\n" + data_body.replace("{ns}", ns),
+        "focus": ns + focus,
+        "shape": ns + shape,
+        "expected": expected,
+    }
+
+
+def _shacl(name, suite, schema_body, data_body, expected, focus="x"):
+    ns = _ns(name)
+    pre = (
+        f"@prefix : <{ns}> .\n@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+        f"@prefix xsd: <{XSD}> .\n"
+    )
+    return {
+        "name": name,
+        "suite": suite,
+        "kind": "shacl",
+        "schema": pre + schema_body.replace("{ns}", ns),
+        "data": f"@prefix : <{ns}> .\n@prefix xsd: <{XSD}> .\n" + data_body.replace("{ns}", ns),
+        "focus": ns + focus,
+        "shape": None,
+        "expected": expected,
+    }
+
+
+_SX = "shexTest/validation"
+_DS = "data-shapes/core"
+
+
+def cases() -> list[dict]:
+    out = [
+        # --- ShEx: triple constraint basics -------------------------------
+        _shex("1dot_pass", _SX, ":S1 { :p1 . }", ":x :p1 :o1 .", True),
+        _shex("1dot_fail", _SX, ":S1 { :p1 . }", ":x :p2 :o1 .", False),
+        _shex("1val1IRIREF_pass", _SX, ":S1 { :p1 [:v1] }", ":x :p1 :v1 .", True),
+        _shex("1val1IRIREF_fail", _SX, ":S1 { :p1 [:v1] }", ":x :p1 :v2 .", False),
+        _shex("1val2IRIREF_pass", _SX, ":S1 { :p1 [:v1 :v2] }", ":x :p1 :v2 .", True),
+        _shex(
+            "1val1literal_pass", _SX, ':S1 { :p1 ["v"] }', ':x :p1 "v" .', True
+        ),
+        _shex(
+            "1val1literal_fail", _SX, ':S1 { :p1 ["v"] }', ':x :p1 "w" .', False
+        ),
+        _shex(
+            "1datatype_pass", _SX, ":S1 { :p1 xsd:integer }",
+            ':x :p1 "4"^^xsd:integer .', True,
+        ),
+        _shex(
+            "1datatype_fail", _SX, ":S1 { :p1 xsd:integer }",
+            ':x :p1 "a" .', False,
+        ),
+        # --- ShEx: cardinalities ------------------------------------------
+        _shex("1cardOpt_pass0", _SX, ":S1 { :p1 . ? }", ':x :note "t" .', True),
+        _shex("1cardOpt_pass1", _SX, ":S1 { :p1 . ? }", ":x :p1 :o1 .", True),
+        _shex(
+            "1cardOpt_fail2", _SX, ":S1 { :p1 . ? }",
+            ":x :p1 :o1 , :o2 .", False,
+        ),
+        _shex(
+            "1card2_pass", _SX, ":S1 { :p1 . {2} }", ":x :p1 :o1 , :o2 .", True
+        ),
+        _shex("1card2_fail1", _SX, ":S1 { :p1 . {2} }", ":x :p1 :o1 .", False),
+        _shex(
+            "1cardPlus_pass", _SX, ":S1 { :p1 . + }",
+            ":x :p1 :o1 , :o2 , :o3 .", True,
+        ),
+        _shex("1cardPlus_fail0", _SX, ":S1 { :p1 . + }", ':x :note "t" .', False),
+        _shex("1cardStar_pass0", _SX, ":S1 { :p1 . * }", ':x :note "t" .', True),
+        _shex(
+            "1card02_fail3", _SX, ":S1 { :p1 . {0,2} }",
+            ":x :p1 :o1 , :o2 , :o3 .", False,
+        ),
+        # --- ShEx: node kinds ---------------------------------------------
+        _shex("1iri_pass", _SX, ":S1 { :p1 IRI }", ":x :p1 :o1 .", True),
+        _shex("1iri_fail", _SX, ":S1 { :p1 IRI }", ':x :p1 "lit" .', False),
+        _shex("1bnode_pass", _SX, ":S1 { :p1 BNODE }", ":x :p1 _:b .", True),
+        _shex("1bnode_fail", _SX, ":S1 { :p1 BNODE }", ":x :p1 :o1 .", False),
+        _shex("1literal_pass", _SX, ":S1 { :p1 LITERAL }", ':x :p1 "v" .', True),
+        _shex("1literal_fail", _SX, ":S1 { :p1 LITERAL }", ":x :p1 :o1 .", False),
+        _shex(
+            "1nonliteral_pass", _SX, ":S1 { :p1 NONLITERAL }", ":x :p1 _:b .", True
+        ),
+        # --- ShEx: facets -------------------------------------------------
+        _shex(
+            "1literalPattern_pass", _SX, ":S1 { :p1 LITERAL /^ab/ }",
+            ':x :p1 "abc" .', True,
+        ),
+        _shex(
+            "1literalPattern_fail", _SX, ":S1 { :p1 LITERAL /^ab/ }",
+            ':x :p1 "xbc" .', False,
+        ),
+        _shex(
+            "1minlength_pass", _SX, ":S1 { :p1 LITERAL MINLENGTH 2 }",
+            ':x :p1 "ab" .', True,
+        ),
+        _shex(
+            "1minlength_fail", _SX, ":S1 { :p1 LITERAL MINLENGTH 2 }",
+            ':x :p1 "a" .', False,
+        ),
+        _shex(
+            "1maxlength_fail", _SX, ":S1 { :p1 LITERAL MAXLENGTH 2 }",
+            ':x :p1 "abc" .', False,
+        ),
+        _shex(
+            "1mininclusive_pass", _SX, ":S1 { :p1 MININCLUSIVE 3 }",
+            ':x :p1 "3"^^xsd:integer .', True,
+        ),
+        _shex(
+            "1mininclusive_fail", _SX, ":S1 { :p1 MININCLUSIVE 3 }",
+            ':x :p1 "2"^^xsd:integer .', False,
+        ),
+        _shex(
+            "1maxexclusive_fail", _SX, ":S1 { :p1 MAXEXCLUSIVE 3 }",
+            ':x :p1 "3"^^xsd:integer .', False,
+        ),
+        # --- ShEx: CLOSED / EXTRA -----------------------------------------
+        _shex(
+            "1dotClosed_pass", _SX, ":S1 CLOSED { :p1 . }", ":x :p1 :o1 .", True
+        ),
+        _shex(
+            "1dotClosed_fail", _SX, ":S1 CLOSED { :p1 . }",
+            ":x :p1 :o1 ; :p2 :o2 .", False,
+        ),
+        _shex(
+            "1valExtra1_pass", _SX, ":S1 EXTRA :p1 { :p1 [:v1] }",
+            ":x :p1 :v1 , :v2 .", True,
+        ),
+        _shex(
+            "1val1IRIREF_extra_fail", _SX, ":S1 { :p1 [:v1] }",
+            ":x :p1 :v1 , :v2 .", False,
+        ),
+        # --- ShEx: stems --------------------------------------------------
+        _shex(
+            "1iriStem_pass", _SX, ":S1 { :p1 [<{ns}stem/>~] }",
+            ":x :p1 <{ns}stem/a> .", True,
+        ),
+        _shex(
+            "1iriStem_fail", _SX, ":S1 { :p1 [<{ns}stem/>~] }",
+            ":x :p1 <http://other.example/a> .", False,
+        ),
+        # --- ShEx: EachOf / OneOf -----------------------------------------
+        _shex(
+            "1dotOne2dot_pass", _SX, ":S1 { :p1 . ; :p2 . }",
+            ":x :p1 :o1 ; :p2 :o2 .", True,
+        ),
+        _shex(
+            "1dotOne2dot_fail", _SX, ":S1 { :p1 . ; :p2 . }",
+            ":x :p1 :o1 .", False,
+        ),
+        _shex(
+            "1dotOr2dot_pass", _SX, ":S1 { :p1 . | :p2 . }", ":x :p1 :o1 .", True
+        ),
+        _shex(
+            "1dotOr2dot_fail", _SX, ":S1 { :p1 . | :p2 . }", ':x :note "t" .', False
+        ),
+        # --- ShEx: value-expression logic ---------------------------------
+        _shex(
+            "1valAnd_pass", _SX, ":S1 { :p1 xsd:string AND MINLENGTH 2 }",
+            ':x :p1 "ab" .', True,
+        ),
+        _shex(
+            "1valAnd_fail", _SX, ":S1 { :p1 xsd:string AND MINLENGTH 2 }",
+            ':x :p1 "a" .', False,
+        ),
+        _shex(
+            "1valOr_pass", _SX, ":S1 { :p1 xsd:integer OR xsd:decimal }",
+            ':x :p1 "4"^^xsd:integer .', True,
+        ),
+        _shex(
+            "1valOr_fail", _SX, ":S1 { :p1 xsd:integer OR xsd:decimal }",
+            ':x :p1 "a" .', False,
+        ),
+        _shex(
+            "1valNot_pass", _SX, ":S1 { :p1 NOT [:bad] }", ":x :p1 :good .", True
+        ),
+        _shex(
+            "1valNot_fail", _SX, ":S1 { :p1 NOT [:bad] }", ":x :p1 :bad .", False
+        ),
+        # --- ShEx: references / recursion ---------------------------------
+        _shex(
+            "1dotRef_pass", _SX, ":S1 { :p1 @:S2 }\n:S2 { :p2 . }",
+            ":x :p1 :y .\n:y :p2 :o2 .", True,
+        ),
+        _shex(
+            "1dotRef_fail", _SX, ":S1 { :p1 @:S2 }\n:S2 { :p2 . }",
+            ":x :p1 :y .\n:y :p3 :o2 .", False,
+        ),
+        _shex(
+            "2RefS1_pass", _SX, ":S1 { :p1 @:S1 ? }",
+            ":x :p1 :y .\n:y :p1 :x .", True,
+        ),
+    ]
+    out += [
+        # --- SHACL: cardinality -------------------------------------------
+        _shacl(
+            "minCount-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:minCount 1 ] .",
+            ":x a :T ; :p1 :o1 .", True,
+        ),
+        _shacl(
+            "minCount-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:minCount 1 ] .",
+            ":x a :T .", False,
+        ),
+        _shacl(
+            "maxCount-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:maxCount 1 ] .",
+            ":x a :T ; :p1 :o1 , :o2 .", False,
+        ),
+        # --- SHACL: value type --------------------------------------------
+        _shacl(
+            "datatype-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:datatype xsd:string ] .",
+            ':x a :T ; :p1 "v" .', True,
+        ),
+        _shacl(
+            "datatype-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:datatype xsd:string ] .",
+            ':x a :T ; :p1 "4"^^xsd:integer .', False,
+        ),
+        _shacl(
+            "class-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:class :C ] .",
+            ":x a :T ; :p1 :y .\n:y a :C .", True,
+        ),
+        _shacl(
+            "class-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:class :C ] .",
+            ":x a :T ; :p1 :y .\n:y a :D .", False,
+        ),
+        _shacl(
+            "nodeKind-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:nodeKind sh:IRI ] .",
+            ":x a :T ; :p1 :o1 .", True,
+        ),
+        _shacl(
+            "nodeKind-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:nodeKind sh:IRI ] .",
+            ':x a :T ; :p1 "lit" .', False,
+        ),
+        # --- SHACL: value range / string ----------------------------------
+        _shacl(
+            "minInclusive-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:minInclusive 3 ] .",
+            ':x a :T ; :p1 "3"^^xsd:integer .', True,
+        ),
+        _shacl(
+            "minInclusive-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:minInclusive 3 ] .",
+            ':x a :T ; :p1 "2"^^xsd:integer .', False,
+        ),
+        _shacl(
+            "pattern-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            '  sh:property [ sh:path :p1 ; sh:pattern "^ab" ] .',
+            ':x a :T ; :p1 "abc" .', True,
+        ),
+        _shacl(
+            "pattern-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            '  sh:property [ sh:path :p1 ; sh:pattern "^ab" ] .',
+            ':x a :T ; :p1 "xbc" .', False,
+        ),
+        _shacl(
+            "minLength-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:minLength 2 ] .",
+            ':x a :T ; :p1 "a" .', False,
+        ),
+        # --- SHACL: value enumeration -------------------------------------
+        _shacl(
+            "in-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:in ( :v1 :v2 ) ] .",
+            ":x a :T ; :p1 :v2 .", True,
+        ),
+        _shacl(
+            "in-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:in ( :v1 :v2 ) ] .",
+            ":x a :T ; :p1 :v3 .", False,
+        ),
+        _shacl(
+            "hasValue-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:hasValue :v1 ] .",
+            ":x a :T ; :p1 :v1 , :v2 .", True,
+        ),
+        _shacl(
+            "hasValue-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:hasValue :v1 ] .",
+            ":x a :T ; :p1 :v2 .", False,
+        ),
+        # --- SHACL: logical components ------------------------------------
+        _shacl(
+            "and-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:and (\n"
+            "    [ sh:datatype xsd:string ] [ sh:minLength 2 ] ) ] .",
+            ':x a :T ; :p1 "ab" .', True,
+        ),
+        _shacl(
+            "and-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:and (\n"
+            "    [ sh:datatype xsd:string ] [ sh:minLength 2 ] ) ] .",
+            ':x a :T ; :p1 "a" .', False,
+        ),
+        _shacl(
+            "or-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:or (\n"
+            "    [ sh:datatype xsd:integer ] [ sh:datatype xsd:decimal ] ) ] .",
+            ':x a :T ; :p1 "4"^^xsd:integer .', True,
+        ),
+        _shacl(
+            "or-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:or (\n"
+            "    [ sh:datatype xsd:integer ] [ sh:datatype xsd:decimal ] ) ] .",
+            ':x a :T ; :p1 "a" .', False,
+        ),
+        _shacl(
+            "not-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:not [ sh:hasValue :bad ] ] .",
+            ":x a :T ; :p1 :good .", True,
+        ),
+        _shacl(
+            "not-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:not [ sh:hasValue :bad ] ] .",
+            ":x a :T ; :p1 :bad .", False,
+        ),
+        # --- SHACL: closed ------------------------------------------------
+        _shacl(
+            "closed-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ; sh:closed true ;\n"
+            "  sh:ignoredProperties ( <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ) ;\n"
+            "  sh:property [ sh:path :p1 ] .",
+            ":x a :T ; :p1 :o1 .", True,
+        ),
+        _shacl(
+            "closed-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ; sh:closed true ;\n"
+            "  sh:ignoredProperties ( <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ) ;\n"
+            "  sh:property [ sh:path :p1 ] .",
+            ":x a :T ; :p1 :o1 ; :p2 :o2 .", False,
+        ),
+        # --- SHACL: property pairs ----------------------------------------
+        _shacl(
+            "equals-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:equals :p2 ] .",
+            ":x a :T ; :p1 :o1 ; :p2 :o1 .", True,
+        ),
+        _shacl(
+            "equals-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:equals :p2 ] .",
+            ":x a :T ; :p1 :o1 ; :p2 :o2 .", False,
+        ),
+        _shacl(
+            "disjoint-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:disjoint :p2 ] .",
+            ":x a :T ; :p1 :o1 ; :p2 :o2 .", True,
+        ),
+        _shacl(
+            "disjoint-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:disjoint :p2 ] .",
+            ":x a :T ; :p1 :o1 ; :p2 :o1 .", False,
+        ),
+        _shacl(
+            "lessThan-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:lessThan :p2 ] .",
+            ':x a :T ; :p1 "1"^^xsd:integer ; :p2 "2"^^xsd:integer .', True,
+        ),
+        _shacl(
+            "lessThan-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:lessThan :p2 ] .",
+            ':x a :T ; :p1 "3"^^xsd:integer ; :p2 "2"^^xsd:integer .', False,
+        ),
+        # --- SHACL: uniqueLang --------------------------------------------
+        _shacl(
+            "uniqueLang-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:uniqueLang true ] .",
+            ':x a :T ; :p1 "a"@en , "b"@fr .', True,
+        ),
+        _shacl(
+            "uniqueLang-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:uniqueLang true ] .",
+            ':x a :T ; :p1 "a"@en , "b"@en .', False,
+        ),
+        # --- SHACL: targets -----------------------------------------------
+        _shacl(
+            "targetNode-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetNode :x ;\n"
+            "  sh:property [ sh:path :p1 ; sh:minCount 1 ] .",
+            ':x :note "t" .', False,
+        ),
+        _shacl(
+            "targetSubjectsOf-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetSubjectsOf :p1 ;\n"
+            "  sh:property [ sh:path :p1 ; sh:maxCount 1 ] .",
+            ":x :p1 :o1 .", True,
+        ),
+        _shacl(
+            "targetObjectsOf-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetObjectsOf :p0 ;\n"
+            "  sh:property [ sh:path :p1 ; sh:minCount 1 ] .",
+            ':y :p0 :x .\n:x :note "t" .', False, focus="x",
+        ),
+        # --- SHACL: shape references --------------------------------------
+        _shacl(
+            "node-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:node :n ] .\n"
+            ":n a sh:NodeShape ;\n"
+            "  sh:property [ sh:path :p2 ; sh:minCount 1 ] .",
+            ":x a :T ; :p1 :y .\n:y :p2 :o2 .", True,
+        ),
+        _shacl(
+            "node-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:node :n ] .\n"
+            ":n a sh:NodeShape ;\n"
+            "  sh:property [ sh:path :p2 ; sh:minCount 1 ] .",
+            ":x a :T ; :p1 :y .\n:y :p3 :o2 .", False,
+        ),
+        # --- SHACL: qualified value shapes --------------------------------
+        _shacl(
+            "qualifiedValueShape-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ;\n"
+            "    sh:qualifiedValueShape [ sh:hasValue :v1 ] ;\n"
+            "    sh:qualifiedMinCount 1 ] .",
+            ":x a :T ; :p1 :v1 , :v2 .", True,
+        ),
+        _shacl(
+            "qualifiedValueShape-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ;\n"
+            "    sh:qualifiedValueShape [ sh:hasValue :v1 ] ;\n"
+            "    sh:qualifiedMinCount 1 ] .",
+            ":x a :T ; :p1 :v2 , :v3 .", False,
+        ),
+    ]
+    names = [c["name"] for c in out]
+    assert len(names) == len(set(names)), "duplicate case names"
+    return out
+
+
+def corpus_df(spark: SparkSession) -> DataFrame:
+    """The sample as one documents DataFrame — each case's data graph is
+    one row in the engine's standard input shape (input_hint columns)."""
+    rows = [
+        ("w3c-sample", c["name"], "r1", "ttl", c["data"]) for c in cases()
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def run_sample(spark: SparkSession) -> DataFrame:
+    """Validate every case in ONE ``validate_batch`` call over the unioned
+    corpus; returns ``(test, status)`` — one row per case, ordered by the
+    driver's canonicalizer.  A case whose focus node receives no verdict
+    row (e.g. target resolution finds nothing) is reported as
+    ``nonconformant`` via the left join, matching suite semantics (the
+    expected-failure cases where the constraint demands an absent arc)."""
+    from pyspark.sql import functions as F
+
+    from rdfshape_api_spark.operators.canonicalize import canonicalize, dedup_triples
+    from rdfshape_api_spark.plans import parse_shacl, parse_shexc
+    from rdfshape_api_spark.plans.validate import validate_batch
+    from rdfshape_api_spark.sources.extract import extract_triples
+
+    all_cases = cases()
+    # materialize the (tiny) corpus extraction once: the complex-case
+    # fallback jobs each build their own plan — without this they would
+    # all re-run parse+canonicalize from scratch (~40 redundant extractions)
+    tri = dedup_triples(
+        canonicalize(extract_triples(corpus_df(spark))), scope_doc=True
+    ).localCheckpoint()
+    jobs = []
+    for c in all_cases:
+        if c["kind"] == "shex":
+            schema = parse_shexc(c["schema"])
+            jobs.append((schema, f"<{c['focus']}>@<{c['shape']}>", c["name"]))
+        else:
+            jobs.append((parse_shacl(c["schema"]), None, c["name"]))
+    verdicts = validate_batch(tri, jobs)
+    # map each verdict to its case by focus node (namespaced per test);
+    # left join keeps cases with no verdict row as nonconformant
+    expected = spark.createDataFrame(
+        [(c["name"], c["focus"], c["expected"]) for c in all_cases],
+        "test string, focus string, expected boolean",
+    )
+    got = verdicts.filter(F.col("shape_id").isNotNull()).select(
+        F.col("shape_id").alias("test_l"), F.col("node"), F.col("status")
+    )
+    return (
+        expected.join(
+            got,
+            on=[expected["test"] == got["test_l"], expected["focus"] == got["node"]],
+            how="left",
+        )
+        .select(
+            "test",
+            F.coalesce(F.col("status"), F.lit("nonconformant")).alias("status"),
+            "expected",
+        )
+    )

@@ -64,12 +64,36 @@ def cosine_topk(emb: DataFrame, k: int = 5, n_queries: int = 10) -> DataFrame:
     )
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, max_cell: int | None = None
+) -> DataFrame:
     """IVF-style near-dup pairs: cosine ≥ threshold within a coarse cell
-    (``label``). Output (vec_a, vec_b, cos_sim rounded 4)."""
-    a = emb.select(F.col("label").alias("la"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("label").alias("lb"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, on=[a["la"] == b["lb"], a["vec_a"] < b["vec_b"]])
+    (``label``). Output (vec_a, vec_b, cos_sim rounded 4).
+
+    ``max_cell`` is the corpus-scale guard (same contract as
+    ``dedup.lsh_candidate_pairs(max_bucket=…)``): a cell of b vectors
+    emits O(b²) pairs, and with a FIXED number of cells Σ|cell|² grows
+    quadratically in corpus size.  Cells larger than ``max_cell`` are
+    excluded from the pair join — at scale their members should be routed
+    through a finer quantizer (k-means cells sized to N, see
+    :func:`ivf_ann_topk`) or treated as one dense family.  Default None
+    keeps exact within-cell pair semantics (the oracle contract)."""
+    cells = emb.select(
+        F.col("label").alias("la"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+    )
+    if max_cell is not None:
+        counts = emb.groupBy(F.col("label").alias("la")).agg(F.count("*").alias("_cn"))
+        cells = cells.join(
+            F.broadcast(counts.filter(F.col("_cn") > max_cell)),
+            on="la",
+            how="left_anti",
+        )
+    b = cells.select(
+        F.col("la").alias("lb"), F.col("vec_a").alias("vec_b"), F.col("ea").alias("eb")
+    )
+    pairs = cells.join(b, on=[cells["la"] == b["lb"], cells["vec_a"] < b["vec_b"]])
     return (
         pairs.withColumn("cos_sim", F.round(cosine(F.col("ea"), F.col("eb")), 4))
         .filter(F.col("cos_sim") >= threshold)
@@ -196,7 +220,10 @@ def ivf_ann_topk(
 
 
 def semantic_dedup(
-    emb: DataFrame, threshold: float = 0.4, n_planes: int = 4
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding dedup (Abbas et al. 2023, public paper):
     keep one representative per group of semantically near-identical
@@ -211,16 +238,42 @@ def semantic_dedup(
     with ``keep`` 0/1 and ``n_near_dups`` the same-bucket neighbor count
     at ``cosine >= threshold``.
 
-    Scale design: the only quadratic term is Σ O(|bucket|²), bounded by
-    ``n_planes``; the keep rule is a single map-side-combinable agg over
-    the pair list (no iteration, unlike connected-components dedup — the
-    paper's semantics are per-cluster, not transitive). The final join
-    back to the vector set is on ``vec_id`` — broadcast-able when the
-    near-dup set is small, shuffle hash join otherwise.
+    Scale design: the only quadratic term is Σ O(|bucket|²).  With the
+    default ``max_bucket=None`` that sum is bounded only by ``n_planes``
+    (2^n_planes buckets) — fine at fixture scale, quadratic at corpus
+    scale if n_planes stays fixed while N grows.  ``max_bucket`` is the
+    100 TB guard (same contract as ``dedup.lsh_candidate_pairs``):
+    buckets larger than the cap skip pair scoring entirely and fall
+    through to the O(b) dense-family rule — a bucket that big under a
+    coarse hash IS a near-identical family, so every member except the
+    min-id is dropped and ``n_near_dups`` = bucket size − 1.  Per-bucket
+    pair work is then ≤ max_bucket² by construction (asserted by a
+    property test); pick the cap from the cell budget, e.g.
+    max_bucket ≈ c·N/2^n_planes.  The keep rule is a single
+    map-side-combinable agg over the pair list (no iteration, unlike
+    connected-components dedup — the paper's semantics are per-cluster,
+    not transitive). The final join back to the vector set is on
+    ``vec_id`` — broadcast-able when the near-dup set is small, shuffle
+    hash join otherwise.
     """
     hashed = emb.select("vec_id", "embedding").withColumn(
         "bucket", rp_bucket(F.col("embedding"), n_planes)
     )
+    dense_stats = None
+    if max_bucket is not None:
+        # one extra hash-agg over the bucket table; over-cap buckets are
+        # resolved without ANY pair join (min-id survives the family)
+        hashed = hashed.localCheckpoint()  # hash once, reuse on all branches
+        counts = hashed.groupBy("bucket").agg(
+            F.count("*").alias("_bn"), F.min("vec_id").alias("_bmin")
+        )
+        over = F.broadcast(counts.filter(F.col("_bn") > max_bucket))
+        dense_stats = hashed.join(over, on="bucket").select(
+            F.col("vec_id").alias("va"),
+            (F.col("_bn") - 1).cast("bigint").alias("n_near_dups"),
+            (F.col("vec_id") > F.col("_bmin")).cast("int").alias("_smaller"),
+        )
+        hashed = hashed.join(over.select("bucket"), on="bucket", how="left_anti")
     a = hashed.select(
         F.col("bucket").alias("ba"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
     )
@@ -236,6 +289,8 @@ def semantic_dedup(
         F.count("*").cast("bigint").alias("n_near_dups"),
         F.max((F.col("vb") < F.col("va")).cast("int")).alias("_smaller"),
     )
+    if dense_stats is not None:
+        stats = stats.unionByName(dense_stats)
     return (
         emb.select("vec_id")
         .join(stats, on=F.col("vec_id") == F.col("va"), how="left")

@@ -211,6 +211,68 @@ def test_semantic_dedup(emb):
     assert rows[0]["n_near_dups"] == rows[1]["n_near_dups"] == 1
 
 
+def test_semantic_dedup_max_bucket_guard(spark, emb):
+    """Corpus-scale guard (VERDICT r4 #3): buckets over ``max_bucket``
+    skip the pair join and resolve as a dense family (min-id kept,
+    n_near_dups = b-1).  For an exact-duplicate family the guarded result
+    must EQUAL the unguarded one — same keeps, same counts — while the
+    pair-join input provably carries no over-cap bucket."""
+    from rdfshape_api_spark.functions.similarity import rp_bucket, semantic_dedup
+    from pyspark.sql import functions as F
+
+    # 12 identical vectors (one hot bucket) + 3 spread ones
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(12)]
+    rows += [(100, [0.0, 1.0, 0.0]), (101, [0.0, 0.95, 0.31]), (102, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    base = {r["vec_id"]: r for r in semantic_dedup(df, 0.9, n_planes=2).collect()}
+    capped = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, 0.9, n_planes=2, max_bucket=4).collect()
+    }
+    dense = {r["vec_id"] for r in capped.values() if r["vec_id"] < 100}
+    assert len(dense) == 12
+    for vid in dense:
+        assert capped[vid]["keep"] == (1 if vid == 0 else 0)
+        assert capped[vid]["n_near_dups"] == 11
+        assert (capped[vid]["keep"], capped[vid]["n_near_dups"]) == (
+            base[vid]["keep"],
+            base[vid]["n_near_dups"],
+        )
+    # a cap no bucket exceeds must be a no-op vs the default
+    loose = {
+        r["vec_id"]: (r["keep"], r["n_near_dups"])
+        for r in semantic_dedup(df, 0.9, n_planes=2, max_bucket=1000).collect()
+    }
+    assert loose == {k: (r["keep"], r["n_near_dups"]) for k, r in base.items()}
+    # property: after exclusion, every surviving bucket is <= max_bucket,
+    # so per-bucket pair work is bounded by max_bucket^2 at any cell budget
+    sizes = (
+        df.withColumn("bucket", rp_bucket(F.col("embedding"), 2))
+        .groupBy("bucket").count()
+        .filter(F.col("count") <= 4)
+        .collect()
+    )
+    assert all(r["count"] ** 2 <= 16 for r in sizes)
+
+
+def test_embedding_near_dups_max_cell(spark, emb):
+    from rdfshape_api_spark.functions.similarity import embedding_near_dups
+
+    # label 0 holds 3 vectors; cap at 2 -> its pairs are excluded entirely
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(emb, 0.9, max_cell=2).collect()
+    }
+    assert pairs == {(3, 4)}
+    # cap above every cell size -> identical to the unguarded default
+    full = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(emb, 0.9, max_cell=100).collect()
+    }
+    assert full == {(0, 1), (3, 4)}
+
+
 def test_span_dedup(docs, spark):
     from rdfshape_api_spark.functions.dedup import span_dedup
 
