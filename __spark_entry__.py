@@ -1820,6 +1820,55 @@ def _q_rdfs_closure(spark, sf_dir):
     )
 
 
+def _q_owl_sameas(spark, sf_dir):
+    """owl:sameAs identity merge as an inference mode (r5; the missing
+    half of OWL-lite vs Jena's reasoner, MergedModels.scala:117-124):
+    deterministic alias identities are synthesized over the corpus — every
+    example.org reading subject gains an ``http://alias.example/`` twin,
+    BROKEN readings a second-hop ``http://alias2.example/`` twin (a
+    3-member identity chain exercising transitive component resolution) —
+    then ``owl_sameas_closure`` entails the canonical-representative
+    rewrite + eq-sym mirrors.  The DuckDB twin reruns the derivation with
+    a recursive-CTE component closure."""
+    from rdfshape_api_spark.operators.inference import OWL_SAMEAS, owl_sameas_closure
+
+    base = _rdf_triples(spark, sf_dir).select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+    )
+    ents = (
+        base.filter(
+            (F.col("pred") == EX + "status") & F.col("subj").startswith(EX)
+        )
+        .select("doc_sha256", "subj", "obj_value")
+        .distinct()
+    )
+    alias1 = F.regexp_replace(F.col("subj"), "^http://example\\.org/", "http://alias.example/")
+    alias2 = F.regexp_replace(F.col("subj"), "^http://example\\.org/", "http://alias2.example/")
+    same1 = ents.select(
+        "doc_sha256",
+        alias1.alias("subj"),
+        F.lit(OWL_SAMEAS).alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        F.col("subj").alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    same2 = ents.filter(F.col("obj_value") == "BROKEN").select(
+        "doc_sha256",
+        F.col("subj"),
+        F.lit(OWL_SAMEAS).alias("pred"),
+        F.lit("iri").alias("obj_kind"),
+        alias2.alias("obj_value"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    merged = owl_sameas_closure(base.unionByName(same1).unionByName(same2))
+    return merged.select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value",
+        "obj_lang", "obj_datatype", "origin",
+    )
+
+
 def _q_path_reachable(spark, sf_dir):
     from rdfshape_api_spark.operators.algebra import path_direct, path_zero_or_more
 
@@ -2293,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_ann": _q_sim_pq_ann,  # PQ-ADC ANN + exact re-rank (r4s9; rows-only)
         "rdf_infer_profile": _q_infer_profile,           # §2.6 schema inference
         "rdf_rdfs_closure": _q_rdfs_closure,             # I1 RDFS entailment
+        "rdf_owl_sameas": _q_owl_sameas,                 # I1 owl:sameAs merge (r5)
         "rdf_path_reachable": _q_path_reachable,         # P7 path fixpoint
         "rdf_json_graph": _q_json_graph,                 # K2 adjacency export
         "rdf_turtle": _q_turtle,                         # K1 Turtle emitter
@@ -3076,6 +3126,87 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT '{ex}Station',
               (SELECT count(DISTINCT obj_value) FROM m
                WHERE pred = '{ex}station' AND obj_kind <> 'literal')::BIGINT
+        """,
+        "rdf_owl_sameas": f"""
+            -- owl:sameAs merge: same alias derivation as the Spark entry,
+            -- recursive-CTE identity components (symmetric closure,
+            -- min-label canon), eq-sym mirrors + canonical rewrites of
+            -- changed rows, asserted-wins dedup
+            WITH RECURSIVE base AS (
+              SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value,
+                     obj_lang, obj_datatype FROM {_T}
+            ), ent AS (
+              SELECT DISTINCT doc_sha256, subj AS s, obj_value AS status
+              FROM base
+              WHERE pred = '{ex}status' AND subj LIKE 'http://example.org/%'
+            ), ident AS (
+              SELECT doc_sha256,
+                     regexp_replace(s, '^http://example\\.org/',
+                                    'http://alias.example/') AS subj,
+                     'http://www.w3.org/2002/07/owl#sameAs' AS pred,
+                     'iri' AS obj_kind, s AS obj_value,
+                     CAST(NULL AS VARCHAR) AS obj_lang,
+                     CAST(NULL AS VARCHAR) AS obj_datatype
+              FROM ent
+              UNION ALL
+              SELECT doc_sha256, s,
+                     'http://www.w3.org/2002/07/owl#sameAs', 'iri',
+                     regexp_replace(s, '^http://example\\.org/',
+                                    'http://alias2.example/'),
+                     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+              FROM ent WHERE status = 'BROKEN'
+            ), asserted AS (
+              SELECT doc_sha256, subj, pred, obj_kind, obj_value, obj_lang,
+                     obj_datatype, 'asserted' AS origin FROM base
+              UNION ALL
+              SELECT DISTINCT doc_sha256, subj, pred, obj_kind, obj_value,
+                     obj_lang, obj_datatype, 'asserted' FROM ident
+            ), e AS (
+              SELECT DISTINCT subj AS a, obj_value AS b FROM ident
+              UNION
+              SELECT DISTINCT obj_value, subj FROM ident
+            ), nodes AS (
+              SELECT DISTINCT a AS n FROM e
+            ), r AS (
+              SELECT n, n AS reach FROM nodes
+              UNION
+              SELECT r.n, e.b FROM r JOIN e ON e.a = r.reach
+            ), mapping AS (
+              SELECT n, canon FROM (
+                SELECT n, min(reach) AS canon FROM r GROUP BY n
+              ) WHERE n <> canon
+            ), sym AS (
+              SELECT DISTINCT doc_sha256, o AS subj, pred, obj_kind,
+                     s2 AS obj_value, obj_lang, obj_datatype,
+                     'inferred' AS origin
+              FROM (SELECT doc_sha256, subj AS s2, pred, obj_kind,
+                           obj_value AS o, obj_lang, obj_datatype FROM ident)
+              WHERE s2 <> o
+            ), rewritten AS (
+              SELECT DISTINCT t.doc_sha256,
+                     coalesce(ms.canon, t.subj) AS subj,
+                     t.pred, t.obj_kind,
+                     CASE WHEN t.obj_kind <> 'literal'
+                          THEN coalesce(mo.canon, t.obj_value)
+                          ELSE t.obj_value END AS obj_value,
+                     t.obj_lang, t.obj_datatype, 'inferred' AS origin
+              FROM asserted t
+              LEFT JOIN mapping ms ON ms.n = t.subj
+              LEFT JOIN mapping mo
+                ON mo.n = t.obj_value AND t.obj_kind <> 'literal'
+              WHERE ms.n IS NOT NULL
+                 OR (mo.n IS NOT NULL AND t.obj_kind <> 'literal')
+            ), unioned AS (
+              SELECT * FROM asserted
+              UNION ALL SELECT * FROM sym
+              UNION ALL
+              SELECT * FROM rewritten
+              WHERE NOT (pred = 'http://www.w3.org/2002/07/owl#sameAs'
+                         AND subj = obj_value)
+            )
+            SELECT doc_sha256, subj, pred, obj_kind, obj_value, obj_lang,
+                   obj_datatype, min(origin) AS origin
+            FROM unioned GROUP BY 1, 2, 3, 4, 5, 6, 7
         """,
         "rdf_path_reachable": f"""
             SELECT DISTINCT doc_sha256, subj AS src, obj_value AS dst

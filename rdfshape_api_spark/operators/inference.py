@@ -128,6 +128,90 @@ OWL_INVERSE_OF = OWL + "inverseOf"
 OWL_SYMMETRIC = OWL + "SymmetricProperty"
 OWL_TRANSITIVE = OWL + "TransitiveProperty"
 OWL_EQUIV_CLASS = OWL + "equivalentClass"
+OWL_SAMEAS = OWL + "sameAs"
+
+
+def owl_sameas_closure(df: DataFrame, spark=None, max_iters: int = 25) -> DataFrame:
+    """``owl:sameAs`` identity semantics (OWL-RL eq-sym / eq-rep-s /
+    eq-rep-o) in **representative form** — the missing half of the OWL
+    engine vs Jena's reasoner applied by the reference
+    (``MergedModels.scala:117-124``).
+
+    Full eq-rep materialization copies every triple onto every identity-
+    clique member — O(Σ|comp|·|triples(comp)|) blowup, hopeless at corpus
+    scale.  Instead each identity component gets a canonical
+    representative (lexicographic min — the same rule as
+    ``canonicalize.link_entities``) and the engine entails:
+
+    * the CANONICAL form of every triple whose subject or IRI-object is a
+      non-canonical member (``origin='inferred'``) — so queries over the
+      representative see the merged entity;
+    * ``y owl:sameAs x`` for every asserted ``x owl:sameAs y`` (eq-sym),
+      carried in the asserting document.
+
+    The full clique remains derivable (member →sameAs→ canon →triples),
+    while output grows by O(|rewritten rows| + |sameAs rows|) only.
+    Reflexive ``x sameAs x`` rows are not emitted (spec-entailed but pure
+    noise in a triple store).
+
+    Scale design: components via distributed min-label propagation
+    (``functions.dedup.connected_components``, O(diameter) rounds —
+    sameAs clusters are near-cliques so 2-3 rounds), then two hash joins
+    of the triple set against the (member → canon) mapping.  No
+    driver-side state; composes with :func:`rdfs_closure` /
+    :func:`owl_lite_closure` (an existing ``origin`` column is
+    preserved)."""
+    from rdfshape_api_spark.functions.dedup import connected_components
+
+    spark = spark or df.sparkSession
+    if "origin" not in df.columns:
+        df = df.withColumn("origin", F.lit("asserted"))
+
+    ident = (F.col("pred") == OWL_SAMEAS) & (F.col("obj_kind") != "literal")
+    same = df.filter(ident)
+    edges = same.select(F.col("subj").alias("a"), F.col("obj_value").alias("b"))
+    comp = connected_components(edges, max_iters=max_iters, a="a", b="b")
+    mapping = comp.filter(F.col("doc_id") != F.col("component"))
+
+    # eq-sym: the mirrored statement, in the asserting document
+    value_cols = [c for c in df.columns if c not in ("subj", "obj_value", "origin")]
+    sym = same.filter(F.col("subj") != F.col("obj_value")).select(
+        *value_cols,
+        F.col("obj_value").alias("subj"),
+        F.col("subj").alias("obj_value"),
+        F.lit("inferred").alias("origin"),
+    )
+
+    # eq-rep (representative form): canonical rewrite of changed rows
+    smap = mapping.select(F.col("doc_id").alias("subj"), F.col("component").alias("_cs"))
+    omap = mapping.select(
+        F.col("doc_id").alias("obj_value"), F.col("component").alias("_co")
+    )
+    j = df.join(smap, on="subj", how="left").join(omap, on="obj_value", how="left")
+    changed = j.filter(
+        F.col("_cs").isNotNull()
+        | (F.col("_co").isNotNull() & (F.col("obj_kind") != "literal"))
+    )
+    rewritten = changed.select(
+        *value_cols,
+        F.coalesce(F.col("_cs"), F.col("subj")).alias("subj"),
+        F.when(
+            F.col("obj_kind") != "literal",
+            F.coalesce(F.col("_co"), F.col("obj_value")),
+        )
+        .otherwise(F.col("obj_value"))
+        .alias("obj_value"),
+        F.lit("inferred").alias("origin"),
+    ).filter(
+        # a rewritten sameAs statement may collapse to a reflexive loop
+        ~((F.col("pred") == OWL_SAMEAS) & (F.col("subj") == F.col("obj_value")))
+    )
+
+    out = df.unionByName(sym.select(*df.columns)).unionByName(
+        rewritten.select(*df.columns)
+    )
+    key = [c for c in out.columns if c != "origin"]
+    return out.groupBy(*key).agg(F.min("origin").alias("origin"))
 
 
 def owl_lite_closure(df: DataFrame, spark=None, max_transitive_iters: int = 10) -> DataFrame:
@@ -280,7 +364,8 @@ def apply_inference(df: DataFrame, engine: str = "NONE") -> DataFrame:
     if eng == "RDFS":
         return rdfs_closure(df)
     if eng == "OWL":
-        # RDFS rules + the OWL-lite property/class axiom subset; origin
-        # labels survive the composition (rdfs-inferred stays 'inferred')
-        return owl_lite_closure(rdfs_closure(df))
+        # RDFS rules + the OWL-lite property/class axiom subset + sameAs
+        # identity merge (representative form); origin labels survive the
+        # composition (rdfs-inferred stays 'inferred')
+        return owl_sameas_closure(owl_lite_closure(rdfs_closure(df)))
     raise ValueError(f"inference engine {engine!r} not supported (NONE | RDFS | OWL)")

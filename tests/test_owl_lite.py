@@ -136,3 +136,60 @@ def test_transitive_join_respects_full_base(spark):
         (F.col("subj") == E + "a") & (F.col("obj_value") == E + "c")
     ).collect()
     assert chained == []
+
+
+def test_sameas_representative_merge(spark):
+    """owl:sameAs closure (eq-sym + representative eq-rep): a 3-member
+    identity chain a=b=c collapses onto the lexicographic-min canon; every
+    member's triples are entailed in canonical form, the mirrored sameAs
+    statements appear, and no reflexive loop is emitted."""
+    from rdfshape_api_spark.operators.inference import OWL_SAMEAS, owl_sameas_closure
+
+    tri = _tri(
+        spark,
+        [
+            (E + "b", OWL_SAMEAS, "iri", E + "c", None, None),
+            (E + "c", OWL_SAMEAS, "iri", E + "a", None, None),
+            (E + "b", E + "temp", "literal", "21.5", None, None),
+            (E + "c", E + "status", "iri", E + "OK", None, None),
+            (E + "x", E + "ref", "iri", E + "b", None, None),
+            (E + "a", E + "name", "literal", "anna", None, None),
+        ],
+    )
+    facts = _facts(owl_sameas_closure(tri))
+    # canonical-form entailments (canon = :a, the lexicographic min)
+    assert (E + "a", E + "temp", "21.5", "inferred") in facts
+    assert (E + "a", E + "status", E + "OK", "inferred") in facts
+    assert (E + "x", E + "ref", E + "a", "inferred") in facts
+    # eq-sym mirrors
+    assert (E + "c", OWL_SAMEAS, E + "b", "inferred") in facts
+    assert (E + "a", OWL_SAMEAS, E + "c", "inferred") in facts
+    # asserted rows survive unchanged
+    assert (E + "b", E + "temp", "21.5", "asserted") in facts
+    assert (E + "a", E + "name", "anna", "asserted") in facts
+    # no reflexive sameAs loops
+    assert not [f for f in facts if f[1] == OWL_SAMEAS and f[0] == f[2]]
+
+
+def test_apply_inference_owl_includes_sameas(spark):
+    from rdfshape_api_spark.operators.inference import OWL_SAMEAS
+
+    tri = _tri(
+        spark,
+        [
+            (E + "b", OWL_SAMEAS, "iri", E + "a", None, None),
+            (E + "b", E + "temp", "literal", "21.5", None, None),
+        ],
+    )
+    facts = _facts(apply_inference(tri, "OWL"))
+    assert (E + "a", E + "temp", "21.5", "inferred") in facts
+    assert (E + "a", OWL_SAMEAS, E + "b", "inferred") in facts
+
+
+def test_sameas_noop_without_identities(spark):
+    """No sameAs statements -> byte-identical passthrough (plus origin)."""
+    from rdfshape_api_spark.operators.inference import owl_sameas_closure
+
+    tri = _tri(spark, [(E + "a", E + "p", "iri", E + "b", None, None)])
+    facts = _facts(owl_sameas_closure(tri))
+    assert facts == {(E + "a", E + "p", E + "b", "asserted")}
