@@ -391,16 +391,28 @@ def _q_shapemap_resolve(spark, sf_dir):
 
 
 def _q_ntriples(spark, sf_dir):
+    """K1 N-Triples emitter.  Narrow-then-serialize (r5): the global
+    dedup runs on the six ~40-byte term columns BEFORE concat_ws, not on
+    fully-serialized ~200-byte lines — same output set (term→line
+    serialization is injective), ~40% less shuffle width."""
     from rdfshape_api_spark.operators.serialize import to_ntriples
 
-    return to_ntriples(_rdf_triples(spark, sf_dir)).distinct()
+    tri = _rdf_triples(spark, sf_dir).select(
+        "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+    ).distinct()
+    return to_ntriples(tri)
 
 
 def _q_nquads(spark, sf_dir):
-    """K1 N-Quads emitter: graph label = per-document urn:doc:<sha>."""
+    """K1 N-Quads emitter: graph label = per-document urn:doc:<sha>.
+    Narrow-then-serialize like _q_ntriples (dedup keys include the doc)."""
     from rdfshape_api_spark.operators.serialize import to_nquads
 
-    return to_nquads(_rdf_triples(spark, sf_dir)).distinct()
+    tri = _rdf_triples(spark, sf_dir).select(
+        "doc_sha256", "subj", "pred", "obj_kind", "obj_value",
+        "obj_lang", "obj_datatype"
+    ).distinct()
+    return to_nquads(tri)
 
 
 def _q_has_pred_subj(spark, sf_dir):
@@ -2134,80 +2146,21 @@ def _q_code_ident_top(spark, sf_dir):
 # row is oldest.  r4 ordering: 4 never-verified (r3 additions), then the 17
 # LLM-pipeline entries last green in r2.
 _VERIFY_FIRST = [
-    # (a) registered in r3, never driver-verified — the r3 verdict names
-    # these 4 (+docs_stream_dedup) explicitly; they lead so the 50-entry
-    # window can never push them out again.
-    "text_repetition",
-    "text_quality",
-    "dedup_clusters",
-    "events_windowed_stream",
-    "docs_stream_dedup",
-    # (b) new in r4 — never verified
-    "rdf_incremental_merge",
-    "rdf_incremental_verdicts",
-    "dedup_lsh_incremental",
-    "rdf_entity_match",
-    "social_shexj_validate",
-    "social_shacl_rdfxml",
-    "rdf_shapemap_resolve",
-    "rdf_shex2shacl_validate",
-    "text_leakage_split",
-    "rdf_sparql_graph_enum",
-    "social_shex_conj_not_ref",
-    "text_temperature_mix",
-    "rdf_has_pred_subj",
-    "rdf_graph_fp",
-    "rdf_xml_roundtrip",
-    "rdf_jsonld_roundtrip",
-    "rdf_dot",
-    "text_normalize",
-    "rdf_pagerank",
-    "social_shex_mixed_and",
-    "rdf_sparql_path_neg",
-    "social_shex_paren_not",
-    "rdf_sparql_graph_optional",
-    "social_shacl_qualified_inverse",
-    "social_shex_nested_or",
-    "rdf_sparql_graph",
-    "rdf_sparql_construct_limit",
-    "text_decontaminate",
-    "text_span_dedup",
-    "sim_semantic_dedup",
-    "text_top_ngrams",
-    "mm_audio_features",
-    "rdf_nquads",
-    "text_hash_sample",
-    "text_source_cap",
-    "dedup_bloom_incremental",
-    "text_corpus_stats",
+    # Tie-break hints WITHIN the never-verified class only — the rotation
+    # itself is dynamic (_driver_verified reads CORRECTNESS_r*.json at
+    # call time and floats never-verified entries to the front, r4s10).
+    # Order here: the r4 verdict's 14 never-driver-verified entries, one
+    # hash-checkable entry per code-corpus family first so the window's
+    # slots sample different subsystems; rows-only entries (k-means PCA,
+    # trained BPE, PQ — no SQL twin) last so window slots carry
+    # hash-checkable oracles.
     "text_pack_token_ids",
-    "text_lm_score",
-    "social_shacl_node_level",
-    "rdf_validation_report",
-    "dedup_verified_pairs",
-    # Below: hints past the 50-entry window.  Since r4s10 the rotation is
-    # DYNAMIC (_driver_verified reads CORRECTNESS_r*.json at call time and
-    # floats never-verified entries to the front), so after each round's
-    # file lands the next round's window re-fills with whatever is still
-    # unchecked — no manual reordering.  This list only breaks ties within
-    # the never-verified class; the two rows-only entries (k-means PCA
-    # init / trained BPE merges have no SQL twin) sit late so window slots
-    # carry hash-checkable oracles.
-    # family-diverse tail: one hash-checkable entry per code-corpus family
-    # first (winnow machinery / repo rollups / license governance), so the
-    # window's last slots sample three DIFFERENT subsystems; the remaining
-    # variants + rows-only entries (k-means PCA, trained BPE, PQ) roll to
-    # the next round's window.
-    "code_winnow_fp",
-    "code_repo_stats",
-    "code_license_profile",
     "social_shacl_member_prop",
     "social_triangles",
     "code_winnow_clones",
     "code_winnow_lsh",
     "code_ident_top",
     "text_pack_sequences",
-    # demoted same-family variants (a sibling of each is in-window):
     "rdf_trig",
     "rdf_rdfjson_roundtrip",
     "rdf_check_datatype",
@@ -2216,24 +2169,6 @@ _VERIFY_FIRST = [
     "sim_pca_project",
     "text_bpe_encode",
     "sim_pq_ann",
-    # (c) last green in r2
-    "rdf_html_extract",
-    "text_features",
-    "text_redact",
-    "dedup_exact",
-    "dedup_lsh_pairs",
-    "dedup_lsh_keep",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
-    "sim_cosine_topk",
-    "sim_embedding_near_dups",
-    "sim_lsh_ann",
-    "mm_payload_meta",
-    "mm_features",
-    "mm_frame_samples",
-    "events_hourly",
-    "events_sessions",
-    "events_sessionize_gap",
 ]
 
 

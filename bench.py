@@ -98,6 +98,35 @@ def _bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     return timings, rows
 
 
+def _prev_bench_queries(sf: str | float) -> tuple[dict, int | None]:
+    """Per-query walls + host anchor from the latest driver BENCH_r*.json
+    (the driver wraps bench's JSON line inside its own record's ``tail``).
+    Used to flag storm-contended walls: BENCH_r04 shipped a 12.4 s
+    rdf_ntriples that re-measured at 0.79 s on an idle box."""
+    import glob
+    import re
+
+    walls: dict = {}
+    anchor = None
+    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            m = re.search(r'\{"metric".*\}', d.get("tail", ""))
+            if not m:
+                continue
+            inner = json.loads(m.group(0))
+            if str(inner.get("sf")) != str(sf):
+                continue  # walls only comparable at the same scale factor
+            if inner.get("queries"):
+                walls = inner["queries"]
+            if inner.get("host_burn_iters_2s"):
+                anchor = inner["host_burn_iters_2s"]
+        except Exception:  # noqa: BLE001 — best-effort history read
+            continue
+    return walls, anchor
+
+
 def _pipeline_run(spark, sf_tag: str, out_dir: str, mult: int = 1) -> dict:
     """One end-to-end pipeline run (extract+validate+canonicalize) in an
     existing session.  Partitioning is FIXED across parallelism levels (the
@@ -215,6 +244,34 @@ def main() -> None:
         m = m2
     timings["pipeline_end_to_end"] = pipe_wall
     tps = round(m["triples"] / pipe_wall, 1)
+
+    # Storm guard (r5): any query >3x its previous-round wall is suspect —
+    # this host shows multi-second co-tenant stalls that min-of-2 can miss
+    # when the whole window is contended (BENCH_r04's 12.4 s rdf_ntriples
+    # re-measured at 0.79 s).  Re-run each flagged query after a settle
+    # pause and keep the min; report the flagged set + per-2s burn anchor
+    # so the next reader can normalize.
+    prev_walls, prev_anchor = _prev_bench_queries(
+        float(sf) if sf.replace(".", "").isdigit() else sf
+    )
+    flagged = sorted(
+        q
+        for q, w in timings.items()
+        if q != "pipeline_end_to_end"
+        and prev_walls.get(q)
+        and w > 3 * prev_walls[q]
+        and w - prev_walls[q] > 1.0  # ignore sub-second jitter blowups
+    )
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for q in flagged:
+        time.sleep(2.0)  # let a transient co-tenant burst pass
+        for _ in range(2):
+            t0 = time.time()
+            qs[q](spark, sf_dir).count()
+            timings[q] = min(timings[q], round(time.time() - t0, 3))
+    total = round(sum(v for k, v in timings.items() if k != "pipeline_end_to_end"), 3)
     spark.stop()
 
     # Host-speed anchor: single-core pure-Python burn iterations per 2 s,
@@ -242,6 +299,8 @@ def main() -> None:
                 "rows": rows,
                 "host_burn_iters_2s": host_burn,
                 "host_load1": load1,
+                "anchor_flagged": flagged,
+                "prev_anchor_iters_2s": prev_anchor,
             }
         )
     )

@@ -62,6 +62,33 @@ DOCS_SCHEMA = (
     "content string, content_sha256 string"
 )
 
+# The Kafka wire shape as spark-sql-kafka exposes it (value/topic/
+# partition/offset are the columns the projection consumes) — shared by
+# the live source and the recorded-offset replay path so both execute
+# the SAME projection expressions.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp"
+)
+
+
+def kafka_message_projection(cfg: "StreamConfig") -> list:
+    """Kafka message → docs-table row (CometTransformations.scala:115-141):
+    each message value is one raw RDF document; topic/partition/offset
+    become the synthetic repo/path/commit identity and
+    ``extractor_format`` supplies the syntax."""
+    content = F.col("value").cast("string")
+    return [
+        F.concat(F.lit("kafka:"), F.col("topic")).alias("repo"),
+        F.concat_ws(
+            "/", F.col("partition").cast("string"), F.col("offset").cast("string")
+        ).alias("path"),
+        F.col("offset").cast("string").alias("commit"),
+        F.lit(cfg.extractor_format).alias("lang"),
+        content.alias("content"),
+        F.sha2(content, 256).alias("content_sha256"),
+    ]
+
 
 @dataclass
 class StreamConfig:
@@ -161,6 +188,17 @@ def _source_stream(spark: SparkSession, input_dir: str, cfg: StreamConfig) -> Da
     """
     if cfg.uses_kafka():
         info = cfg.stream_info
+        if info.get("replayDir"):
+            # Recorded-offset replay: parquet of KAFKA_WIRE_SCHEMA rows
+            # (captured messages) streamed through the SAME projection as
+            # the live source — the broker-less execution evidence for
+            # this path (a real broker test needs a sandbox with one).
+            reader = spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+            if cfg.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+            return reader.parquet(str(info["replayDir"])).select(
+                *kafka_message_projection(cfg)
+            )
         server = str(info["server"]).replace("kafka://", "").rstrip("/")
         bootstrap = server if ":" in server else f"{server}:{info.get('port', 9092)}"
         reader = (
@@ -172,17 +210,7 @@ def _source_stream(spark: SparkSession, input_dir: str, cfg: StreamConfig) -> Da
             reader = reader.option("kafka.group.id", info["groupId"])
         for k, v in cfg.extra.items():
             reader = reader.option(k, v)
-        content = F.col("value").cast("string")
-        return reader.load().select(
-            F.concat(F.lit("kafka:"), F.col("topic")).alias("repo"),
-            F.concat_ws(
-                "/", F.col("partition").cast("string"), F.col("offset").cast("string")
-            ).alias("path"),
-            F.col("offset").cast("string").alias("commit"),
-            F.lit(cfg.extractor_format).alias("lang"),
-            content.alias("content"),
-            F.sha2(content, 256).alias("content_sha256"),
-        )
+        return reader.load().select(*kafka_message_projection(cfg))
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
