@@ -219,6 +219,37 @@ def ivf_ann_topk(
     )
 
 
+def semantic_dedup_kmeans(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    max_bucket: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """:func:`semantic_dedup` with a k-means coarse quantizer as the
+    blocking key — the paper's actual clustering step, and the
+    corpus-scale answer to fixed-plane buckets: ``n_cells`` scales with N
+    (e.g. N/10k cells keeps expected pair work linear), where 2^n_planes
+    is a constant.  Cells come from the same deterministic-seed
+    ``pyspark.ml`` KMeans as :func:`ivf_ann_topk`; the keep-the-min rule
+    and the optional ``max_bucket`` dense-family fall-through are shared
+    with the hyperplane form.  No SQL twin (k-means) — pytest-gated like
+    IVF."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select("vec_id", "embedding").withColumn(
+        "_features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell"
+    ).fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "embedding", F.col("_cell").cast("string").alias("bucket")
+    )
+    return _semantic_dedup_blocked(emb, assigned, threshold, max_bucket)
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -259,6 +290,15 @@ def semantic_dedup(
     hashed = emb.select("vec_id", "embedding").withColumn(
         "bucket", rp_bucket(F.col("embedding"), n_planes)
     )
+    return _semantic_dedup_blocked(emb, hashed, threshold, max_bucket)
+
+
+def _semantic_dedup_blocked(
+    emb: DataFrame, hashed: DataFrame, threshold: float, max_bucket: int | None
+) -> DataFrame:
+    """Shared SemDeDup core over any (vec_id, embedding, bucket) blocking:
+    within-bucket pair scoring + keep-the-min, with the optional over-cap
+    dense-family fall-through."""
     dense_stats = None
     if max_bucket is not None:
         # one extra hash-agg over the bucket table; over-cap buckets are

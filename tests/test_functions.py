@@ -1198,3 +1198,27 @@ def test_decode_image_real_dispatches_gif():
     idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
     img = _decode_image_real(_make_gif(idx, [(5, 5, 5), (7, 7, 7)]))
     assert img.shape == (2, 2, 3) and img[0, 1, 0] == 7
+
+
+def test_semantic_dedup_kmeans_blocking(spark):
+    """k-means-cell blocking (the cells-scale-with-N path): same keep
+    semantics as the hyperplane form on well-separated clusters, and the
+    max_bucket fall-through composes."""
+    from rdfshape_api_spark.functions.similarity import semantic_dedup_kmeans
+
+    rows = [(i, [1.0, 0.0 + i * 1e-4, 0.0]) for i in range(4)]       # cluster A
+    rows += [(10 + i, [0.0, 1.0, 0.0 + i * 1e-4]) for i in range(3)]  # cluster B
+    rows += [(100, [0.0, 0.0, 1.0])]                                  # singleton
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup_kmeans(df, 0.99, n_cells=3).collect()}
+    assert len(out) == 8
+    assert out[0]["keep"] == 1 and all(out[i]["keep"] == 0 for i in (1, 2, 3))
+    assert out[10]["keep"] == 1 and out[11]["keep"] == 0 and out[12]["keep"] == 0
+    assert out[100]["keep"] == 1 and out[100]["n_near_dups"] == 0
+    # dense-family fall-through inside a cell
+    capped = {
+        r["vec_id"]: r
+        for r in semantic_dedup_kmeans(df, 0.99, n_cells=3, max_bucket=2).collect()
+    }
+    assert capped[0]["keep"] == 1 and capped[3]["keep"] == 0
+    assert capped[3]["n_near_dups"] == 3  # bucket size - 1
