@@ -238,6 +238,43 @@ def cases() -> list[dict]:
             "2RefS1_pass", _SX, ":S1 { :p1 @:S1 ? }",
             ":x :p1 :y .\n:y :p1 :x .", True,
         ),
+        # --- ShEx: inverse constraints / language / exclusions / more ----
+        _shex(
+            "1inversedot_pass", _SX, ":S1 { ^:p1 . }",
+            ':y :p1 :x .\n:x :note "t" .', True,
+        ),
+        _shex(
+            "1inversedot_fail", _SX, ":S1 { ^:p1 . }",
+            ':x :note "t" .', False,
+        ),
+        _shex(
+            "1val1language_pass", _SX, ":S1 { :p1 [@en] }",
+            ':x :p1 "chat"@en .', True,
+        ),
+        _shex(
+            "1val1language_fail", _SX, ":S1 { :p1 [@en] }",
+            ':x :p1 "chat"@fr .', False,
+        ),
+        _shex(
+            "1valExclusion_pass", _SX, ":S1 { :p1 [. - :bad] }",
+            ":x :p1 :good .", True,
+        ),
+        _shex(
+            "1valExclusion_fail", _SX, ":S1 { :p1 [. - :bad] }",
+            ":x :p1 :bad .", False,
+        ),
+        _shex(
+            "1card25_pass", _SX, ":S1 { :p1 . {2,5} }",
+            ":x :p1 :o1 , :o2 , :o3 .", True,
+        ),
+        _shex(
+            "1maxinclusive_pass", _SX, ":S1 { :p1 MAXINCLUSIVE 3 }",
+            ':x :p1 "3"^^xsd:integer .', True,
+        ),
+        _shex(
+            "1decimaldatatype_pass", _SX, ":S1 { :p1 xsd:decimal }",
+            ':x :p1 "3.14"^^xsd:decimal .', True,
+        ),
     ]
     out += [
         # --- SHACL: cardinality -------------------------------------------
@@ -510,6 +547,45 @@ def cases() -> list[dict]:
             "    sh:qualifiedValueShape [ sh:hasValue :v1 ] ;\n"
             "    sh:qualifiedMinCount 1 ] .",
             ":x a :T ; :p1 :v2 , :v3 .", False,
+        ),
+        # --- SHACL: language / xone / remaining range-string forms --------
+        _shacl(
+            "languageIn-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            '  sh:property [ sh:path :p1 ; sh:languageIn ( "en" "fr" ) ] .',
+            ':x a :T ; :p1 "hi"@en .', True,
+        ),
+        _shacl(
+            "languageIn-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            '  sh:property [ sh:path :p1 ; sh:languageIn ( "en" "fr" ) ] .',
+            ':x a :T ; :p1 "hallo"@de .', False,
+        ),
+        _shacl(
+            "xone-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:xone (\n"
+            "    [ sh:datatype xsd:string ] [ sh:minLength 5 ] ) ] .",
+            ':x a :T ; :p1 "ab" .', True,
+        ),
+        _shacl(
+            "xone-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:xone (\n"
+            "    [ sh:datatype xsd:string ] [ sh:minLength 5 ] ) ] .",
+            ':x a :T ; :p1 "abcdef" .', False,
+        ),
+        _shacl(
+            "maxExclusive-001_fail", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:maxExclusive 3 ] .",
+            ':x a :T ; :p1 "3"^^xsd:integer .', False,
+        ),
+        _shacl(
+            "maxLength-001_pass", _DS,
+            ":s a sh:NodeShape ; sh:targetClass :T ;\n"
+            "  sh:property [ sh:path :p1 ; sh:maxLength 2 ] .",
+            ':x a :T ; :p1 "ab" .', True,
         ),
     ]
     names = [c["name"] for c in out]
