@@ -279,3 +279,62 @@ def test_pq_encode_is_map_only(spark):
     plan = _plan(pq_encode(emb, books))
     assert "Exchange" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_semantic_dedup_guard_broadcasts_overcap_buckets(spark):
+    """The max_bucket dense-family path must resolve over-cap buckets with
+    a BROADCAST of the (tiny) over-cap bucket list on both the family join
+    and the anti-join — never a shuffle of the vector table against it."""
+    from rdfshape_api_spark.functions.similarity import semantic_dedup
+
+    rows = [(i, [1.0, float(i % 3) / 10, 0.0]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = _plan(semantic_dedup(emb, 0.9, n_planes=2, max_bucket=4))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_owl_sameas_closure_no_cartesian(spark):
+    """sameAs merge: the member→canon rewrite is two hash joins on the
+    mapping — no cartesian products, no per-row Python stages."""
+    from rdfshape_api_spark.operators.inference import OWL_SAMEAS, owl_sameas_closure
+
+    tri = spark.createDataFrame(
+        [
+            ("d", "http://e/b", OWL_SAMEAS, "iri", "http://e/a", None, None),
+            ("d", "http://e/b", "http://e/p", "iri", "http://e/c", None, None),
+        ],
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+    plan = _plan(owl_sameas_closure(tri))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_w3c_batch_simple_jobs_share_one_aggregate(spark):
+    """validate_batch's simple path: N schemas → ONE groupBy over the
+    predicate-filtered scan (the W3C sample's execution model).  Two
+    simple single-shape jobs must produce exactly one HashAggregate pair
+    (partial+final), not one per job."""
+    from rdfshape_api_spark.plans import parse_shexc
+    from rdfshape_api_spark.plans.validate import validate_batch
+
+    tri = spark.createDataFrame(
+        [("d", "http://e/x", "http://e/p1", "iri", "http://e/v", None, None)],
+        "doc_sha256 string, subj string, pred string, obj_kind string, "
+        "obj_value string, obj_lang string, obj_datatype string",
+    )
+    s1 = parse_shexc("PREFIX : <http://e/>\n:A { :p1 . }")
+    s2 = parse_shexc("PREFIX : <http://e/>\n:B { :p2 . ? }")
+    out = validate_batch(
+        tri,
+        [(s1, "<http://e/x>@<http://e/A>", "a"),
+         (s2, "<http://e/x>@<http://e/B>", "b")],
+    )
+    plan = _plan(out)
+    # ONE partial+final aggregate over the shared triple scan (2) plus one
+    # tiny distinct per job's focus work-list (2 each) — a per-job
+    # aggregation of the BIG scan would add 2 more per job (>= 8 here)
+    assert plan.count("HashAggregate") <= 6
+    assert "CartesianProduct" not in plan
