@@ -4,7 +4,7 @@ published W3C suite manifests.
 The reference's correctness authority is the official W3C ShEx test suite
 (inherited through the ``shexs`` dependency, ``build.sbt:346-349``; SURVEY
 §5.4) and the SHACL data-shapes test suite (through shaclex).  This module
-carries a ~60-case sample of those suites **re-authored from the published
+carries a 108-case sample of those suites **re-authored from the published
 test semantics** (schema shape, data graph shape, focus, expected verdict
 — the structures the public manifests document), namespaced per test so
 the whole sample validates as one corpus without cross-test target/focus
