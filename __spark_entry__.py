@@ -1246,6 +1246,28 @@ def _q_sim_lsh_ann(spark, sf_dir):
     return lsh_ann_topk(emb, k=5, n_queries=10)
 
 
+def _q_sim_ivf_ann(spark, sf_dir):
+    """IVF ANN (k-means cells + n_probe search): deterministic for the
+    fixed seed but no SQL twin (k-means) — rows-only driver entry; the
+    correctness gate is the recall@5 test vs cosine_topk in
+    tests/test_functions.py."""
+    from rdfshape_api_spark.functions.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_ann_topk(emb, k=5, n_queries=10, n_cells=8, n_probe=2)
+
+
+def _q_sim_semantic_dedup_kmeans(spark, sf_dir):
+    """SemDeDup with the k-means coarse quantizer as the blocking key
+    (cells scale with N — the corpus-scale blocking form, r5).  No SQL
+    twin (k-means) — rows-only; keep semantics pinned by pytest against
+    the hyperplane form on separated clusters."""
+    from rdfshape_api_spark.functions.similarity import semantic_dedup_kmeans
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup_kmeans(emb, threshold=0.4, n_cells=16, max_bucket=500)
+
+
 def _q_mm_meta(spark, sf_dir):
     from rdfshape_api_spark.functions.multimodal import payload_metadata
 
@@ -2319,6 +2341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_topk,
         "sim_embedding_near_dups": _q_sim_near_dups,
         "sim_lsh_ann": _q_sim_lsh_ann,
+        "sim_ivf_ann": _q_sim_ivf_ann,                   # IVF (rows-only, r5)
+        "sim_semantic_dedup_kmeans": _q_sim_semantic_dedup_kmeans,  # r5, rows-only
         "sim_semantic_dedup": _q_sim_semantic_dedup,
         "sim_pca_project": _q_sim_pca,
         "text_top_ngrams": _q_text_top_ngrams,
