@@ -390,15 +390,28 @@ def _q_shapemap_resolve(spark, sf_dir):
     return resolve_focus(_rdf_triples(spark, sf_dir), assocs)
 
 
+def _nt_render_kind():
+    """obj_kind normalized to its RENDER-equivalence class: nt_term_obj
+    serializes a bnode-kind value that does not start with "_:" (e.g. a
+    skolem IRI) identically to an iri-kind value, so the narrow dedup must
+    collapse those or it under-dedups vs the old line-level distinct."""
+    return F.when(
+        (F.col("obj_kind") == "bnode") & ~F.col("obj_value").startswith("_:"),
+        F.lit("iri"),
+    ).otherwise(F.col("obj_kind"))
+
+
 def _q_ntriples(spark, sf_dir):
     """K1 N-Triples emitter.  Narrow-then-serialize (r5): the global
     dedup runs on the six ~40-byte term columns BEFORE concat_ws, not on
     fully-serialized ~200-byte lines — same output set (term→line
-    serialization is injective), ~40% less shuffle width."""
+    serialization is injective over the kind-normalized columns),
+    ~40% less shuffle width."""
     from rdfshape_api_spark.operators.serialize import to_ntriples
 
     tri = _rdf_triples(spark, sf_dir).select(
-        "subj", "pred", "obj_kind", "obj_value", "obj_lang", "obj_datatype"
+        "subj", "pred", _nt_render_kind().alias("obj_kind"),
+        "obj_value", "obj_lang", "obj_datatype"
     ).distinct()
     return to_ntriples(tri)
 
@@ -409,8 +422,8 @@ def _q_nquads(spark, sf_dir):
     from rdfshape_api_spark.operators.serialize import to_nquads
 
     tri = _rdf_triples(spark, sf_dir).select(
-        "doc_sha256", "subj", "pred", "obj_kind", "obj_value",
-        "obj_lang", "obj_datatype"
+        "doc_sha256", "subj", "pred", _nt_render_kind().alias("obj_kind"),
+        "obj_value", "obj_lang", "obj_datatype"
     ).distinct()
     return to_nquads(tri)
 

@@ -265,9 +265,27 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # same cache protocol as the main loop: rebuild-class queries must
+    # not be re-timed against the entry module's persisted triples cache
+    rebuild = {"rdf_extract_canonical"}
+
+    def _clear_caches() -> None:
+        for cname in ("_triples_cache", "_social_cache", "_catalog_cache"):
+            cache = getattr(entrymod, cname, None)
+            if not cache:
+                continue
+            for df in cache.values():
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 — best-effort cache drop
+                    pass
+            cache.clear()
+
     for q in flagged:
         time.sleep(2.0)  # let a transient co-tenant burst pass
         for _ in range(2):
+            if q in rebuild:
+                _clear_caches()
             t0 = time.time()
             qs[q](spark, sf_dir).count()
             timings[q] = min(timings[q], round(time.time() - t0, 3))

@@ -169,14 +169,27 @@ def owl_sameas_closure(df: DataFrame, spark=None, max_iters: int = 25) -> DataFr
 
     ident = (F.col("pred") == OWL_SAMEAS) & (F.col("obj_kind") != "literal")
     same = df.filter(ident)
+    # common case: no identities at all — skip the component machinery AND
+    # the full-table dedup shuffle at the end (a guaranteed no-op union);
+    # the probe is one predicate-pushed limit-1 job
+    if same.isEmpty():
+        return df
     edges = same.select(F.col("subj").alias("a"), F.col("obj_value").alias("b"))
     comp = connected_components(edges, max_iters=max_iters, a="a", b="b")
     mapping = comp.filter(F.col("doc_id") != F.col("component"))
 
-    # eq-sym: the mirrored statement, in the asserting document
+    # eq-sym: the mirrored statement, in the asserting document.  The
+    # mirror's object is the ORIGINAL SUBJECT, so its kind derives from
+    # that term (a bnode subject mirrored into object position must keep
+    # kind 'bnode', not inherit the original object's kind — obj_kind is
+    # part of the dedup key and drives the serializers)
     value_cols = [c for c in df.columns if c not in ("subj", "obj_value", "origin")]
+    sym_kind = F.when(F.col("subj").startswith("_:"), F.lit("bnode")).otherwise(
+        F.lit("iri")
+    )
     sym = same.filter(F.col("subj") != F.col("obj_value")).select(
-        *value_cols,
+        *[c for c in value_cols if c != "obj_kind"],
+        sym_kind.alias("obj_kind"),
         F.col("obj_value").alias("subj"),
         F.col("subj").alias("obj_value"),
         F.lit("inferred").alias("origin"),

@@ -535,24 +535,31 @@ def severity_by_reason(schema) -> dict[str, str]:
     from rdfshape_api_spark.model import SH
     from rdfshape_api_spark.plans.validate import reason_text
 
+    # conflict detection must consider EVERY constraint's effective
+    # severity — including the default sh:Violation ones the returned map
+    # omits — or a Warning constraint sharing its reason text with a
+    # default-severity constraint would silently demote that constraint's
+    # Violation results through the shared join key
+    effective: dict[str, str] = {}
     out: dict[str, str] = {}
     for sh_ in schema.shapes.values():
         for tc in list(sh_.constraints) + [
             t for grp in (sh_.alternatives or []) for t in grp
         ]:
-            sev = getattr(tc, "severity", None)
-            if sev and sev != SH + "Violation":
-                key = reason_text(tc)
-                if key in out and out[key] != sev:
-                    # reason text is the ONLY join key between verdicts and
-                    # the schema — two constraints sharing a message but
-                    # carrying different severities cannot be told apart
-                    raise ValueError(
-                        "severity_by_reason: reason text "
-                        f"{key!r} maps to conflicting severities "
-                        f"{out[key]} and {sev}; give the constraints "
-                        "distinct sh:message values"
-                    )
+            sev = getattr(tc, "severity", None) or SH + "Violation"
+            key = reason_text(tc)
+            if key in effective and effective[key] != sev:
+                # reason text is the ONLY join key between verdicts and
+                # the schema — two constraints sharing a message but
+                # carrying different severities cannot be told apart
+                raise ValueError(
+                    "severity_by_reason: reason text "
+                    f"{key!r} maps to conflicting severities "
+                    f"{effective[key]} and {sev}; give the constraints "
+                    "distinct sh:message values"
+                )
+            effective[key] = sev
+            if sev != SH + "Violation":
                 out[key] = sev
     return out
 
@@ -565,20 +572,28 @@ def path_by_reason(schema) -> dict[str, str]:
     optional, so omission is valid)."""
     from rdfshape_api_spark.plans.validate import reason_text
 
+    # like severity_by_reason: conflict detection ranges over EVERY
+    # constraint (non-plain-path ones contribute path None), so a plain
+    # predicate's path can never silently attach to a same-text
+    # constraint whose real path is inverse/sequence/closure
+    effective: dict[str, str | None] = {}
     out: dict[str, str] = {}
     for sh_ in schema.shapes.values():
         for tc in list(sh_.constraints) + [
             t for grp in (sh_.alternatives or []) for t in grp
         ]:
-            if tc.path is None and not tc.inverse and tc.pred:
-                key = reason_text(tc)
-                if key in out and out[key] != tc.pred:
-                    raise ValueError(
-                        "path_by_reason: reason text "
-                        f"{key!r} maps to conflicting paths "
-                        f"{out[key]} and {tc.pred}; give the constraints "
-                        "distinct sh:message values"
-                    )
+            plain = tc.path is None and not tc.inverse and tc.pred
+            path = tc.pred if plain else None
+            key = reason_text(tc)
+            if key in effective and effective[key] != path:
+                raise ValueError(
+                    "path_by_reason: reason text "
+                    f"{key!r} maps to conflicting paths "
+                    f"{effective[key]} and {path}; give the constraints "
+                    "distinct sh:message values"
+                )
+            effective[key] = path
+            if plain:
                 out[key] = tc.pred
     return out
 

@@ -323,7 +323,7 @@ def _draw_text(img, x0: int, y0: int, s: str, color) -> None:
     for k, ch in enumerate(s):
         cols = _FONT_5X7.get(ch)
         if cols is None:
-            cols = "7f41414141" if ch != " " else _FONT_5X7[" "]  # hollow box
+            cols = "7f41414141"  # hollow box for any unmapped character
         for cx in range(5):
             bits = int(cols[cx * 2 : cx * 2 + 2], 16)
             for cy in range(7):

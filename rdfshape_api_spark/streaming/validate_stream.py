@@ -196,8 +196,12 @@ def _source_stream(spark: SparkSession, input_dir: str, cfg: StreamConfig) -> Da
             reader = spark.readStream.schema(KAFKA_WIRE_SCHEMA)
             if cfg.max_files_per_trigger:
                 reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-            return reader.parquet(str(info["replayDir"])).select(
-                *kafka_message_projection(cfg)
+            return (
+                reader.parquet(str(info["replayDir"]))
+                # the live source subscribes to ONE topic; a capture from a
+                # multi-topic broker must replay only that topic's messages
+                .filter(F.col("topic") == info["topic"])
+                .select(*kafka_message_projection(cfg))
             )
         server = str(info["server"]).replace("kafka://", "").rstrip("/")
         bootstrap = server if ":" in server else f"{server}:{info.get('port', 9092)}"

@@ -193,3 +193,23 @@ def test_sameas_noop_without_identities(spark):
     tri = _tri(spark, [(E + "a", E + "p", "iri", E + "b", None, None)])
     facts = _facts(owl_sameas_closure(tri))
     assert facts == {(E + "a", E + "p", E + "b", "asserted")}
+
+
+def test_sameas_mirror_object_kind_follows_subject(spark):
+    """r5 review finding: the eq-sym mirror's object is the ORIGINAL
+    subject — a bnode subject mirrored into object position keeps kind
+    'bnode' (not the original object's 'iri'), so serializers render it
+    as a bnode and the dedup key stays kind-consistent."""
+    from rdfshape_api_spark.operators.inference import OWL_SAMEAS, owl_sameas_closure
+
+    tri = _tri(
+        spark,
+        [("_:b", OWL_SAMEAS, "iri", E + "a", None, None)],
+    )
+    rows = {
+        (r["subj"], r["obj_kind"], r["obj_value"], r["origin"])
+        for r in owl_sameas_closure(tri).collect()
+    }
+    assert (E + "a", "bnode", "_:b", "inferred") in rows
+    # and the asserted direction is untouched
+    assert ("_:b", "iri", E + "a", "asserted") in rows

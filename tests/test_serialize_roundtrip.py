@@ -337,3 +337,27 @@ def test_per_constraint_duplicate_reasons_deduped(spark):
     assert len(results) == 2 and len(set(results)) == 2
     type_rows = [r for r in rep if r.obj_value == SH + "ValidationResult"]
     assert len(type_rows) == 2
+
+
+def test_severity_conflict_with_default_violation_raises(spark):
+    """r5 review finding: a Warning constraint sharing its sh:message with
+    a DEFAULT-severity (Violation) constraint must raise — the shared
+    reason text would otherwise silently demote the Violation results."""
+    import pytest as pt
+
+    from rdfshape_api_spark.operators.serialize import severity_by_reason
+    from rdfshape_api_spark.plans import parse_shacl
+
+    dup = parse_shacl(
+        """
+        @prefix sh: <http://www.w3.org/ns/shacl#> .
+        @prefix ex: <http://e/> .
+        ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+          sh:property [ sh:path ex:name ; sh:minCount 1 ;
+                        sh:severity sh:Warning ; sh:message "same text" ] ;
+          sh:property [ sh:path ex:age ; sh:minCount 1 ;
+                        sh:message "same text" ] .
+        """
+    )
+    with pt.raises(ValueError, match="conflicting severities"):
+        severity_by_reason(dup)
